@@ -1,0 +1,142 @@
+"""Declarative dataset registry — the engine's equivalent of the reference's
+DLT/Lakeflow ``@dp.table`` layer (SURVEY.md §3).
+
+The reference registers *(name → generator function)* with ``@dp.table(name,
+comment)`` and discovers the dependency DAG from ``dp.read(...)`` calls inside
+each generator (reference ``silver_layer_person.py:4-19``). Here the same
+contract is ~150 LoC of pure Python:
+
+- ``DatasetRegistry.table(name, comment)`` registers a generator ``fn(ctx) ->
+  DataFrame``.
+- ``PipelineContext.read(name)`` inside a generator resolves either another
+  registered dataset (recursively materializing it — lazy topological order
+  with memoization and cycle detection) or falls through to a catalog reader.
+- ``run()`` materializes every dataset; batch DataFrames land via
+  ``write.parquet``/``saveAsTable``, streaming DataFrames via ``writeStream``
+  with ``Trigger.AvailableNow`` and a per-table checkpoint (see
+  ``streaming.runner``).
+
+Plan construction is driver-local Python; all data movement stays inside
+Spark jobs — nothing here collects.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["DatasetRegistry", "PipelineContext"]
+
+
+@dataclass(frozen=True)
+class DatasetDef:
+    name: str
+    fn: Callable[["PipelineContext"], DataFrame]
+    comment: str | None = None
+
+
+class DatasetRegistry:
+    """Collects ``@registry.table(...)`` dataset definitions."""
+
+    def __init__(self) -> None:
+        self._defs: dict[str, DatasetDef] = {}
+
+    def table(
+        self, name: str | None = None, comment: str | None = None
+    ) -> Callable[[Callable[["PipelineContext"], DataFrame]], Callable]:
+        def deco(fn: Callable[["PipelineContext"], DataFrame]) -> Callable:
+            key = name or fn.__name__
+            if key in self._defs:
+                raise ValueError(f"dataset {key!r} registered twice")
+            self._defs[key] = DatasetDef(key, fn, comment)
+            return fn
+
+        return deco
+
+    def names(self) -> list[str]:
+        return list(self._defs)
+
+    def get(self, name: str) -> DatasetDef:
+        return self._defs[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._defs
+
+
+class PipelineContext:
+    """Resolves dataset references at plan-construction time.
+
+    ``catalog_reader(name)`` supplies external inputs (bronze staging tables /
+    testdata parquet); registered datasets are materialized on first reference
+    and memoized, which yields the topological execution order implicitly.
+    """
+
+    def __init__(
+        self,
+        registry: DatasetRegistry,
+        spark: SparkSession,
+        catalog_reader: Callable[[str], DataFrame] | None = None,
+        static_reader: Callable[[str], DataFrame] | None = None,
+    ) -> None:
+        self.registry = registry
+        self.spark = spark
+        self._catalog_reader = catalog_reader
+        self._static_reader = static_reader or catalog_reader
+        self._cache: dict[str, DataFrame] = {}
+        self._building: set[str] = set()
+
+    # the reference's `dp.read(...)` (silver_layer_person.py:18-19)
+    def read(self, name: str) -> DataFrame:
+        if name in self.registry:
+            return self.dataframe(name)
+        if self._catalog_reader is not None:
+            return self._catalog_reader(name)
+        return self.spark.table(name)
+
+    def read_static(self, name: str) -> DataFrame:
+        """Always-batch read — the reference's stream-static lookup pattern
+        ("Lookups estáticos para evitar errores de Stream-Stream Join",
+        silver_layer_production.py:15-17). In a streaming context the driving
+        table comes from ``read`` (may be a stream) while dimension lookups come
+        from here (re-read per micro-batch)."""
+        if name in self.registry:
+            return self.dataframe(name)
+        if self._static_reader is not None:
+            return self._static_reader(name)
+        return self.spark.table(name)
+
+    def dataframe(self, name: str) -> DataFrame:
+        if name in self._cache:
+            return self._cache[name]
+        if name in self._building:
+            raise ValueError(f"dependency cycle through dataset {name!r}")
+        defn = self.registry.get(name)
+        self._building.add(name)
+        try:
+            df = defn.fn(self)
+        finally:
+            self._building.discard(name)
+        self._cache[name] = df
+        return df
+
+    def run(
+        self,
+        warehouse_dir: str,
+        names: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> dict[str, str]:
+        """Materialize datasets as parquet under ``warehouse_dir/<name>``.
+        Returns {name: path}. Streaming datasets must be run via
+        ``streaming.runner`` instead (they need checkpoints)."""
+        out: dict[str, str] = {}
+        for name in names or self.registry.names():
+            df = self.dataframe(name)
+            if df.isStreaming:
+                raise ValueError(f"dataset {name!r} is streaming; use streaming.runner")
+            path = os.path.join(warehouse_dir, name)
+            df.write.mode(mode).parquet(path)
+            out[name] = path
+        return out
