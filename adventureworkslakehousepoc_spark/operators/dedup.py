@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — all expressed as
+declarative DataFrame ops (explode → hash → groupBy/join), no UDFs, so every
+stage is whole-stage-codegen'd and shuffle-parallel.
+
+Cross-engine portability: hash functions are ``md5`` (bit-identical in every
+engine) and min/ordering is over the hex *string* (ASCII order), so a DuckDB
+oracle can replay the exact same signatures — the LSH candidate set is
+deterministic, not merely statistically similar.
+
+Scale posture (100 TB corpus):
+- shingling multiplies rows by ~|words|; it happens AFTER projection to
+  (id, text) and flows straight into a partial-aggregate (min per doc), so
+  the explode never shuffles raw text.
+- LSH banding shuffles by band key only (16-byte strings); identical-doc
+  clusters make hot keys → AQE skew-join handles it (enabled in session).
+- the O(n²)-per-block exact Jaccard verifier only ever runs on LSH/blocked
+  candidate pairs, never the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_duplicate_groups",
+    "word_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "simhash_fingerprints",
+    "simhash_near_duplicates",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest. Returns one row per distinct
+    content with the representative (min id) and copy count. At scale this is a
+    single shuffle on a 32-hex-char key — the canonical map-side-combine shape."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("representative_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, sh).
+
+    Built with 1-based ``element_at`` so the DuckDB oracle (1-based list index)
+    produces byte-identical shingles. Documents with < n words yield no rows
+    (guarded: Spark's ``sequence(1, 0)`` would count *down*)."""
+    idx = ", ".join(f"element_at(words, i + {k})" for k in range(n))
+    shingle_expr = (
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(1, size(words) - {n - 1}), i -> concat_ws(' ', {idx})) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words"))
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: h0..h{n-1}, each = min over shingles of
+    ``md5('<seed>:' || shingle)`` (min over hex strings — portable total order).
+    One partial-aggregated groupBy; signature width is config."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``rows_per_band`` hashes; docs colliding on any band key become a
+    candidate pair (doc_a < doc_b, distinct). The only shuffle is on
+    (band, band_key)."""
+    band_structs = []
+    for j in range(bands):
+        key = F.concat(*[F.col(f"h{j * rows_per_band + k}") for k in range(rows_per_band)])
+        band_structs.append(F.struct(F.lit(j).alias("band"), key.alias("band_key")))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: |A∩B| via shingle join,
+    |A∪B| = |A|+|B|−|A∩B|. Counts are exact ints; one double division."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        pairs.alias("p")
+        .join(sa, F.col("p.doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("p.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: shingle → 16-hash signature →
+    8×2 banding (catches j≥0.5 with ~90% per-pass probability, deterministic
+    given md5) → exact-Jaccard verification ≥ threshold. Returns
+    (doc_a, doc_b, jaccard)."""
+    shingles = word_shingles(docs, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(shingles, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return _jaccard_verify(pairs, shingles, threshold)
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per doc: bit b is the sign of Σ(±occurrences) over
+    words, where word contributes +1 if hex digit b of md5(word) is odd.
+    Word multiplicity is the weight (no distinct). Returns (doc_id, simhash)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    h = F.md5(F.col("w"))
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(h, b + 1, 1).isin(list(_ODD_HEX)), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup: candidates share either 8-bit half of the fingerprint
+    (pigeonhole: hamming ≤ 2 on 16 bits ⇒ one half is ≤1 apart; the half-match
+    block bounds the join), verified with ``bit_count(xor) ≤ max_hamming``.
+    Returns (doc_a, doc_b, hamming)."""
+    fps = simhash_fingerprints(docs, text_col, id_col, bits)
+    half = bits // 2
+    halves = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), F.expr(f"simhash DIV {1 << half}").alias("val")),
+                F.struct(F.lit(1).alias("part"), (F.col("simhash") % (1 << half)).alias("val")),
+            )
+        ).alias("h"),
+    ).select("doc_id", "simhash", F.col("h.part").alias("part"), F.col("h.val").alias("val"))
+    a = halves.alias("a")
+    b = halves.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard within a blocking key (quadratic per block — the
+    exact verifier; use MinHash+LSH when blocks are large). Returns
+    (doc_a, doc_b, jaccard)."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("blk"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_w"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("za.n_w") + F.col("zb.n_w") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

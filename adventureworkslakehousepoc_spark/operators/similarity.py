@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exactness baseline; the sign-LSH bucketed
+variant is the scale path (IVF-style candidate pruning: only the query's
+bucket is scanned). A vectorized Pandas-UDF scorer demonstrates the
+Arrow-batched path for when the scoring math outgrows SQL expressions.
+
+Float discipline: dot products are computed as a *left fold in index order
+with a double accumulator* (``aggregate(zip_with(...))``) — bit-identical to
+DuckDB's ``list_dot_product`` over ``DOUBLE[]`` (verified empirically), so
+cosine scores hash-match the oracle exactly. Scores exposed to ranking are
+quantized at 1e-6 via IEEE-deterministic ``floor(x·1e6 + 0.5)`` so top-k cut
+lines are stable across engines.
+
+Scale posture (10⁹+ vectors): brute-force is a single scan + per-partition
+top-k (the window is only over k·partitions rows after AQE); bucketed LSH
+prunes the scan to |corpus|/2^bits per query; both avoid driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_product",
+    "cosine_similarity",
+    "quantize",
+    "cosine_topk",
+    "sign_lsh_bucket",
+    "cosine_topk_bucketed",
+    "cosine_scores_pandas_udf",
+]
+
+
+def dot_product(a: str, b: str) -> Column:
+    """Order-stable double-accumulator dot product of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_similarity(a: str, b: str) -> Column:
+    return dot_product(a, b) / (F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b)))
+
+
+def quantize(col: Column, digits: int = 6) -> Column:
+    """IEEE-deterministic quantization: floor(x·10^d + 0.5) / 10^d."""
+    s = float(10**digits)
+    return F.floor(col * F.lit(s) + F.lit(0.5)).cast("double") / F.lit(s)
+
+
+def _query_vector(embeddings: DataFrame, query_id: int) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of ``query_id``.
+    Deterministic ordering: (quantized score DESC, vec_id). The query vector is
+    a 1-row broadcast; the scan is embarrassingly parallel."""
+    q = _query_vector(embeddings, query_id)
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "score", "rank")
+    )
+
+
+def sign_lsh_bucket(col: str, bits: int = 8) -> Column:
+    """IVF-style coarse quantizer: bucket = Σ 2^i · [embedding[i] > 0] over the
+    first ``bits`` dimensions (1-based element_at, matching SQL list index)."""
+    bucket: Column = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("int")
+
+
+def cosine_topk_bucketed(
+    embeddings: DataFrame, query_id: int = 0, k: int = 10, bits: int = 8
+) -> DataFrame:
+    """Bucketed ANN: score only vectors in the query's sign-LSH bucket
+    (candidate set ≈ corpus/2^bits; recall < 1 by design — the scale path).
+    Same deterministic ordering as ``cosine_topk``."""
+    with_bucket = embeddings.withColumn("bucket", sign_lsh_bucket("embedding", bits))
+    q = with_bucket.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    scored = (
+        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "bucket", "score", "rank")
+    )
+
+
+def cosine_scores_pandas_udf(embeddings: DataFrame, query_id: int = 0) -> DataFrame:
+    """Arrow-batched cosine scoring via ``mapInPandas`` — the pattern for
+    scoring math that outgrows SQL expressions (e.g. matrix ops per batch).
+    numpy float64 matches the fold-based path after 1e-6 quantization."""
+    import pandas as pd  # noqa: F401 (documents the batch contract)
+
+    q_rows = embeddings.filter(F.col("vec_id") == query_id).select("embedding").take(1)
+    if not q_rows:
+        raise ValueError(f"query vector {query_id} not found")
+    import numpy as np
+
+    q = np.asarray(q_rows[0][0], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def score_batches(batches):
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            dots = mat @ q
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            cos = dots / (norms * qn)
+            scores = np.floor(cos * 1e6 + 0.5) / 1e6
+            yield pdf[["vec_id", "label"]].assign(score=scores)
+
+    out_schema = "vec_id bigint, label int, score double"
+    return embeddings.select("vec_id", "label", "embedding").mapInPandas(score_batches, out_schema)

@@ -1,0 +1,419 @@
+"""Extension queries: dedup / similarity search / text analysis / multimodal
+(the LLM-training-data-pipeline operator set) with DuckDB oracles.
+
+The MinHash/SimHash oracles replay the exact same md5-based signatures in SQL
+— candidate sets are deterministic, so even the LSH pipelines hash-match.
+Queries without an oracle (mapInPandas stages) get the driver's rows-only
+check and say so in their docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+from ..operators.multimodal import attach_binary_payload, decode_features, payload_metadata
+from ..operators.similarity import (
+    cosine_scores_pandas_udf,
+    cosine_topk,
+    cosine_topk_bucketed,
+    quantize,
+    cosine_similarity,
+)
+from ..operators.text_analysis import (
+    LANG_MARKERS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS representative_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT d.doc_id, d.words[i] || ' ' || d.words[i+1] || ' ' || d.words[i+2] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+       unnest(generate_series(1, len(d.words) - 2)) AS t(i)
+"""
+
+_SIG_COLS = ",\n           ".join(f"min(md5('{s}:' || sh)) AS h{s}" for s in range(16))
+_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, h{2 * j} || h{2 * j + 1} AS band_key FROM sig" for j in range(8)
+)
+
+ORACLE_MINHASH = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id AND sa.sh = sb.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", ORACLE_MINHASH)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(_docs(spark, sf_dir))
+
+
+_ODD = "('1','3','5','7','9','b','d','f')"
+_SUM_COLS = ",\n        ".join(
+    f"SUM(CASE WHEN substr(md5(w), {b + 1}, 1) IN {_ODD} THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_FP_EXPR = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+ORACLE_SIMHASH_FP = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    sums AS (
+      SELECT doc_id,
+        {_SUM_COLS}
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@query("dedup_simhash_fingerprints", ORACLE_SIMHASH_FP)
+def dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({ORACLE_SIMHASH_FP}),
+    halves AS (
+      SELECT doc_id, simhash, 0 AS part, simhash // 256 AS val FROM fp
+      UNION ALL SELECT doc_id, simhash, 1, simhash % 256 FROM fp
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM halves a
+    JOIN halves b ON a.part = b.part AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_duplicates(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT DISTINCT doc_id, blk, w FROM (
+        SELECT doc_id, lang AS blk, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM w a
+      JOIN w b ON a.blk = b.blk AND a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n_w + zb.n_w - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n_w + zb.n_w - i.n_inter) >= 0.5
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    score = quantize(
+        cosine_similarity("a.embedding", "b.embedding")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_SCORED_SQL = f"""
+  SELECT e.vec_id, e.label,
+         FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))
+           * 1000000 + 0.5) / 1000000.0 AS score
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+"""
+
+
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    SELECT vec_id, label, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM ({_SCORED_SQL})
+    ) WHERE rank <= 10
+    """,
+)
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@query(
+    "ann_lsh_bucketed_topk",
+    f"""
+    WITH wb AS (
+      SELECT vec_id, label, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS q_bucket FROM wb WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id, a.label, a.bucket,
+             FLOOR(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))
+               * 1000000 + 0.5) / 1000000.0 AS score
+      FROM wb a JOIN q ON a.bucket = q.q_bucket
+    )
+    SELECT vec_id, label, bucket, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_bucketed(_emb(spark, sf_dir), query_id=0, k=10, bits=8)
+
+
+@query(
+    "ann_pandas_udf_scores",
+    f"SELECT vec_id, label, score FROM ({_SCORED_SQL})",
+)
+def ann_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scorer (mapInPandas). numpy float64 matches the SQL fold
+    after 1e-6 quantization."""
+    return cosine_scores_pandas_udf(_emb(spark, sf_dir), query_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_HIT_COLS = ",\n           ".join(
+    "CAST(len(list_filter(words, w -> w IN ({}))) AS INTEGER) AS {}_hits".format(
+        ", ".join("'" + m.replace("'", "''") + "'" for m in LANG_MARKERS[lg]), lg
+    )
+    for lg in LANG_MARKERS
+)
+_BEST = "GREATEST(" + ", ".join(f"{lg}_hits" for lg in LANG_MARKERS) + ")"
+_PRED_CASE = (
+    "CASE "
+    + " ".join(f"WHEN {lg}_hits = {_BEST} AND {_BEST} > 0 THEN '{lg}'" for lg in LANG_MARKERS)
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_language_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {_HIT_COLS}
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    )
+    SELECT doc_id, {_PRED_CASE} AS predicted_lang,
+           {", ".join(f"{lg}_hits" for lg in LANG_MARKERS)}
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+_STOP = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS INTEGER) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
+               AS avg_word_len,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, alpha_ratio,
+           LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+             + stopword_ratio * 0.3 + alpha_ratio * 0.3 AS quality_score
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS bpe_ish_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+@query(
+    "text_fingerprints",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), withwords AS (
+      SELECT doc_id, norm, string_split(norm, ' ') AS words FROM base
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string(list_sort(words), ' ')) AS bag_of_words_fp,
+           CASE WHEN len(words) >= 4 THEN
+             list_min(list_transform(generate_series(1, len(words) - 3),
+               i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])))
+           ELSE NULL END AS min_shingle_fp
+    FROM withwords
+    """,
+)
+def text_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload plumbing; decode is an Arrow-batched stub)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload_metadata(_docs(spark, sf_dir))
+
+
+@query("multimodal_decode_features")  # mapInPandas stub decode — rows-only check
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(attach_binary_payload(_docs(spark, sf_dir)))

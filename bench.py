@@ -28,6 +28,12 @@ BENCH_QUERIES = [
     "fact_weather",
     "a2_pivot_explicit_values",
     "j3_interval_join_symmetric",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_pandas_udf_scores",
+    "text_quality_scores",
+    "text_fingerprints",
 ]
 
 

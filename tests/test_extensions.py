@@ -1,0 +1,52 @@
+"""Behavioral checks for extension operators beyond the oracle hash gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_minhash_finds_planted_near_duplicates(spark, sf_dir):
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.5
+        assert r.doc_a < r.doc_b
+
+
+def test_multimodal_decode_stub_plumbing(spark, sf_dir):
+    df = QUERIES["multimodal_decode_features"](spark, sf_dir)
+    assert df.columns == ["doc_id", "media_type", "width", "height", "n_frames", "checksum"]
+    rows = df.collect()
+    n_docs = QUERIES["multimodal_payload_metadata"](spark, sf_dir).count()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        if r.media_type == "image/png":
+            assert r.n_frames == 1
+    # deterministic across runs (Arrow batch boundaries must not leak)
+    again = {r.doc_id: r for r in df.collect()}
+    for r in rows:
+        assert again[r.doc_id] == r
+
+
+def test_ann_topk_contains_query_itself(spark, sf_dir):
+    top = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    assert top[0].vec_id == 0 and abs(top[0].score - 1.0) < 1e-9
+    assert [r.rank for r in sorted(top, key=lambda r: r.rank)] == list(range(1, len(top) + 1))
+
+
+def test_bucketed_ann_is_subset_semantics(spark, sf_dir):
+    """Bucketed candidates all share the query's bucket (pruning is real)."""
+    df = QUERIES["ann_lsh_bucketed_topk"](spark, sf_dir)
+    buckets = {r.bucket for r in df.collect()}
+    assert len(buckets) == 1
+
+
+def test_simhash_fingerprints_in_range(spark, sf_dir):
+    fps = QUERIES["dedup_simhash_fingerprints"](spark, sf_dir).agg(
+        F.min("simhash"), F.max("simhash")
+    ).collect()[0]
+    assert fps[0] >= 0 and fps[1] < (1 << 16)
