@@ -10,28 +10,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import parity
+    from . import extensions, parity, streaming_queries
 
     out: dict[str, Callable] = {}
     out.update(parity.QUERIES)
-    try:
-        from . import extensions
-
-        out.update(extensions.QUERIES)
-    except ImportError:
-        pass
+    out.update(extensions.QUERIES)
+    out.update(streaming_queries.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import parity
+    from . import extensions, parity, streaming_queries
 
     out: dict[str, str] = {}
     out.update(parity.ORACLE)
-    try:
-        from . import extensions
-
-        out.update(extensions.ORACLE)
-    except ImportError:
-        pass
+    out.update(extensions.ORACLE)
+    out.update(streaming_queries.ORACLE)
     return out

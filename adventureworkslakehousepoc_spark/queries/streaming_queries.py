@@ -1,0 +1,248 @@
+"""Streaming parity queries (SURVEY.md §2.7 ST1–ST5, §2.1 S1/S2).
+
+Each query executes a Structured Streaming plan to completion with
+``Trigger.AvailableNow`` (+ the zero-data flush batch) and returns the
+materialized sink as a batch DataFrame, so the driver's oracle compare applies
+to *streaming* semantics:
+
+- stream-static left join (ST3): stateless → result equals the batch join.
+- watermarked windowed aggregation (ST1/ST5, append mode): emits exactly the
+  windows with ``end <= max_event_time - watermark`` (verified empirically) —
+  the oracle filters the batch aggregate identically.
+- stream-stream interval join (J3/ST2): INNER form matches the batch interval
+  join exactly; the LEFT-outer watermark-tail subtlety (SURVEY §4.3) is
+  exercised in tests/test_streaming.py instead, where subset semantics can be
+  asserted.
+- change-feed consumption (S2/ST4): a deterministic insert/update/delete log
+  is streamed, materialized, and compacted to the latest snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators.joins import interval_join, star_left_join
+from ..streaming.cdf import ChangeFeed, latest_snapshot
+from ..streaming.runner import run_available_now, stream_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# ST3/J1: stream-static left join — stateless, equals the batch join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value, e.ts
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events").alias("e")
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"].alias("c")
+    joined = star_left_join(ev, [(cust, F.col("e.user_id") == F.col("c.c_custkey"))]).select(
+        "e.event_id", "e.user_id", F.col("c.c_mktsegment").alias("segment"), "e.value", "e.ts"
+    )
+    return run_available_now(joined, "stream-static")
+
+
+# ---------------------------------------------------------------------------
+# ST1/ST5: watermarked tumbling-window aggregation, append mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_windowed_agg",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, n_events, sum_value
+    FROM b
+    WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 5 MINUTE FROM events)
+    """,
+)
+def st_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, "windowed-agg")
+
+
+# ---------------------------------------------------------------------------
+# J3/ST2: stream-stream interval join (inner) with watermarks on both sides
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_interval_join_inner",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts + INTERVAL 10 MINUTE
+    """,
+)
+def st_interval_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "5 minutes")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "5 minutes")
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        on=[("user_id", "click_user")],
+        left_time="purchase_ts",
+        right_time="click_ts",
+        lower="10 minutes",
+        upper="10 minutes",
+        how="inner",
+    ).select(
+        F.col("l.purchase_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.purchase_ts").alias("purchase_ts"),
+        F.col("r.click_id").alias("click_id"),
+        F.col("r.click_ts").alias("click_ts"),
+    )
+    return run_available_now(joined, "interval-inner")
+
+
+# ---------------------------------------------------------------------------
+# S2/ST4: change-feed emulation — stream the log, compact to latest snapshot
+# ---------------------------------------------------------------------------
+
+
+def _build_change_log(spark: SparkSession, sf_dir: str) -> ChangeFeed:
+    """Deterministic 3-version log derived from `customer`:
+    v1 inserts all; v2 updates every c_custkey % 5 == 0 (upper name,
+    acctbal + 100); v3 deletes every c_custkey % 7 == 0."""
+    path = os.path.join("/tmp/awlh_stream", f"cdf-{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    cf = ChangeFeed(path)
+    base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    cf.write(base, "insert", 1, "2024-01-01 00:00:00")
+    updated = base.filter((F.col("c_custkey") % 5) == 0)
+    cf.write(updated, "update_preimage", 2, "2024-01-02 00:00:00")
+    cf.write(
+        updated.withColumn("c_name", F.upper("c_name")).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        ),
+        "update_postimage",
+        2,
+        "2024-01-02 00:00:00",
+    )
+    cf.write(base.filter((F.col("c_custkey") % 7) == 0), "delete", 3, "2024-01-03 00:00:00")
+    return cf
+
+
+@query(
+    "st_cdf_snapshot",
+    """
+    SELECT c_custkey AS customer_id,
+           CASE WHEN c_custkey % 5 = 0 THEN UPPER(c_name) ELSE c_name END AS name,
+           c_mktsegment AS segment,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def st_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = _build_change_log(spark, sf_dir)
+    streamed_log = run_available_now(cf.read_stream(spark), "cdf-log")  # S2: incremental read
+    snap = latest_snapshot(streamed_log, ["c_custkey"])
+    return snap.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming medallion: dim_geo with a streaming driving table (J1 shape) —
+# incremental run equals the batch dataset (same oracle as dim_geo)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_dim_geo_incremental",
+    None,  # set below — shares dim_geo's oracle
+)
+def st_dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    address = stream_table(spark, sf_dir, "customer").alias("a")
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    joined = star_left_join(
+        address,
+        [
+            (t["nation"].alias("sp"), F.col("a.c_nationkey") == F.col("sp.n_nationkey")),
+            (t["region"].alias("cr"), F.col("sp.n_regionkey") == F.col("cr.r_regionkey")),
+        ],
+    ).select(
+        F.concat(
+            F.col("a.c_custkey").cast("string"), F.lit("_"), F.col("a.c_mktsegment").cast("string")
+        ).alias("geography_id"),
+        F.col("a.c_name").alias("city"),
+        F.upper(F.substring(F.col("sp.n_name"), 1, 2)).alias("state_province_code"),
+        F.col("sp.n_name").alias("state_province_name"),
+        F.col("cr.r_regionkey").cast("string").alias("country_region_code"),
+        F.col("cr.r_name").alias("country_name"),
+    )
+    return run_available_now(joined, "dim-geo-stream")
+
+
+from .parity import ORACLE as _PARITY_ORACLE  # noqa: E402
+
+ORACLE["st_dim_geo_incremental"] = _PARITY_ORACLE["dim_geo"]

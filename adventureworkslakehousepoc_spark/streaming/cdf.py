@@ -1,0 +1,71 @@
+"""Change-data-feed emulation over a Parquet append log (SURVEY.md §2.1 S2,
+§2.7 ST4).
+
+The reference consumes Delta CDF (``readChangeFeed`` at
+``sales_aw_silver_layer_dim_customer.py:10-11``). delta-spark isn't available
+in this environment, so the engine ships the documented fallback: a change log
+table with Delta-compatible metadata columns (``_change_type`` ∈ insert /
+update_preimage / update_postimage / delete, ``_commit_version``,
+``_commit_timestamp``) stored as append-only parquet. Streams read the log
+incrementally (file source); batch consumers reconstruct the latest snapshot
+with one window per key — both are plain shuffled DataFrame ops that scale.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ChangeFeed", "CHANGE_TYPES", "latest_snapshot"]
+
+CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
+
+# rows that represent current state (post-images); preimages/deletes are history
+_LIVE_TYPES = ("insert", "update_postimage")
+
+
+class ChangeFeed:
+    """Append-only change log for one logical table."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, df: DataFrame, change_type: str, version: int, commit_ts: str) -> None:
+        if change_type not in CHANGE_TYPES:
+            raise ValueError(f"unknown change type {change_type!r}")
+        (
+            df.withColumn("_change_type", F.lit(change_type))
+            .withColumn("_commit_version", F.lit(version).cast("bigint"))
+            .withColumn("_commit_timestamp", F.lit(commit_ts).cast("timestamp"))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """Incremental change stream — the engine's ``readChangeFeed``."""
+        schema = spark.read.parquet(self.path).schema
+        return spark.readStream.schema(schema).parquet(self.path)
+
+    def latest_snapshot(self, spark: SparkSession, key_cols: Sequence[str]) -> DataFrame:
+        return latest_snapshot(self.read_batch(spark), key_cols)
+
+
+def latest_snapshot(log_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Reconstruct current table state from a change log (materialized from
+    the batch log or from a streamed copy): per key, the highest-version live
+    row, unless the latest change is a delete. One window shuffle on the
+    key — the standard CDC-compaction shape (at scale: partition the log
+    by key range and compact incrementally)."""
+    log = log_df.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_commit_version"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("_change_type").isin(list(_LIVE_TYPES)))
+        .drop("_rn", "_change_type", "_commit_version", "_commit_timestamp")
+    )

@@ -1,0 +1,87 @@
+"""Structured Streaming runners (SURVEY.md §2.1 S1, §2.7).
+
+The reference's streaming surface is ``spark.readStream.table`` + DLT flows;
+here the equivalent is file-source streams over parquet + ``writeStream`` with
+``Trigger.AvailableNow`` and a per-run checkpoint — deterministic "run the
+stream to completion" execution for tests and the driver harness
+(reference streaming-scan sites: ``silver_layer_person.py:14``,
+``sales_aw_silver_layer_fact_sales.py:12,19,26``, ``bronze_structure.ipynb``).
+
+AvailableNow still runs the zero-data flush micro-batch, so watermark-
+finalized results (closed windows, evicted interval-join state) are emitted
+before termination — verified empirically, relied on by the parity oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _NANOS_TS_COLS
+
+__all__ = ["stage_stream_dir", "stream_table", "run_available_now"]
+
+_STREAM_TMP = "/tmp/awlh_stream"
+
+
+def _tmpdir(kind: str) -> str:
+    os.makedirs(_STREAM_TMP, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{kind}-", dir=_STREAM_TMP)
+
+
+def stage_stream_dir(*parquet_files: str) -> str:
+    """File-source streams need a directory; symlink the input files into a
+    fresh staging dir (files appear in link order — append more later to
+    simulate arriving batches)."""
+    d = _tmpdir("src")
+    for i, f in enumerate(parquet_files):
+        os.symlink(os.path.abspath(f), os.path.join(d, f"batch-{i:05d}.parquet"))
+    return d
+
+
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded stream over a testdata table (S1 streaming table scan).
+    Schema comes from a batch read (explicit — no streaming inference);
+    nanosecond timestamp columns get the same long→micros conversion as the
+    batch loader so stream and batch plans are column-compatible."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stage_stream_dir(path))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def run_available_now(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow + flush
+    batch) into a parquet sink with a fresh checkpoint; return the
+    materialized result as a batch DataFrame. The streaming equivalent of the
+    reference's one pipeline update (entry point A, SURVEY.md §3.1)."""
+    spark = df.sparkSession
+    run_id = name or uuid.uuid4().hex[:8]
+    out = _tmpdir(f"out-{run_id}")
+    ckpt = _tmpdir(f"ckpt-{run_id}")
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(f"stream {run_id} did not terminate")
+    return spark.read.schema(df.schema).parquet(out)

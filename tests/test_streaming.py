@@ -1,0 +1,122 @@
+"""Streaming-semantics tests (SURVEY.md §5.3): watermark late-drop, left
+interval-join watermark tail, CDF incremental == batch, bronze fan-out stream."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from adventureworkslakehousepoc_spark.catalog import load_tables
+from adventureworkslakehousepoc_spark.operators.joins import interval_join
+from adventureworkslakehousepoc_spark.queries.streaming_queries import _build_change_log
+from adventureworkslakehousepoc_spark.streaming.runner import run_available_now, stream_table
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row arriving in a later micro-batch, with event time > watermark
+    behind, must not resurrect its (already finalized) window."""
+    src = tempfile.mkdtemp(prefix="late-", dir="/tmp/awlh_stream")
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:10:00"), (3, "2024-01-01 12:30:00")],
+        "id int, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    bump = spark.createDataFrame([(4, "2024-01-01 12:31:00")], "id int, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    late = spark.createDataFrame([(99, "2024-01-01 10:20:00")], "id int, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    f1 = os.path.join(src, "b1.parquet")
+    f2 = os.path.join(src, "b2.parquet")
+    f3 = os.path.join(src, "b3.parquet")
+    on_time.toPandas().to_parquet(f1, coerce_timestamps="us")
+    bump.toPandas().to_parquet(f2, coerce_timestamps="us")
+    late.toPandas().to_parquet(f3, coerce_timestamps="us")
+    now = time.time()
+    # the late-events filter uses the previous batch's watermark, so the late
+    # row must arrive ≥2 batches after the rows that advanced the watermark
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now - 20, now - 20))
+
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    result = {r.ws.strftime("%H"): r.n for r in run_available_now(agg, "late-drop").collect()}
+    # 10:00 window finalized with 2 rows once the watermark (12:25) passed;
+    # the late id=99 (10:20) arriving afterwards is behind the watermark → dropped
+    assert result.get("10") == 2
+    # batch semantics would have counted 3
+    assert on_time.unionAll(late).filter(F.hour("ts") == 10).count() == 3
+
+
+def test_left_interval_join_stream_is_prefix_of_batch(spark, sf_dir):
+    """LEFT interval join: matched rows equal the batch join; null-padded rows
+    only emit once the watermark passes (the tail stays buffered at stream
+    end) — SURVEY.md §4.3 hazard, asserted as subset semantics."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def sides(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        return p, c
+
+    bp, bc = sides(ev)
+    batch = interval_join(
+        bp, bc, [("user_id", "click_user")], "purchase_ts", "click_ts",
+        "10 minutes", "10 minutes", "left",
+    ).select("l.purchase_id", "r.click_id")
+    sp, sc = sides(stream_table(spark, sf_dir, "events"))
+    sp2, sc2 = sides(stream_table(spark, sf_dir, "events"))
+    streamed = interval_join(
+        sp.withWatermark("purchase_ts", "5 minutes"),
+        sc2.withWatermark("click_ts", "5 minutes"),
+        [("user_id", "click_user")], "purchase_ts", "click_ts",
+        "10 minutes", "10 minutes", "left",
+    ).select("l.purchase_id", "r.click_id")
+    got = run_available_now(streamed, "left-interval")
+
+    batch_rows = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    got_rows = {(r.purchase_id, r.click_id) for r in got.collect()}
+    assert got_rows <= batch_rows
+    # every matched (non-null) pair must be present — only null-padded tails may lag
+    matched = {p for p in batch_rows if p[1] is not None}
+    assert matched <= got_rows
+
+
+def test_cdf_stream_equals_batch_log(spark, sf_dir):
+    cf = _build_change_log(spark, sf_dir)
+    streamed = run_available_now(cf.read_stream(spark), "cdf-eq")
+    batch = cf.read_batch(spark)
+    assert streamed.count() == batch.count()
+    s_by_type = dict(streamed.groupBy("_change_type").count().collect())
+    b_by_type = dict(batch.groupBy("_change_type").count().collect())
+    assert s_by_type == b_by_type
+
+
+def test_bronze_fanout_streaming_passthrough(spark, sf_dir):
+    """S9 bronze staging as a stream: passthrough stg_events == source."""
+    src = load_tables(spark, sf_dir, ("events",))["events"]
+    streamed = run_available_now(stream_table(spark, sf_dir, "events"), "stg-events")
+    assert streamed.count() == src.count()
+    assert streamed.columns == src.columns
+    s_sum = streamed.agg(F.sum("event_id")).collect()[0][0]
+    b_sum = src.agg(F.sum("event_id")).collect()[0][0]
+    assert s_sum == b_sum
