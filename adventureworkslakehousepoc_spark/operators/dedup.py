@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "spread",
     "exact_duplicate_groups",
     "word_shingles",
     "minhash_signatures",
@@ -34,6 +35,17 @@ __all__ = [
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
 ]
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Rebalance ahead of heavy per-row compute (md5 fan-out, shingling,
+    regex): a small parquet file arrives as ONE input split, which would pin
+    the whole hash workload to a single core. One cheap hash-repartition on
+    the key buys full-cluster parallelism for everything downstream — at
+    100 TB the same operator shape applies when upstream filters leave a few
+    skewed splits."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,7 +74,7 @@ def word_shingles(
         "ELSE array() END"
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words"))
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words")), "doc_id")
         .select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
         .distinct()
     )
@@ -148,8 +160,12 @@ def minhash_near_duplicates(
     """Full MinHash→LSH→verify near-dup pipeline: shingle → 16-hash signature →
     8×2 banding (catches j≥0.5 with ~90% per-pass probability, deterministic
     given md5) → exact-Jaccard verification ≥ threshold. Returns
-    (doc_a, doc_b, jaccard)."""
-    shingles = word_shingles(docs, text_col, id_col, shingle_n)
+    (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures, pair intersection,
+    set sizes); it is persisted so the explode+distinct shuffle runs once —
+    at 100 TB this is the stage you'd materialize as a table instead."""
+    shingles = word_shingles(docs, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures(shingles, num_hashes)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return _jaccard_verify(pairs, shingles, threshold)
@@ -164,8 +180,8 @@ def simhash_fingerprints(
     """SimHash fingerprint per doc: bit b is the sign of Σ(±occurrences) over
     words, where word contributes +1 if hex digit b of md5(word) is odd.
     Word multiplicity is the weight (no distinct). Returns (doc_id, simhash)."""
-    words = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    words = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("t"), " ")).alias("w")
     )
     h = F.md5(F.col("w"))
     sums = words.groupBy("doc_id").agg(
@@ -235,12 +251,14 @@ def ngram_jaccard_pairs(
     exact verifier; use MinHash+LSH when blocks are large). Returns
     (doc_a, doc_b, jaccard)."""
     words = (
-        docs.select(
+        spread(docs, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.col(block_col).alias("blk"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )
         .distinct()
+        .persist()
     )
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_w"))
     a = words.alias("a")

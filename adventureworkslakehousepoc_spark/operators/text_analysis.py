@@ -38,8 +38,12 @@ def language_id(
     """Marker-word language ID: per-language hit counts over the word array,
     argmax with a fixed precedence order, 'und' when no markers hit.
     Returns (doc_id, predicted_lang, plus one <lang>_hits column each)."""
+    from .dedup import spread
+
     langs = list(markers)
-    base = docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words"))
+    base = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words")
+    )
     scored = base.select(
         "doc_id", *[_marker_count("words", markers[lg]).alias(f"{lg}_hits") for lg in langs]
     )
@@ -56,9 +60,11 @@ def quality_scores(
 ) -> DataFrame:
     """Heuristic quality features + composite score: length, word stats,
     stopword ratio, alpha ratio. All IEEE-deterministic arithmetic."""
+    from .dedup import spread
+
     stop = LANG_MARKERS["en"]
     quoted = ", ".join(f"'{m}'" for m in stop)
-    base = docs.select(
+    base = spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("t"),
         F.split(F.col(text_col), " ").alias("words"),
@@ -88,7 +94,9 @@ def quality_scores(
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens
     (letter runs / digit runs / single punctuation) + chars."""
-    return docs.select(
+    from .dedup import spread
+
+    return spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
@@ -110,8 +118,10 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         "i -> md5(concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
         "element_at(words, i + 2), element_at(words, i + 3))))) ELSE NULL END"
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), norm.alias("norm"), words.alias("words")
+    from .dedup import spread
+
+    return spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), id_col).select(
+        F.col("doc_id"), norm.alias("norm"), words.alias("words")
     ).select(
         "doc_id",
         F.md5(F.col("norm")).alias("content_fp"),

