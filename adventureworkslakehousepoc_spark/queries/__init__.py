@@ -10,22 +10,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import analytics, extensions, parity, streaming_queries
+    from . import advanced, analytics, extensions, parity, streaming_queries
 
     out: dict[str, Callable] = {}
     out.update(parity.QUERIES)
     out.update(extensions.QUERIES)
     out.update(streaming_queries.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(advanced.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import analytics, extensions, parity, streaming_queries
+    from . import advanced, analytics, extensions, parity, streaming_queries
 
     out: dict[str, str] = {}
     out.update(parity.ORACLE)
     out.update(extensions.ORACLE)
     out.update(streaming_queries.ORACLE)
     out.update(analytics.ORACLE)
+    out.update(advanced.ORACLE)
     return out

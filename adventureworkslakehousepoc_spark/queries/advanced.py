@@ -1,0 +1,281 @@
+"""Advanced operators: as-of join, sessionization (batch + streaming session
+windows), JSON extraction, multi-resolution time-bucket rollup, HLL sketches,
+and two more TPC-H-shaped star queries.
+
+The as-of join oracle uses DuckDB's native ``ASOF LEFT JOIN``; the Spark side
+is the union-sort composition (see operators/asof.py) — same semantics, join
+complexity independent of history depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..operators.asof import asof_join
+from ..operators.sessions import session_window_agg, sessionize
+from ..streaming.runner import run_available_now, stream_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    return load_tables(spark, sf_dir, names)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_latest_click",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="purchase_ts",
+        right_time="click_ts",
+        left_cols=["purchase_id"],
+        right_cols=["click_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization
+# ---------------------------------------------------------------------------
+
+_SESSIONS_SQL = """
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events)
+      ) GROUP BY 1, 2
+"""
+
+
+@query("sessionization_batch", _SESSIONS_SQL)
+def sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    return sessionize(e).select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+@query(
+    "st_session_window",
+    f"""
+    WITH sessions AS ({_SESSIONS_SQL})
+    SELECT user_id, session_start,
+           session_end + INTERVAL 30 MINUTE AS session_end_plus_gap, n_events
+    FROM sessions
+    WHERE session_end + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 5 MINUTE FROM events)
+    """,
+)
+def st_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    return run_available_now(session_window_agg(ev), "session-window")
+
+
+# ---------------------------------------------------------------------------
+# JSON column extraction (the `props` JSON-string column)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k")
+    return e.select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution time-bucket rollup (continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_bucket_rollup",
+    """
+    SELECT date_trunc('day', ts) AS bucket_day,
+           date_trunc('hour', ts) AS bucket_hour,
+           date_trunc('minute', ts) - (minute(ts) % 15) * INTERVAL 1 MINUTE AS bucket_q15,
+           COUNT(*) AS n_events,
+           CAST(GROUPING(date_trunc('day', ts)) * 4
+              + GROUPING(date_trunc('hour', ts)) * 2
+              + GROUPING(date_trunc('minute', ts) - (minute(ts) % 15) * INTERVAL 1 MINUTE)
+              AS INTEGER) AS grp
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts),
+                     date_trunc('minute', ts) - (minute(ts) % 15) * INTERVAL 1 MINUTE)
+    """,
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → hour → 15-min rollup in ONE pass (grouping-sets hash aggregate) —
+    the hypertable continuous-aggregate shape without re-scanning per level."""
+    e = _t(spark, sf_dir, "events")["events"]
+    q15 = F.expr("date_trunc('minute', ts) - (minute(ts) % 15) * interval 1 minute")
+    return (
+        e.rollup(
+            F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+            q15.alias("bucket_q15"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.grouping_id().cast("int").alias("grp"))
+        .select("bucket_day", "bucket_hour", "bucket_q15", "n_events", "grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-distinct sketch (HLL) — engine-specific estimates, rows-only
+# check; accuracy asserted against exact counts in tests/test_advanced.py
+# ---------------------------------------------------------------------------
+
+
+@query("approx_distinct_sketch")
+def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two more TPC-H-shaped star queries
+# ---------------------------------------------------------------------------
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+@query(
+    "q7_volume_between_nations",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           c.c_acctbal AS acctbal, n.n_name AS nation_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, customer_id
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("customer_id"))
+        .limit(20)
+    )

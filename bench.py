@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "ann_pandas_udf_scores",
     "text_quality_scores",
     "text_fingerprints",
+    "asof_join_latest_click",
+    "sessionization_batch",
+    "time_bucket_rollup",
+    "q7_volume_between_nations",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Behavioral tests for advanced operators: as-of semantics, session
+invariants, sketch accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_asof_picks_latest_prior_click(spark, sf_dir):
+    rows = QUERIES["asof_join_latest_click"](spark, sf_dir).collect()
+    assert rows, "no purchases?"
+    for r in rows[:50]:
+        if r.click_ts is not None:
+            assert r.click_ts <= r.purchase_ts
+
+
+def test_asof_matches_naive_per_row_lookup(spark, sf_dir):
+    """The union-sort composition must equal the naive (quadratic) definition."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = [
+        (r.event_id, r.user_id, r.ts)
+        for r in e.filter(F.col("event_type") == "purchase").collect()
+    ]
+    clicks = {}
+    for r in e.filter(F.col("event_type") == "click").collect():
+        clicks.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expected = {}
+    for pid, uid, ts in purchases:
+        prior = [(t, i) for t, i in clicks.get(uid, []) if t <= ts]
+        expected[pid] = max(prior)[1] if prior else None
+    got = {
+        r.purchase_id: r.click_id
+        for r in QUERIES["asof_join_latest_click"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_sessions_cover_all_events(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    sessions = QUERIES["sessionization_batch"](spark, sf_dir)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total == e.count()
+    bad = sessions.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+
+
+def test_approx_sketch_within_tolerance(spark, sf_dir):
+    approx = {r.return_flag: r for r in QUERIES["approx_distinct_sketch"](spark, sf_dir).collect()}
+    exact = {r.return_flag: r for r in QUERIES["agg_distinct"](spark, sf_dir).collect()}
+    for flag, a in approx.items():
+        ex = exact[flag]
+        assert abs(a.approx_orders - ex.n_orders) / ex.n_orders < 0.05
+        assert a.n_lines == ex.n_lines

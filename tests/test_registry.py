@@ -1,0 +1,89 @@
+"""Dataset registry / pipeline DAG tests (plans/registry.py — the DLT-layer
+equivalent, SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworkslakehousepoc_spark.catalog import load_tables
+from adventureworkslakehousepoc_spark.pipelines.medallion import medallion_context
+from adventureworkslakehousepoc_spark.plans.registry import DatasetRegistry, PipelineContext
+
+
+def test_lazy_topological_resolution(spark):
+    dp = DatasetRegistry()
+    order = []
+
+    @dp.table(name="a")
+    def a(ctx):
+        order.append("a")
+        return ctx.spark.range(3).withColumnRenamed("id", "x")
+
+    @dp.table(name="b")
+    def b(ctx):
+        order.append("b")
+        return ctx.read("a").withColumn("y", F.col("x") * 2)
+
+    @dp.table(name="c")
+    def c(ctx):
+        order.append("c")
+        return ctx.read("b").join(ctx.read("a"), "x")
+
+    ctx = PipelineContext(dp, spark)
+    df = ctx.dataframe("c")
+    assert order == ["c", "b", "a"]  # lazy: pulled in dependency order
+    assert df.count() == 3
+    # memoized: resolving again builds nothing new
+    ctx.dataframe("b")
+    assert order == ["c", "b", "a"]
+
+
+def test_cycle_detection(spark):
+    dp = DatasetRegistry()
+
+    @dp.table(name="x")
+    def x(ctx):
+        return ctx.read("y")
+
+    @dp.table(name="y")
+    def y(ctx):
+        return ctx.read("x")
+
+    with pytest.raises(ValueError, match="cycle"):
+        PipelineContext(dp, spark).dataframe("x")
+
+
+def test_duplicate_registration_rejected():
+    dp = DatasetRegistry()
+
+    @dp.table(name="t")
+    def t1(ctx):
+        return None
+
+    with pytest.raises(ValueError, match="twice"):
+
+        @dp.table(name="t")
+        def t2(ctx):
+            return None
+
+
+def test_medallion_run_materializes_warehouse(spark, sf_dir):
+    """End-to-end pipeline run (SURVEY.md §5.2): every silver dataset lands as
+    parquet; fact_weather recomputed from the materialized warehouse matches
+    the in-memory plan."""
+    ctx = medallion_context(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="wh-", dir="/tmp/awlh_stream")
+    out = ctx.run(wh, names=["dim_geo", "dim_product", "fact_sales", "fact_weather"])
+    assert set(out) == {"dim_geo", "dim_product", "fact_sales", "fact_weather"}
+    for name, path in out.items():
+        assert os.path.isdir(path)
+        materialized = spark.read.parquet(path)
+        live = ctx.dataframe(name)
+        assert materialized.count() == live.count(), name
+        assert set(materialized.columns) == set(live.columns), name
+    base = load_tables(spark, sf_dir, ("customer",))["customer"]
+    assert spark.read.parquet(out["dim_geo"]).count() == base.count()

@@ -1,0 +1,147 @@
+"""Property-based scalar-function parity (SURVEY.md §5.4): random inputs
+through the same expression in Spark and DuckDB must agree exactly —
+especially the null-semantics edges (coalesce/when/greatest) and the
+cross-engine float idioms the engine's determinism discipline depends on.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+money = st.one_of(
+    st.none(),
+    st.integers(min_value=-(10**8), max_value=10**8).map(lambda c: c / 100.0),
+)
+words = st.text(alphabet="abc XY_", min_size=0, max_size=12)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _spark_eval(spark, rows, schema, exprs):
+    df = spark.createDataFrame(rows, schema)
+    return [tuple(r) for r in df.select(*exprs).collect()]
+
+
+def _duck_eval(con, rows, cols, select_sql):
+    con.execute("DROP TABLE IF EXISTS t")
+    con.execute(f"CREATE TABLE t({cols})")
+    con.executemany(f"INSERT INTO t VALUES ({', '.join('?' for _ in rows[0])})", rows)
+    return [tuple(r) for r in con.execute(f"SELECT {select_sql} FROM t").fetchall()]
+
+
+def _eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@given(st.lists(st.tuples(money, money), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_coalesce_greatest_null_edges(spark, duck, pairs):
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    got_s = _spark_eval(
+        spark,
+        rows,
+        "i int, a double, b double",
+        [
+            F.coalesce(F.col("a"), F.col("b"), F.lit(0.0)),
+            F.greatest(F.coalesce("a", F.lit(float("-inf"))), F.coalesce("b", F.lit(float("-inf")))),
+            F.when(F.col("a") > F.col("b"), "gt").when(F.col("a") <= F.col("b"), "le").otherwise("null-cmp"),
+        ],
+    )
+    got_d = _duck_eval(
+        duck,
+        rows,
+        "i INT, a DOUBLE, b DOUBLE",
+        "COALESCE(a, b, 0.0), "
+        "GREATEST(COALESCE(a, '-infinity'::DOUBLE), COALESCE(b, '-infinity'::DOUBLE)), "
+        "CASE WHEN a > b THEN 'gt' WHEN a <= b THEN 'le' ELSE 'null-cmp' END",
+    )
+    for s, d in zip(got_s, got_d):
+        for x, y in zip(s, d):
+            assert _eq(x, y), (s, d)
+
+
+@given(st.lists(st.tuples(words, words), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_string_functions_parity(spark, duck, pairs):
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    got_s = _spark_eval(
+        spark,
+        rows,
+        "i int, a string, b string",
+        [
+            F.trim(F.regexp_replace(F.concat_ws(" ", "a", "b"), r"\s+", " ")),
+            F.upper(F.substring("a", 1, 3)),
+            F.length("a"),
+            F.md5(F.concat_ws("|", "a", "b")),
+        ],
+    )
+    got_d = _duck_eval(
+        duck,
+        rows,
+        "i INT, a VARCHAR, b VARCHAR",
+        "TRIM(regexp_replace(concat_ws(' ', a, b), '\\s+', ' ', 'g')), "
+        "UPPER(SUBSTRING(a, 1, 3)), CAST(LENGTH(a) AS INTEGER), md5(concat_ws('|', a, b))",
+    )
+    for s, d in zip(got_s, got_d):
+        for x, y in zip(s, d):
+            assert _eq(x, y), (s, d)
+
+
+@given(st.lists(money.filter(lambda v: v is not None), min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_exact_decimal_sum_is_order_free_and_engine_identical(spark, duck, vals):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got_s = _spark_eval(
+        spark,
+        rows,
+        "i int, v double",
+        [F.sum(F.col("v").cast("decimal(18,2)")).cast("double")],
+    )
+    got_d = _duck_eval(
+        duck, rows, "i INT, v DOUBLE", "CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)"
+    )
+    assert _eq(got_s[0][0], got_d[0][0]), (got_s, got_d)
+
+
+@given(st.lists(money.filter(lambda v: v is not None), min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_quantized_avg_engine_identical(spark, duck, vals):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got_s = _spark_eval(
+        spark,
+        rows,
+        "i int, v double",
+        [
+            F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("bigint")).cast("double")
+            / F.count("v")
+            / F.lit(1e6)
+        ],
+    )
+    got_d = _duck_eval(
+        duck,
+        rows,
+        "i INT, v DOUBLE",
+        "CAST(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(v) / 1000000.0",
+    )
+    assert _eq(got_s[0][0], got_d[0][0]), (got_s, got_d)
