@@ -221,3 +221,153 @@ def dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join / correlated-subquery shapes (TPC-H q4/q18 analogs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority_semi",
+    """
+    SELECT o_orderpriority AS order_priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].alias("o")
+    li = t["lineitem"].alias("l")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey AS customer_id, o.o_orderkey AS order_key,
+           o.o_orderdate AS order_date, o.o_totalprice AS total_price,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("o_orderkey") == F.col("_bk"), "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary + PII redaction (training-data hygiene ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_top_tokens",
+    """
+    SELECT token, n, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM (
+        SELECT w AS token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+      )
+    ) WHERE rank <= 50
+    """,
+)
+def vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.dedup import spread
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    counts = (
+        spread(d, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("token", "n", "rank")
+    )
+
+
+@query(
+    "text_pii_redaction",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-]{4,}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS INTEGER)
+             AS n_emails
+    FROM enriched
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-shaped spans are synthesized onto each doc, then
+    redacted with the same regexes both engines run — the anonymization pass
+    of a training-data pipeline (pure codegen'd regex, no UDF)."""
+    from ..operators.dedup import spread
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    phone_re = r"\+?[0-9][0-9()\-]{4,}"
+    return spread(d, "doc_id").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
+    )
