@@ -32,7 +32,13 @@ from ..operators.joins import interval_join, star_left_join
 from ..plans.registry import DatasetRegistry, PipelineContext
 from .bronze import bronze_fanout
 
-__all__ = ["build_medallion", "medallion_context", "SEGMENT_DECODE", "EVENT_DECODE"]
+__all__ = [
+    "build_medallion",
+    "medallion_context",
+    "medallion_streaming_context",
+    "SEGMENT_DECODE",
+    "EVENT_DECODE",
+]
 
 # 6-way PersonType decode analog (reference sales_aw_silver_layer_dim_customer.py:37-43)
 SEGMENT_DECODE = {
@@ -306,3 +312,33 @@ def medallion_context(spark: SparkSession, sf_dir: str) -> PipelineContext:
         return load_tables(spark, sf_dir, (name,))[name]
 
     return PipelineContext(build_medallion(), spark, catalog_reader=reader)
+
+
+def _source_of(name: str) -> str:
+    """``stg_<schema>__<table>`` → ``<table>`` (bronze staging is passthrough)."""
+    return name.split("__", 1)[1] if name.startswith("stg_") and "__" in name else name
+
+
+def medallion_streaming_context(spark: SparkSession, sf_dir: str) -> PipelineContext:
+    """Streaming medallion: bronze staging tables (and thus the silver driving
+    paths) are unbounded file streams; every ``read_static`` dimension lookup
+    resolves to a batch read of the underlying source — the reference's
+    stream-static silver architecture (``silver_layer_person.py:12-19``),
+    end-to-end through the same dataset registry as the batch run."""
+    from ..catalog import load_tables
+    from ..streaming.runner import stream_table
+
+    def stream_reader(name: str) -> DataFrame:
+        return stream_table(spark, sf_dir, _source_of(name))
+
+    def static_reader(name: str) -> DataFrame:
+        src = _source_of(name)
+        return load_tables(spark, sf_dir, (src,))[src]
+
+    return PipelineContext(
+        build_medallion(),
+        spark,
+        catalog_reader=stream_reader,
+        static_reader=static_reader,
+        static_first=True,
+    )

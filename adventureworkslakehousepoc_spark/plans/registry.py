@@ -80,11 +80,16 @@ class PipelineContext:
         spark: SparkSession,
         catalog_reader: Callable[[str], DataFrame] | None = None,
         static_reader: Callable[[str], DataFrame] | None = None,
+        static_first: bool = False,
     ) -> None:
         self.registry = registry
         self.spark = spark
         self._catalog_reader = catalog_reader
         self._static_reader = static_reader or catalog_reader
+        # static_first: resolve read_static via the static reader even for
+        # registered dataset names — a streaming context uses this so dimension
+        # lookups stay batch while the same datasets stream on the driving path
+        self._static_first = static_first
         self._cache: dict[str, DataFrame] = {}
         self._building: set[str] = set()
 
@@ -102,6 +107,8 @@ class PipelineContext:
         silver_layer_production.py:15-17). In a streaming context the driving
         table comes from ``read`` (may be a stream) while dimension lookups come
         from here (re-read per micro-batch)."""
+        if self._static_first and self._static_reader is not None:
+            return self._static_reader(name)
         if name in self.registry:
             return self.dataframe(name)
         if self._static_reader is not None:

@@ -281,3 +281,43 @@ def st_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, F.col("user_id") == F.col("click_user"), "inner"
     ).select("purchase_id", "click_id", "user_id")
     return run_available_now(joined, "j2-unwatermarked")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState): per-key running counters.
+# Single-batch AvailableNow ⇒ the update-mode emission is exactly the final
+# state per key, which the batch oracle reproduces.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_stateful_running_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.sinks import running_counts_with_state
+
+    counts = running_counts_with_state(stream_table(spark, sf_dir, "events"))
+    out = tempfile.mkdtemp(prefix="stateful-out-", dir="/tmp/awlh_stream")
+    ckpt = tempfile.mkdtemp(prefix="stateful-ck-", dir="/tmp/awlh_stream")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful stream did not terminate")
+    return spark.read.schema(counts.schema).parquet(out)

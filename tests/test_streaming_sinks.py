@@ -1,0 +1,99 @@
+"""foreachBatch upsert sink, applyInPandasWithState custom stateful operator,
+and the full streaming medallion DAG (stream driving path + static dims)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from adventureworkslakehousepoc_spark.catalog import load_tables
+from adventureworkslakehousepoc_spark.pipelines.medallion import (
+    medallion_context,
+    medallion_streaming_context,
+)
+from adventureworkslakehousepoc_spark.queries.streaming_queries import _build_change_log
+from adventureworkslakehousepoc_spark.streaming.runner import run_available_now
+from adventureworkslakehousepoc_spark.streaming.sinks import (
+    foreach_batch_upsert,
+    running_counts_with_state,
+)
+
+
+def test_foreach_batch_upsert_matches_snapshot(spark, sf_dir):
+    """Streaming MERGE emulation: applying the change stream via foreachBatch
+    must land the same final state as batch snapshot compaction."""
+    cf = _build_change_log(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="upsert-", dir="/tmp/awlh_stream") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="upsert-ck-", dir="/tmp/awlh_stream")
+    foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
+    got = spark.read.parquet(state_dir)
+    expected = cf.latest_snapshot(spark, ["c_custkey"])
+    assert got.count() == expected.count()
+    g = {r.c_custkey: (r.c_name, r.c_acctbal) for r in got.collect()}
+    e = {r.c_custkey: (r.c_name, r.c_acctbal) for r in expected.collect()}
+    assert g == e
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.streaming.runner import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    counts = running_counts_with_state(ev)
+    got = run_available_now_update(counts)
+    batch = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    # final state per key (last emitted row) must equal the batch aggregate
+    latest = {}
+    for r in got.collect():
+        latest[r.user_id] = (r.n_events, r.value_cents)
+    for r in batch.collect():
+        assert latest[r.user_id] == (r.n_events, r.value_cents), r.user_id
+
+
+def run_available_now_update(df):
+    """Update-mode variant of the runner (stateful operators emit updates)."""
+    import tempfile as _tf
+
+    spark = df.sparkSession
+    out = _tf.mkdtemp(prefix="upd-out-", dir="/tmp/awlh_stream")
+    ckpt = _tf.mkdtemp(prefix="upd-ck-", dir="/tmp/awlh_stream")
+    collected = []
+
+    def grab(batch_df, batch_id):
+        collected.append(batch_df.collect())
+
+    q = (
+        df.writeStream.foreachBatch(grab)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    rows = [r for batch in collected for r in batch]
+    return spark.createDataFrame(rows, df.schema)
+
+
+def test_streaming_medallion_dag_equals_batch(spark, sf_dir):
+    """The registry's stream-static silver path: dim_geo/dim_product built
+    from streaming bronze passthroughs + static dims == the batch datasets."""
+    s_ctx = medallion_streaming_context(spark, sf_dir)
+    b_ctx = medallion_context(spark, sf_dir)
+    for name in ("dim_geo", "dim_product"):
+        sdf = s_ctx.dataframe(name)
+        assert sdf.isStreaming
+        got = run_available_now(sdf, f"med-{name}")
+        want = b_ctx.dataframe(name)
+        assert got.count() == want.count(), name
+        key = "geography_id" if name == "dim_geo" else "product_id"
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        assert g == w, name
