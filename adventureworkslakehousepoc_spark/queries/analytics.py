@@ -371,3 +371,109 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted"),
         F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL API entry: the SAME ANSI string executes on Spark (spark.sql over temp
+# views) and on the DuckDB oracle — dual DataFrame/SQL surface, one plan.
+# ---------------------------------------------------------------------------
+
+_SQL_API_QUERY = """
+    SELECT r.r_name AS region_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+"""
+
+
+@query("sql_api_orders_by_region", _SQL_API_QUERY)
+def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "nation", "region"))
+    return spark.sql(_SQL_API_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# Exact-arithmetic statistics: mean/variance/stddev from integer-cent sums —
+# order-free and engine-identical where naive stddev/corr would drift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats_exact",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS sumsq_c
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority AS order_priority, n,
+           CAST(sum_c AS DOUBLE) / n / 100.0 AS mean_price,
+           (CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+             / (n - 1) / 10000.0 AS var_price,
+           sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+             / (n - 1) / 10000.0) AS stddev_price
+    FROM s
+    """,
+)
+def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_c"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sumsq_c"),
+    )
+    sum_d = F.col("sum_c").cast("double")
+    sumsq_d = F.col("sumsq_c").cast("double")
+    var = (sumsq_d - sum_d * sum_d / F.col("n")) / (F.col("n") - 1) / F.lit(10000.0)
+    return s.select(
+        F.col("o_orderpriority").alias("order_priority"),
+        "n",
+        (sum_d / F.col("n") / F.lit(100.0)).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity (string near-dup verification alternative)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_edit_distance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INTEGER)
+             AS head_edit_distance
+    FROM documents a
+    JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 3
+    """,
+)
+def edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein over text heads for near-ordered candidate pairs (blocked
+    by language + id proximity to bound the pair count)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    a = d.alias("a")
+    b = d.alias("b")
+    return a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("b.doc_id") - F.col("a.doc_id")) <= 3),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.substring("a.text", 1, 40), F.substring("b.text", 1, 40)).alias(
+            "head_edit_distance"
+        ),
+    )
