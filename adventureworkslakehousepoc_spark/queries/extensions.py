@@ -417,3 +417,37 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_decode_features")  # mapInPandas stub decode — rows-only check
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the MinHash near-dup pair graph
+# (iterative min-label propagation; oracle = recursive CTE transitive closure)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({ORACLE_MINHASH}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label
+      FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS node, MIN(label) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (one component id per doc; the
+    component id doubles as the representative: min doc_id in the cluster)."""
+    from ..operators.graph import connected_components
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))
+    return connected_components(pairs)
