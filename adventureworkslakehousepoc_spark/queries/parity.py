@@ -1056,3 +1056,52 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 second layout: NOAA ghcnd-inventory fixed-width file
+# (reference noaa_bronze_layer.py:82-102)
+# ---------------------------------------------------------------------------
+
+_INVENTORY_ROWS = [
+    ("US1FLSL0019", 27.1234, -80.2341, "PRCP", 1998, 2023),
+    ("US1FLSL0019", 27.1234, -80.2341, "SNOW", 2001, 2020),
+    ("USW00014732", 40.7794, -73.8803, "TAVG", 1948, 2023),
+    ("USW00014732", 40.7794, -73.8803, "AWND", 1984, 2023),
+    ("ASN00008230", -31.9522, 115.8614, "TMAX", 1897, 2023),
+    ("USC00300379", 42.2567, -77.7689, "TMIN", 1893, 2012),
+]
+
+
+def _inventory_line(r) -> str:
+    return f"{r[0]:<11} {r[1]:>8.4f} {r[2]:>9.4f} {r[3]:<4} {r[4]:>4d} {r[5]:>4d}"
+
+
+def ensure_inventory_file() -> str:
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "ghcnd_inventory.txt")
+    content = "\n".join(_inventory_line(r) for r in _INVENTORY_ROWS) + "\n"
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as fh:
+            fh.write(content)
+    return path
+
+
+@query(
+    "s7_inventory_file",
+    f"""
+    WITH lines AS (SELECT * FROM (VALUES
+      {", ".join("('" + _inventory_line(r) + "')" for r in _INVENTORY_ROWS)}) t(value))
+    SELECT TRIM(SUBSTRING(value, 1, 11)) AS station_id,
+           CAST(TRIM(SUBSTRING(value, 13, 8)) AS DOUBLE) AS latitude,
+           CAST(TRIM(SUBSTRING(value, 22, 9)) AS DOUBLE) AS longitude,
+           TRIM(SUBSTRING(value, 32, 4)) AS element,
+           CAST(TRIM(SUBSTRING(value, 37, 4)) AS INTEGER) AS first_year,
+           CAST(TRIM(SUBSTRING(value, 42, 4)) AS INTEGER) AS last_year
+    FROM lines
+    """,
+)
+def s7_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fixed_width import GHCND_INVENTORY
+
+    return read_fixed_width(spark, ensure_inventory_file(), GHCND_INVENTORY)
