@@ -19,7 +19,13 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "payload_metadata", "decode_features"]
+__all__ = [
+    "attach_binary_payload",
+    "payload_metadata",
+    "decode_features",
+    "resize_images",
+    "sample_frames",
+]
 
 
 def attach_binary_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -84,3 +90,58 @@ def decode_features(payloads: DataFrame, batch_hint: int | None = None) -> DataF
 
     schema = "doc_id bigint, media_type string, width bigint, height bigint, n_frames bigint, checksum bigint"
     return payloads.select("doc_id", "payload", "media_type").mapInPandas(decode_batches, schema)
+
+
+def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage (images only): filters to image payloads at the scan
+    (predicate pushes down ahead of the UDF), then an Arrow-batched transform
+    produces resized payloads + new dims. The stub "resize" derives output
+    bytes deterministically from input bytes; a real deployment swaps in
+    PIL/opencv inside ``do_resize`` — batch shape and schema are unchanged."""
+    import pandas as pd
+
+    def do_resize(batches):
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                # stub: deterministic downsample of the byte stream
+                stride = max(1, len(b) * 1 // max(1, target_w))
+                out_payloads.append(b[::stride][: target_w * 3])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": out_payloads,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    images = payloads.filter(F.col("media_type") == "image/png").select("doc_id", "payload")
+    schema = "doc_id bigint, payload binary, width int, height int"
+    return images.mapInPandas(do_resize, schema)
+
+
+def sample_frames(payloads: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling stage (videos only): one output row per sampled frame
+    (1→N row fan-out inside mapInPandas — the batch contract for extraction
+    stages). Frame payloads are deterministic byte slices standing in for
+    decoded frames."""
+    import pandas as pd
+
+    def do_sample(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_payload": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = 1 + (sum(b) % 65536) % 30  # matches _decode_stub
+                for idx in range(0, n_frames, every_nth):
+                    lo = (idx * 37) % max(1, len(b) - 8)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_payload"].append(b[lo : lo + 8])
+            yield pd.DataFrame(rows)
+
+    videos = payloads.filter(F.col("media_type") == "video/mp4").select("doc_id", "payload")
+    schema = "doc_id bigint, frame_idx int, frame_payload binary"
+    return videos.mapInPandas(do_sample, schema)

@@ -50,3 +50,30 @@ def test_simhash_fingerprints_in_range(spark, sf_dir):
         F.min("simhash"), F.max("simhash")
     ).collect()[0]
     assert fps[0] >= 0 and fps[1] < (1 << 16)
+
+
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    payloads = attach_binary_payload(docs)
+    n_images = payloads.filter(F.col("media_type") == "image/png").count()
+    resized = resize_images(payloads)
+    assert resized.count() == n_images
+    r = resized.first()
+    assert r.width == 224 and r.height == 224 and len(bytes(r.payload)) <= 224 * 3
+
+    frames = sample_frames(payloads)
+    n_videos = payloads.filter(F.col("media_type") == "video/mp4").count()
+    assert frames.count() >= n_videos  # ≥1 sampled frame per video
+    f = frames.first()
+    assert f.frame_idx % 10 == 0 and len(bytes(f.frame_payload)) <= 8
+    # determinism across runs
+    a = sorted((x.doc_id, x.frame_idx) for x in frames.collect())
+    b = sorted((x.doc_id, x.frame_idx) for x in sample_frames(payloads).collect())
+    assert a == b
