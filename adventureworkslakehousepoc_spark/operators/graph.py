@@ -31,11 +31,16 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = sym.groupBy("u").agg(F.min("v").alias("label")).select(
-        "u", F.least("u", "label").alias("label")
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("label"))
+        .select("u", F.least("u", "label").alias("label"))
+        .persist()
     )
     for _ in range(max_iterations):
-        # propagate: each node takes min(own label, neighbors' labels)
+        # propagate: each node takes min(own label, neighbors' labels).
+        # Each round persists its result — without this the lineage re-derives
+        # every prior round per iteration (quadratic recompute).
         neighbor_labels = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
@@ -45,6 +50,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -53,6 +59,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

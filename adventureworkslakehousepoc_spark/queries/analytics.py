@@ -477,3 +477,38 @@ def edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_edit_distance"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q2-style correlated minimum: cheapest part within each size bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_within_group",
+    """
+    SELECT p.p_partkey AS part_id, p.p_name AS part_name,
+           p.p_size AS size, p.p_retailprice AS retail_price
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_size = p.p_size
+    )
+    """,
+)
+def q2_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery expressed as a broadcastable min-per-group
+    join (the scalable rewrite Catalyst itself would pick)."""
+    p = _t(spark, sf_dir, "part")["part"]
+    mins = p.groupBy(F.col("p_size").alias("_sz")).agg(F.min("p_retailprice").alias("_minp"))
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_size") == F.col("_sz")) & (F.col("p_retailprice") == F.col("_minp")),
+        )
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_size").alias("size"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+    )

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "sessionization_batch",
     "time_bucket_rollup",
     "q7_volume_between_nations",
+    "dedup_clusters",
+    "st_windowed_agg",
 ]
 
 

@@ -105,3 +105,36 @@ def test_partitioned_write(spark, sf_dir):
     pruned = back.filter(F.col("order_date") == one)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() > 0
+
+
+def test_three_part_names_in_catalog(spark, sf_dir):
+    """§1.1 three-level namespace: catalog.schema.table flattens through
+    `qualified()` into real Spark catalog databases + tables."""
+    from adventureworkslakehousepoc_spark.catalog import qualified, split_qualified
+
+    import shutil
+
+    name = qualified("dev_bronze", "stg_sales", "stg_customer")
+    assert name == "dev_bronze__stg_sales__stg_customer"
+    assert split_qualified(name) == ("dev_bronze", "stg_sales", "stg_customer")
+    spark.sql("CREATE DATABASE IF NOT EXISTS dev_bronze__stg_sales")
+    spark.sql("DROP TABLE IF EXISTS dev_bronze__stg_sales.stg_customer")
+    # a prior interrupted run can leave the managed location behind without a
+    # catalog entry — Spark refuses to reuse it (LOCATION_ALREADY_EXISTS)
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(loc.removeprefix("file:"), "dev_bronze__stg_sales.db", "stg_customer")
+    shutil.rmtree(stale, ignore_errors=True)
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    c.write.mode("overwrite").saveAsTable("dev_bronze__stg_sales.stg_customer")
+    back = spark.table("dev_bronze__stg_sales.stg_customer")
+    assert back.count() == c.count()
+    assert "stg_customer" in [t.name for t in spark.catalog.listTables("dev_bronze__stg_sales")]
+
+
+def test_registry_comments_describe(spark):
+    from adventureworkslakehousepoc_spark.pipelines.medallion import build_medallion
+
+    dp = build_medallion()
+    defs = {n: dp.get(n).comment for n in dp.names()}
+    assert "dim_geo" in defs and "geography" in defs["dim_geo"]
+    assert all(defs[n] for n in ("dim_product", "fact_sales", "fact_weather"))
