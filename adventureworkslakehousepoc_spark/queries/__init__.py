@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import advanced, analytics, extensions, parity, streaming_queries
+    from . import advanced, analytics, extensions, parity, streaming_queries, tpch_suite
 
     out: dict[str, Callable] = {}
     out.update(parity.QUERIES)
@@ -18,11 +18,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_queries.QUERIES)
     out.update(analytics.QUERIES)
     out.update(advanced.QUERIES)
+    out.update(tpch_suite.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from . import advanced, analytics, extensions, parity, streaming_queries
+    from . import advanced, analytics, extensions, parity, streaming_queries, tpch_suite
 
     out: dict[str, str] = {}
     out.update(parity.ORACLE)
@@ -30,4 +31,5 @@ def all_oracles() -> dict[str, str]:
     out.update(streaming_queries.ORACLE)
     out.update(analytics.ORACLE)
     out.update(advanced.ORACLE)
+    out.update(tpch_suite.ORACLE)
     return out

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q7_volume_between_nations",
     "dedup_clusters",
     "st_windowed_agg",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_sole_late_supplier",
 ]
 
 
