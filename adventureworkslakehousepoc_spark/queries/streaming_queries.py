@@ -321,3 +321,34 @@ def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("stateful stream did not terminate")
     return spark.read.schema(counts.schema).parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup: dropDuplicatesWithinWatermark over a stream that replays
+# every event twice (training-pipeline ingestion dedup, the streaming
+# counterpart of dedup_exact). State is bounded by the watermark — at 100 TB
+# the state store holds only keys within the 1-hour event-time horizon,
+# unlike plain dropDuplicates whose state grows without bound.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, value, ts FROM events
+    """,
+)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every input row arrives twice (two staged copies of the file); the
+    watermarked dedup emits each event_id exactly once, so the result equals
+    the (already event_id-unique) base table. Both copies land in one
+    AvailableNow micro-batch, so duplicates are always inside the watermark
+    horizon — the deterministic case; cross-batch late duplicates are a
+    documented non-goal of WithinWatermark semantics."""
+    ev = stream_table(spark, sf_dir, "events", copies=2)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    return run_available_now(deduped, "stream-dedup")

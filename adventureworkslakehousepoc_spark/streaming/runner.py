@@ -44,12 +44,18 @@ def stage_stream_dir(*parquet_files: str) -> str:
 
 
 def stream_table(
-    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+    copies: int = 1,
 ) -> DataFrame:
     """Unbounded stream over a testdata table (S1 streaming table scan).
     Schema comes from a batch read (explicit — no streaming inference);
     nanosecond timestamp columns get the same long→micros conversion as the
-    batch loader so stream and batch plans are column-compatible."""
+    batch loader so stream and batch plans are column-compatible.
+    ``copies`` stages the same file N times — a deterministic duplicate
+    generator for dedup operators (each staged file replays every row)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -57,7 +63,7 @@ def stream_table(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(stage_stream_dir(path))
+    df = reader.parquet(stage_stream_dir(*([path] * copies)))
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))

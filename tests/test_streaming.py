@@ -120,3 +120,29 @@ def test_bronze_fanout_streaming_passthrough(spark, sf_dir):
     s_sum = streamed.agg(F.sum("event_id")).collect()[0][0]
     b_sum = src.agg(F.sum("event_id")).collect()[0][0]
     assert s_sum == b_sum
+
+
+def test_streaming_dedup_removes_replayed_duplicates(spark, sf_dir):
+    """copies=2 really replays every row twice, and the watermarked dedup
+    collapses them back to one row per event_id."""
+    from adventureworkslakehousepoc_spark.streaming.runner import (
+        run_available_now,
+        stream_table,
+    )
+
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    base = load_tables(spark, sf_dir, ("events",))["events"].count()
+    doubled = run_available_now(
+        stream_table(spark, sf_dir, "events", copies=2).select("event_id"), "dup-raw"
+    )
+    assert doubled.count() == 2 * base
+    deduped = run_available_now(
+        stream_table(spark, sf_dir, "events", copies=2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id"),
+        "dup-clean",
+    )
+    assert deduped.count() == base
+    assert deduped.distinct().count() == base
