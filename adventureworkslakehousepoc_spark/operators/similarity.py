@@ -29,6 +29,8 @@ __all__ = [
     "cosine_topk",
     "sign_lsh_bucket",
     "cosine_topk_bucketed",
+    "ivf_assign_cells",
+    "cosine_topk_ivf",
     "cosine_scores_pandas_udf",
 ]
 
@@ -113,6 +115,84 @@ def cosine_topk_bucketed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "label", "bucket", "score", "rank")
+    )
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic coarse quantizer: the embeddings of the first
+    ``n_centroids`` vec_ids are the cell centroids. A Lloyd refinement would
+    average doubles (order-dependent floats → oracle drift), so the seeds ARE
+    the codebook — the partitioning quality is data-dependent but the
+    *mechanics* (cell build, multi-probe search) are exactly IVF."""
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_embedding")
+    )
+
+
+def ivf_assign_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF index build: every vector joins the (broadcast) codebook and keeps
+    its nearest centroid — argmax of quantized cosine, centroid id as the tie
+    break. One shuffle (window by vec_id); at 10⁹ vectors this is the
+    materialize-once index-build job, the search never rescans it."""
+    scored = (
+        embeddings.crossJoin(F.broadcast(_centroids(embeddings, n_centroids)))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cent_id",
+            quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").cast("int").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN search: rank the query against the codebook, scan only the
+    ``nprobe`` nearest cells, exact cosine top-k within the candidates
+    (recall < 1 by design — the scale path; candidate set ≈ corpus·nprobe/K).
+    Deterministic ordering: (quantized score DESC, vec_id)."""
+    cells = ivf_assign_cells(embeddings, n_centroids)
+    q = _query_vector(embeddings, query_id)
+    probe = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("cent_id").cast("int").alias("p_cell"),
+            quantize(cosine_similarity("c_embedding", "q_embedding")).alias("p_score"),
+        )
+        .withColumn(
+            "prn", F.row_number().over(Window.orderBy(F.desc("p_score"), F.asc("p_cell")))
+        )
+        .filter(F.col("prn") <= nprobe)
+        .select("p_cell")
+    )
+    scored = (
+        cells.join(F.broadcast(probe), F.col("cell") == F.col("p_cell"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "cell", "score", "rank")
     )
 
 

@@ -25,6 +25,7 @@ from ..operators.similarity import (
     cosine_scores_pandas_udf,
     cosine_topk,
     cosine_topk_bucketed,
+    cosine_topk_ivf,
     quantize,
     cosine_similarity,
 )
@@ -280,6 +281,54 @@ _BUCKET_SQL = " + ".join(
 )
 def ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(_emb(spark, sf_dir), query_id=0, k=10, bits=8)
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    return (
+        f"FLOOR(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f"    * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+        " * 1000000 + 0.5) / 1000000.0"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_qcos_sql('e.embedding', 'c.ce')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings e, cent c
+    ),
+    cells AS (
+      SELECT vec_id, label, embedding, CAST(cent_id AS INTEGER) AS cell
+      FROM assign WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT CAST(cent_id AS INTEGER) AS p_cell,
+             row_number() OVER (ORDER BY {_qcos_sql('cent.ce', 'q.qe')} DESC, cent_id) AS prn
+      FROM cent, q
+    )
+    SELECT vec_id, label, cell, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT cl.vec_id, cl.label, cl.cell,
+             {_qcos_sql('cl.embedding', 'q.qe')} AS score,
+             row_number() OVER (ORDER BY {_qcos_sql('cl.embedding', 'q.qe')} DESC, cl.vec_id)
+               AS rank
+      FROM cells cl JOIN probe p ON cl.cell = p.p_cell AND p.prn <= 4, q
+    ) WHERE rank <= 10
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic 16-centroid codebook (seed vectors), nearest-cell
+    assignment, 4-probe search — the inverted-file scale path where search cost
+    is corpus·nprobe/K instead of the full scan."""
+    return cosine_topk_ivf(_emb(spark, sf_dir), query_id=0, k=10, n_centroids=16, nprobe=4)
 
 
 @query(

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "ann_pandas_udf_scores",
     "text_quality_scores",
     "text_fingerprints",

@@ -77,3 +77,30 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
     a = sorted((x.doc_id, x.frame_idx) for x in frames.collect())
     b = sorted((x.doc_id, x.frame_idx) for x in sample_frames(payloads).collect())
     assert a == b
+
+
+def test_ivf_ann_recall_and_pruning(spark, sf_dir):
+    """IVF search scans only the probed cells (a strict subset of the corpus)
+    yet keeps high recall against the exact brute-force top-k."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_assign_cells,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = emb.count()
+    cells = ivf_assign_cells(emb, n_centroids=16)
+    assert cells.count() == n  # every vector lands in exactly one cell
+    assert cells.select("cell").distinct().count() > 1  # codebook actually partitions
+
+    exact = {r.vec_id for r in cosine_topk(emb, 0, 10).collect()}
+    approx_rows = cosine_topk_ivf(emb, 0, 10, n_centroids=16, nprobe=4).collect()
+    assert len(approx_rows) == 10
+    recall = len(exact & {r.vec_id for r in approx_rows}) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low vs brute force"
+    # candidate set (probed cells) is a strict subset of the corpus
+    probed = {r.cell for r in approx_rows}
+    scanned = cells.filter(F.col("cell").isin(list(probed))).count()
+    assert scanned < n
