@@ -500,3 +500,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_near_duplicates(_docs(spark, sf_dir))
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-corpus pipeline: exact-dedup → language-ID → quality
+# gate → per-language token accounting. The composition a 100 TB pretraining
+# ingest runs nightly; every stage is the already-oracle-checked operator, so
+# the composed result is itself oracle-checked end-to-end.
+# ---------------------------------------------------------------------------
+
+_Q_FEATS_SQL = f"""
+      SELECT doc_id, words, text,
+             LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (CAST(len(list_filter(words, w -> w IN ({_STOP}))) AS DOUBLE)
+                  / len(words)) * 0.3
+               + (CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+                  / LENGTH(text)) * 0.3 AS q
+      FROM base
+"""
+
+
+@query(
+    "training_corpus_pipeline",
+    rf"""
+    WITH reps AS (
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_id
+      FROM documents GROUP BY 1
+    ),
+    base AS (
+      SELECT d.doc_id, d.text, string_split(d.text, ' ') AS words
+      FROM documents d JOIN reps r ON d.doc_id = r.kept_id
+    ),
+    lang AS (
+      SELECT doc_id, {_PRED_CASE} AS predicted_lang FROM (
+        SELECT doc_id, {_HIT_COLS} FROM base
+      )
+    ),
+    qual AS ({_Q_FEATS_SQL}),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS INTEGER) AS bpe_ish_tokens
+      FROM base
+    )
+    SELECT l.predicted_lang, COUNT(*) AS n_docs,
+           CAST(SUM(t.ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(t.bpe_ish_tokens) AS BIGINT) AS total_bpe_ish_tokens,
+           CAST(SUM(CAST(FLOOR(q.q * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_quality_micros
+    FROM lang l
+    JOIN qual q ON l.doc_id = q.doc_id
+    JOIN tok t ON l.doc_id = t.doc_id
+    WHERE l.predicted_lang <> 'und' AND q.q >= 0.2
+    GROUP BY 1
+    """,
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pass over ``documents``: keep one copy per
+    exact-content hash (min doc_id), drop language-unidentifiable and
+    low-quality docs, then account tokens per language. Quality is summed in
+    integer micro-units so the aggregate is order-independent (per-doc doubles
+    are already bit-identical across engines; their float SUM would not be).
+    One doc_id-keyed shuffle joins the three per-doc feature passes; the
+    md5 groupBy is the only content-keyed shuffle."""
+    docs = _docs(spark, sf_dir)
+    kept = docs.join(
+        exact_duplicate_groups(docs).select(F.col("representative_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    lang = language_id(kept).select("doc_id", "predicted_lang")
+    qual = quality_scores(kept).select("doc_id", "quality_score")
+    tok = token_counts(kept).select("doc_id", "ws_tokens", "bpe_ish_tokens")
+    return (
+        lang.join(qual, "doc_id")
+        .join(tok, "doc_id")
+        .filter((F.col("predicted_lang") != "und") & (F.col("quality_score") >= 0.2))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe_ish_tokens").cast("bigint").alias("total_bpe_ish_tokens"),
+            F.sum(F.floor(F.col("quality_score") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_quality_micros"),
+        )
+    )

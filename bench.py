@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q13_customer_distribution",
     "q21_sole_late_supplier",
+    "training_corpus_pipeline",
 ]
 
 
