@@ -512,3 +512,38 @@ def q2_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retail_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile aggregates (sort-based; bit-identical interpolation
+# across engines — verified on continuous doubles, not just integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.50) AS p50_price,
+           quantile_cont(l_extendedprice, 0.90) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price,
+           quantile_cont(l_quantity, 0.50) AS p50_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same index-interpolation definition
+    (idx = p·(n−1), linear between neighbors), so results are bit-identical
+    even on continuous doubles. At scale, prefer ``approx_percentile`` —
+    exact percentile sorts each group's values; it's here as the exactness
+    baseline the sketch is judged against."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50_qty"),
+    )

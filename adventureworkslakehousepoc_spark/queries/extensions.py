@@ -587,3 +587,46 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_quality_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (reproducible splits — no seed, no partitioning
+# sensitivity; the decision is a pure function of the row key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_deterministic",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~4/16 deterministic sample of orders keyed on orderkey — identical
+    membership on every engine, run, and partitioning."""
+    from ..operators.sampling import hash_sample
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return hash_sample(o, "o_orderkey", 4).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "sample_stratified_corpus",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing stratified sample: dominant language keeps 2/16,
+    everything else 8/16 — the corpus-balancing pass, still deterministic."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_hash_sample(d, "doc_id", "lang", {"en": 2}, default=8).select(
+        "doc_id", "lang", "source"
+    )

@@ -104,3 +104,28 @@ def test_ivf_ann_recall_and_pruning(spark, sf_dir):
     probed = {r.cell for r in approx_rows}
     scanned = cells.filter(F.col("cell").isin(list(probed))).count()
     assert scanned < n
+
+
+def test_hash_sample_invariant_under_partitioning(spark, sf_dir):
+    """Sample membership is a pure function of the key — unchanged by
+    repartitioning (df.sample() cannot promise this)."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    s1 = {r.o_orderkey for r in hash_sample(orders, "o_orderkey", 4).collect()}
+    s2 = {r.o_orderkey for r in hash_sample(orders.repartition(7), "o_orderkey", 4).collect()}
+    assert s1 == s2
+    n = orders.count()
+    assert 0 < len(s1) < n  # a real subset, roughly 4/16
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    strat = stratified_hash_sample(docs, "doc_id", "lang", {"en": 2}, default=8)
+    by_lang = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # dominant class sampled at a lower rate than the rest
+    assert by_lang["en"] / full["en"] < max(
+        by_lang[lg] / full[lg] for lg in by_lang if lg != "en"
+    )
