@@ -88,6 +88,14 @@ def main() -> None:
         "sessionization_batch",
         "asof_join_latest_click",
         "dedup_clusters",
+        "ann_ivf_topk",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q21_sole_late_supplier",
+        "training_corpus_pipeline",
+        "sample_stratified_corpus",
+        "agg_percentiles",
+        "agg_percentiles_approx",
     ]
     timings = {}
     for name in names:

@@ -59,3 +59,20 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
         ex = exact[flag]
         assert abs(a.approx_orders - ex.n_orders) / ex.n_orders < 0.05
         assert a.n_lines == ex.n_lines
+
+
+def test_approx_percentile_within_bounds(spark, sf_dir):
+    """The sketch path must stay close to the exact sort-based percentiles
+    (rank error ≤ 1/accuracy ⇒ tight on these distributions)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    exact = {r.returnflag: r for r in qs["agg_percentiles"](spark, sf_dir).collect()}
+    approx = {r.returnflag: r for r in qs["agg_percentiles_approx"](spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for i, col in enumerate(["p25_price", "p50_price", "p90_price", "p99_price"]):
+            rel = abs(a.approx_price_quantiles[i] - getattr(e, col)) / max(getattr(e, col), 1e-9)
+            assert rel < 0.05, (flag, col, rel)
+        assert abs(a.p50_qty - e.p50_qty) <= 2

@@ -89,3 +89,52 @@ def test_dim_joins_are_broadcast(spark, sf_dir):
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pushdown_reaches_scan(spark, sf_dir):
+    """Selective predicates must land in the parquet scan (PushedFilters),
+    not evaluate post-scan — the difference between reading 100 TB and
+    reading one partition's worth."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    plan = _executed_plan(qs["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    plan = _executed_plan(qs["q21_sole_late_supplier"](spark, sf_dir))
+    assert "EqualTo(o_orderstatus,F)" in plan  # status filter pushed to orders scan
+
+
+def test_star_queries_broadcast_dims_no_smj(spark, sf_dir):
+    """Star-shaped suite queries keep every dimension join broadcast at the
+    test SF — no sort-merge join, no unintended nested-loop blowup."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("q8_market_share", "q9_product_profit", "q16_supplier_part_counts"):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name} fell back to SMJ:\n{plan[:800]}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pipeline_queries_stay_jvm_side(spark, sf_dir):
+    """The composed corpus pipeline and text/dedup hot paths must not drop
+    into row-at-a-time Python (BatchEvalPython) — everything whole-stage
+    codegen or Arrow."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("training_corpus_pipeline", "dedup_minhash_lsh", "text_quality_scores"):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_hash_sample_is_scan_side_filter(spark, sf_dir):
+    """Deterministic sampling adds zero shuffles — it's a filter over the
+    scan, so it composes with any downstream plan for free."""
+    import __spark_entry__ as entry_mod
+
+    plan = _executed_plan(
+        entry_mod.queries()["sample_hash_deterministic"](spark, sf_dir)
+    )
+    assert "Exchange" not in plan, plan
