@@ -98,3 +98,63 @@ def test_bronze_fanout_at_reference_breadth(spark, sf_dir):
     for name in names[:3] + names[-3:]:
         src = name.split("__", 1)[1]
         assert ctx.dataframe(name).count() == reader(src).count()
+
+
+def test_zorder_clustering_enables_file_skipping(spark, sf_dir, tmp_path):
+    """After Z-clustering on (l_orderkey, l_partkey), a small box predicate on
+    BOTH dimensions must be satisfiable from far fewer files (by parquet
+    footer min/max alone) than the unclustered layout, where every file spans
+    the whole keyspace."""
+    import pyarrow.parquet as pq
+
+    from adventureworkslakehousepoc_spark.operators.maintenance import cluster_zorder
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    naive = str(tmp_path / "naive")
+    zpath = str(tmp_path / "zorder")
+    li.repartition(8).write.mode("overwrite").parquet(naive)
+    li.repartition(8).write.mode("overwrite").parquet(zpath)
+    cluster_zorder(spark, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+
+    def files_overlapping_box(path, ok_range, pk_range):
+        import glob
+
+        hits, total = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"l_orderkey": None, "l_partkey": None}
+            maxs = {"l_orderkey": None, "l_partkey": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                        maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+            total += 1
+            if (
+                mins["l_orderkey"] is not None
+                and not (maxs["l_orderkey"] < ok_range[0] or mins["l_orderkey"] > ok_range[1])
+                and not (maxs["l_partkey"] < pk_range[0] or mins["l_partkey"] > pk_range[1])
+            ):
+                hits += 1
+        return hits, total
+
+    bounds = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).first()
+    ok_lo, ok_hi, pk_lo, pk_hi = bounds
+    # a ~1/16th box in each dimension
+    ok_box = (ok_lo, ok_lo + (ok_hi - ok_lo) // 16)
+    pk_box = (pk_lo, pk_lo + (pk_hi - pk_lo) // 16)
+    naive_hits, naive_total = files_overlapping_box(naive, ok_box, pk_box)
+    z_hits, z_total = files_overlapping_box(zpath, ok_box, pk_box)
+    assert naive_total == 8 and z_total == 8
+    assert naive_hits == 8  # random layout: every file spans the box
+    assert z_hits < naive_hits  # clustering actually prunes
+    assert z_hits <= 4  # at most half the files touch a 1/256 box
+    # layout rewrite preserves the data
+    assert spark.read.parquet(zpath).count() == li.count()
