@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_tables
 from ..functions.expressions import decode, exact_avg, quantized_avg, surrogate_key, typed_null
@@ -1105,3 +1106,59 @@ def s7_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.fixed_width import GHCND_INVENTORY
 
     return read_fixed_width(spark, ensure_inventory_file(), GHCND_INVENTORY)
+
+
+# ---------------------------------------------------------------------------
+# S6 hardening: malformed-row quarantine (PERMISSIVE + _corrupt_record).
+# The reference's explicit-schema CSV read (noaa_bronze_layer.py:122-135)
+# fails or silently nulls malformed lines; at scale the engine must count
+# and quarantine them instead.
+# ---------------------------------------------------------------------------
+
+_BAD_LINES = [
+    "THIS LINE IS NOT A CSV RECORD AT ALL",
+    "USW00014732,20230106,TAVG,not_an_int,N,X,N,0700",
+]
+
+
+def ensure_malformed_csv() -> str:
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "noaa_by_year_malformed.csv")
+    good = [",".join(str(v) for v in row) for row in _CSV_ROWS]
+    # interleave the bad lines deterministically
+    lines = good[:3] + [_BAD_LINES[0]] + good[3:] + [_BAD_LINES[1]]
+    content = "\n".join(lines) + "\n"
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as fh:
+            fh.write(content)
+    return path
+
+
+@query(
+    "s6_csv_malformed_quarantine",
+    f"""
+    WITH good AS ({_csv_values_sql()})
+    SELECT station_id, date_str, element, value FROM good
+    """,
+)
+def s6_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean rows survive a feed containing junk lines and a type-corrupt
+    value; the two malformed lines land in the quarantine side (asserted in
+    tests/test_registry.py) instead of failing the read."""
+    from ..sources.files import read_csv_resilient, split_valid_corrupt
+
+    path = ensure_malformed_csv()
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.StringType(), True),
+            T.StructField("date_str", T.StringType(), True),
+            T.StructField("element", T.StringType(), True),
+            T.StructField("value", T.IntegerType(), True),
+            T.StructField("mflag", T.StringType(), True),
+            T.StructField("qflag", T.StringType(), True),
+            T.StructField("sflag", T.StringType(), True),
+            T.StructField("obs_time", T.StringType(), True),
+        ]
+    )
+    valid, _ = split_valid_corrupt(read_csv_resilient(spark, path, schema))
+    return valid.select("station_id", "date_str", "element", "value")

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_csv_with_schema", "read_text_lines", "NOAA_BY_YEAR_SCHEMA"]
+__all__ = [
+    "read_csv_with_schema",
+    "read_csv_resilient",
+    "split_valid_corrupt",
+    "read_text_lines",
+    "NOAA_BY_YEAR_SCHEMA",
+]
 
 # reference noaa_bronze_layer.py:125-134
 NOAA_BY_YEAR_SCHEMA = T.StructType(
@@ -32,6 +38,39 @@ def read_csv_with_schema(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = False, **options
 ) -> DataFrame:
     return spark.read.options(**options).csv(path, header=header, schema=schema)
+
+
+def read_csv_resilient(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = False, **options
+) -> DataFrame:
+    """PERMISSIVE CSV read that quarantines malformed lines instead of
+    failing the job or silently dropping rows — at 100 TB some fraction of a
+    raw feed is always malformed, and dropping it invisibly corrupts counts.
+    The returned frame carries ``_corrupt_record`` (the raw line, NULL for
+    clean rows); split with :func:`split_valid_corrupt`."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return spark.read.options(
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record", **options
+    ).csv(path, header=header, schema=full)
+
+
+def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the marker column, quarantined raw lines).
+
+    Spark refuses to evaluate a plan that references ONLY the corrupt-record
+    column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    documented idiom is to cache the parsed frame first, which also means the
+    file is parsed once for both branches."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    valid = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return valid, corrupt
 
 
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:

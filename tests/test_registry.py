@@ -138,3 +138,38 @@ def test_registry_comments_describe(spark):
     defs = {n: dp.get(n).comment for n in dp.names()}
     assert "dim_geo" in defs and "geography" in defs["dim_geo"]
     assert all(defs[n] for n in ("dim_product", "fact_sales", "fact_weather"))
+
+
+def test_malformed_csv_quarantine(spark):
+    """The resilient CSV reader keeps every clean row and quarantines exactly
+    the malformed lines, carrying their raw text for triage."""
+    from adventureworkslakehousepoc_spark.queries.parity import (
+        _CSV_ROWS,
+        ensure_malformed_csv,
+    )
+    from adventureworkslakehousepoc_spark.sources.files import (
+        read_csv_resilient,
+        split_valid_corrupt,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("station_id", T.StringType(), True),
+            T.StructField("date_str", T.StringType(), True),
+            T.StructField("element", T.StringType(), True),
+            T.StructField("value", T.IntegerType(), True),
+            T.StructField("mflag", T.StringType(), True),
+            T.StructField("qflag", T.StringType(), True),
+            T.StructField("sflag", T.StringType(), True),
+            T.StructField("obs_time", T.StringType(), True),
+        ]
+    )
+    valid, corrupt = split_valid_corrupt(
+        read_csv_resilient(spark, ensure_malformed_csv(), schema)
+    )
+    assert valid.count() == len(_CSV_ROWS)
+    bad = [r.raw_line for r in corrupt.collect()]
+    assert len(bad) == 2
+    assert any("NOT A CSV RECORD" in b for b in bad)
+    assert any("not_an_int" in b for b in bad)
