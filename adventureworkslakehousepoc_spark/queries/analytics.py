@@ -564,3 +564,38 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("p50_qty"),
     )
+
+
+@query(
+    "profile_orders_table",
+    """
+    WITH m AS (SELECT COUNT(*) AS n FROM orders)
+    SELECT 'o_orderkey' AS column_name, m.n AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+           (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+           (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_value
+    FROM m
+    UNION ALL
+    SELECT 'o_orderstatus', m.n,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+           (SELECT MIN(o_orderstatus) FROM orders),
+           (SELECT MAX(o_orderstatus) FROM orders)
+    FROM m
+    UNION ALL
+    SELECT 'o_orderdate', m.n,
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+           (SELECT COUNT(DISTINCT o_orderdate) FROM orders),
+           (SELECT CAST(MIN(o_orderdate) AS VARCHAR) FROM orders),
+           (SELECT CAST(MAX(o_orderdate) AS VARCHAR) FROM orders)
+    FROM m
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile (nulls / distincts / range) of orders —
+    the ingestion data-quality report, one scan for all columns."""
+    from ..operators.profiling import profile_table
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_orderdate"])
