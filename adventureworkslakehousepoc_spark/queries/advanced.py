@@ -9,7 +9,7 @@ complexity independent of history depth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -278,4 +278,73 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("customer_id"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + last-observation-carried-forward: dense hourly
+# buckets per series (sequence-explode — distributed, no driver calendar),
+# missing hours get n_events=0 and the LOCF of the value aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "timeseries_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM hourly GROUP BY 1
+    ),
+    buckets AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT b.event_type, b.bucket,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           last_value(h.cents IGNORE NULLS) OVER (
+             PARTITION BY b.event_type ORDER BY b.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value_cents,
+           h.n IS NULL AS is_gap
+    FROM buckets b
+    LEFT JOIN hourly h ON b.event_type = h.event_type AND b.bucket = h.bucket
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar per series via ``sequence`` + ``explode`` (the bucket
+    list is generated executor-side from each series' own bounds — nothing
+    collects, series of different spans don't pad each other), then LOCF with
+    an ignore-nulls running ``last``. Value sums are integer cents (exact)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    buckets = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        buckets.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("cents", ignorenulls=True).over(w).alias("locf_value_cents"),
+            F.col("n").isNull().alias("is_gap"),
+        )
     )
