@@ -533,3 +533,66 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q20 — restated without partsupp: suppliers who dominate a part's yearly
+# volume (shipped more than half of a 'red' part's 1997 total). Keeps q20's
+# operator shape — nested aggregate subquery driving a semi-join on supplier.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1)
+    SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT pq.l_suppkey FROM pq JOIN pt ON pq.l_partkey = pt.l_partkey
+      WHERE pq.sq * 2 > pt.tq
+    )
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate (per part-supplier, then per part) with an exact
+    decimal dominance test, semi-joined back to supplier. Both aggregates
+    shuffle on partkey — the second reuses the first's partitioning."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pq = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+    )
+    pt = pq.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("sq").alias("tq"))
+    dominant = (
+        pq.join(pt, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select(F.col("l_suppkey").alias("_sk"))
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("_sk"), "left_semi")
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+        )
+    )
