@@ -128,3 +128,34 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.md5(F.concat_ws(" ", F.array_sort(F.col("words")))).alias("bag_of_words_fp"),
         F.expr(shingle4).alias("min_shingle_fp"),
     )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering: per-document
+    duplicate-token fraction (1 - distinct/total) and top-token fraction
+    (modal token count / total). Highly repetitive documents (boilerplate,
+    keyword stuffing, degenerate generations) score high on both.
+
+    Fully distributed: explode -> two-level hash aggregate keyed by
+    (doc, token) then doc. Both levels are map-side-combinable shuffles and
+    per-document state is just its distinct-token set — no driver collects,
+    no Python. Fractions are emitted as integer micro-units so the result is
+    order-independent and oracle-exact."""
+    from .dedup import spread
+
+    toks = (
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("t")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.floor((F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("dup_token_micros"),
+        F.floor(F.max("c") / F.sum("c") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("top_token_micros"),
+    )

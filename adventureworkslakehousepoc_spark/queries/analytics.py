@@ -599,3 +599,56 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")["orders"]
     return profile_table(o, ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+
+# ---------------------------------------------------------------------------
+# Numeric band (range) join — interval joins elsewhere are time-based
+# (operators/joins.py::interval_join); this is the value-range variant:
+# assign each fact row to the dimension bucket whose [lo, hi) contains it.
+# ---------------------------------------------------------------------------
+
+_PRICE_TIERS = [
+    ("budget", 0.0, 1000.0),
+    ("standard", 1000.0, 1500.0),
+    ("premium", 1500.0, 1000000000000.0),
+]
+
+
+@query(
+    "range_join_price_tiers",
+    """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('budget', 0.0, 1000.0), ('standard', 1000.0, 1500.0),
+             ('premium', 1500.0, 1000000000000.0)
+    )
+    SELECT t.tier,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           MIN(p.p_retailprice) AS min_price,
+           MAX(p.p_retailprice) AS max_price
+    FROM part p
+    JOIN tiers t ON p.p_retailprice >= t.lo AND p.p_retailprice < t.hi
+    GROUP BY 1
+    """,
+)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join against a broadcast tier table: the non-equi predicate runs
+    as a BroadcastNestedLoopJoin over 3 tier rows, so the big side streams
+    through map tasks with no shuffle and no cross-product blowup — the same
+    plan holds when `part` is 100 TB. Sum over exact decimals; min/max of
+    doubles are order-insensitive."""
+    part = _t(spark, sf_dir, "part")["part"]
+    tiers = spark.createDataFrame(_PRICE_TIERS, "tier string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(tiers),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )

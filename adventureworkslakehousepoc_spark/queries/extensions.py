@@ -34,6 +34,7 @@ from ..operators.text_analysis import (
     fingerprints,
     language_id,
     quality_scores,
+    repetition_scores,
     token_counts,
 )
 
@@ -440,6 +441,29 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "text_repetition_scores",
+    r"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d, UNNEST(string_split_regex(lower(d.text), '\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(FLOOR((1.0 - COUNT(*) / SUM(c)) * 1000000 + 0.5) AS BIGINT)
+             AS dup_token_micros,
+           CAST(FLOOR(MAX(c) / SUM(c) * 1000000 + 0.5) AS BIGINT)
+             AS top_token_micros
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
