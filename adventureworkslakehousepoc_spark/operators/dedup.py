@@ -34,6 +34,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "benchmark_overlap",
 ]
 
 
@@ -287,4 +288,34 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any word
+    n-gram with a held-out benchmark set, returning (doc_id,
+    n_shared_ngrams). Here the benchmark set is the deterministic slice
+    ``doc_id % bench_mod == 0`` — a stand-in for an external eval-set table;
+    production swaps in the real benchmark DataFrame unchanged.
+
+    Scale posture: real benchmark sets are tiny next to a 100 TB corpus, so
+    the distinct benchmark-shingle set is broadcast and the corpus side
+    streams through map tasks — the only shuffles are the per-doc shingle
+    distinct and the final count, both map-side combinable."""
+    lowered = docs.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("text")
+    )
+    sh = word_shingles(lowered, "text", "doc_id", n)
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

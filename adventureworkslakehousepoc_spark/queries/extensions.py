@@ -466,6 +466,32 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_docs(spark, sf_dir))
 
 
+@query(
+    "decontaminate_ngram_overlap",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             d.words[i] || ' ' || d.words[i+1] || ' ' || d.words[i+2] AS s
+      FROM w d, unnest(generate_series(1, len(d.words) - 2)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY 1
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing any lowercased word 3-gram with the held-out
+    benchmark slice (doc_id % 97 == 0), with the shared-distinct-ngram count
+    per contaminated doc. n=3 keeps the testdata overlap dense (171 docs at
+    sf0.01); production uses the operator's longer default n-gram."""
+    from ..operators.dedup import benchmark_overlap
+
+    return benchmark_overlap(_docs(spark, sf_dir), n=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode is an Arrow-batched stub)
 # ---------------------------------------------------------------------------
