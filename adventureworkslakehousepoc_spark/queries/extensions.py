@@ -492,6 +492,37 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(_docs(spark, sf_dir), n=3)
 
 
+@query(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quota: cap any single source's contribution at 50
+    docs, chosen by deterministic hash priority (md5 of the id — a stable,
+    partitioning-invariant shuffle of each source's docs, not first-N file
+    order). One shuffle on source; per-partition top-k state only. At 100 TB
+    this is the domain-mixing cap that stops one crawl domain from dominating
+    the training mix."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary payload plumbing; decode is an Arrow-batched stub)
 # ---------------------------------------------------------------------------
