@@ -12,9 +12,12 @@ cosine scores hash-match the oracle exactly. Scores exposed to ranking are
 quantized at 1e-6 via IEEE-deterministic ``floor(x·1e6 + 0.5)`` so top-k cut
 lines are stable across engines.
 
-Scale posture (10⁹+ vectors): brute-force is a single scan + per-partition
-top-k (the window is only over k·partitions rows after AQE); bucketed LSH
-prunes the scan to |corpus|/2^bits per query; both avoid driver collects.
+Scale posture (10⁹+ vectors): every top-k goes through ``ranked_topk`` —
+``orderBy().limit(k)``, which Spark plans as ``TakeOrderedAndProject``
+(per-partition local top-k, then a merge over only k·partitions rows). No
+full-data single-partition Exchange anywhere; the rank window runs over ≤ k
+rows. Bucketed LSH prunes the scan to |corpus|/2^bits per query; both avoid
+driver collects.
 """
 
 from __future__ import annotations
@@ -59,6 +62,22 @@ def _query_vector(embeddings: DataFrame, query_id: int) -> DataFrame:
     )
 
 
+def ranked_topk(scored: DataFrame, k: int, rank_name: str = "rank") -> DataFrame:
+    """Distributed top-k with a dense 1..k rank column.
+
+    ``orderBy().limit(k)`` plans as ``TakeOrderedAndProject`` — each partition
+    keeps its local top-k and only k·partitions candidate rows merge — instead
+    of the single-partition Exchange a global ``row_number`` window would
+    force (at 10⁹ vectors that window is one task sorting the whole corpus).
+    The rank window then runs over exactly k rows. Ordering is total
+    (quantized score DESC, vec_id ASC), so the two-phase cut is identical to
+    the global sort."""
+    order = [F.desc("score"), F.asc("vec_id")]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn(rank_name, F.row_number().over(w))
+
+
 def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k against the embedding of ``query_id``.
     Deterministic ordering: (quantized score DESC, vec_id). The query vector is
@@ -72,12 +91,7 @@ def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFr
             quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "score", "rank")
-    )
+    return ranked_topk(scored, k).select("vec_id", "label", "score", "rank")
 
 
 def sign_lsh_bucket(col: str, bits: int = 8) -> Column:
@@ -110,12 +124,7 @@ def cosine_topk_bucketed(
             quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "bucket", "score", "rank")
-    )
+    return ranked_topk(scored, k).select("vec_id", "label", "bucket", "score", "rank")
 
 
 def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
@@ -172,10 +181,8 @@ def cosine_topk_ivf(
             F.col("cent_id").cast("int").alias("p_cell"),
             quantize(cosine_similarity("c_embedding", "q_embedding")).alias("p_score"),
         )
-        .withColumn(
-            "prn", F.row_number().over(Window.orderBy(F.desc("p_score"), F.asc("p_cell")))
-        )
-        .filter(F.col("prn") <= nprobe)
+        .orderBy(F.desc("p_score"), F.asc("p_cell"))
+        .limit(nprobe)
         .select("p_cell")
     )
     scored = (
@@ -188,12 +195,7 @@ def cosine_topk_ivf(
             quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "cell", "score", "rank")
-    )
+    return ranked_topk(scored, k).select("vec_id", "label", "cell", "score", "rank")
 
 
 def cosine_scores_pandas_udf(embeddings: DataFrame, query_id: int = 0) -> DataFrame:

@@ -322,10 +322,13 @@ def vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # orderBy().limit() plans as TakeOrderedAndProject (distributed local
+    # top-k + k-row merge) — a 100 M-token vocabulary never hits a
+    # single-partition sort; the rank window then runs over 50 rows.
+    order = [F.desc("n"), F.asc("token")]
+    top = counts.orderBy(*order).limit(50)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select("token", "n", "rank")
     )
 

@@ -129,6 +129,25 @@ def test_pipeline_queries_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_topk_has_no_single_partition_exchange(spark, sf_dir):
+    """Every top-k (ANN family + vocab) must plan as TakeOrderedAndProject
+    (per-partition local top-k, k-row merge) — never a full-data
+    Exchange SinglePartition, which at 10⁹ rows is one task sorting the
+    whole corpus."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in (
+        "ann_bruteforce_topk",
+        "ann_lsh_bucketed_topk",
+        "ann_ivf_topk",
+        "vocab_top_tokens",
+    ):
+        plan = _executed_plan(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange SinglePartition" not in plan, f"{name}\n{plan}"
+
+
 def test_hash_sample_is_scan_side_filter(spark, sf_dir):
     """Deterministic sampling adds zero shuffles — it's a filter over the
     scan, so it composes with any downstream plan for free."""
