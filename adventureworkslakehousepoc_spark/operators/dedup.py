@@ -173,14 +173,30 @@ def minhash_near_duplicates(
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+_I64_MIN = -(1 << 63)
+
+
+def _simhash_bit_predicate(h: Column, b: int) -> Column:
+    """Bit source for simhash bit ``b`` over an md5 hex string (32 digits):
+    bits 0–31 are the low bit of nibble b (digit odd), bits 32–63 the high bit
+    of nibble b−32 (digit ≥ '8') — 64 independent bits from one md5, no second
+    hash pass. Portable: DuckDB replays the same substr/IN predicates."""
+    if b < 32:
+        return F.substring(h, b + 1, 1).isin(list(_ODD_HEX))
+    return F.substring(h, b - 32 + 1, 1).isin(list(_HIGH_HEX))
 
 
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """SimHash fingerprint per doc: bit b is the sign of Σ(±occurrences) over
-    words, where word contributes +1 if hex digit b of md5(word) is odd.
-    Word multiplicity is the weight (no distinct). Returns (doc_id, simhash)."""
+    words, where a word contributes +1 iff bit b of md5(word) is set (see
+    ``_simhash_bit_predicate``). Word multiplicity is the weight (no
+    distinct). Bit 63 is the two's-complement sign bit (packed as −2^63), so
+    the full 64-bit fingerprint fits a signed bigint identically in Spark and
+    DuckDB. Returns (doc_id, simhash)."""
     words = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id").select(
         "doc_id", F.explode(F.split(F.col("t"), " ")).alias("w")
     )
@@ -188,14 +204,15 @@ def simhash_fingerprints(
     sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring(h, b + 1, 1).isin(list(_ODD_HEX)), 1).otherwise(-1)
+                F.when(_simhash_bit_predicate(h, b), 1).otherwise(-1)
             ).alias(f"s{b}")
             for b in range(bits)
         ]
     )
     fp: Column = F.lit(0).cast("bigint")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+        weight = _I64_MIN if b == 63 else (1 << b)
+        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(weight)).otherwise(F.lit(0)).cast("bigint")
     return sums.select("doc_id", fp.alias("simhash"))
 
 
@@ -203,27 +220,45 @@ def simhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
-    max_hamming: int = 2,
+    bits: int = 64,
+    max_hamming: int = 3,
+    bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: candidates share either 8-bit half of the fingerprint
-    (pigeonhole: hamming ≤ 2 on 16 bits ⇒ one half is ≤1 apart; the half-match
-    block bounds the join), verified with ``bit_count(xor) ≤ max_hamming``.
-    Returns (doc_a, doc_b, hamming)."""
+    """SimHash near-dup via banded blocking: the 64-bit fingerprint splits
+    into ``bands`` 16-bit bands; docs sharing any band value are candidates,
+    verified with ``bit_count(xor) ≤ max_hamming``.
+
+    Pigeonhole soundness: hamming ≤ bands−1 distributes ≤ bands−1 differing
+    bits over ``bands`` bands, so at least one band matches exactly — recall
+    is 1 for ``max_hamming ≤ bands−1`` (the defaults: 3 and 4). Scale: each
+    band has 2^16 values, so candidate buckets hold ~|corpus|/65536 rows (vs
+    256 buckets in a 16-bit/2-half geometry, which goes quadratic); the only
+    shuffle is on (band, 16-bit value)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} bands "
+            f"for exact-recall blocking (got {bands})"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
     fps = simhash_fingerprints(docs, text_col, id_col, bits)
-    half = bits // 2
-    halves = fps.select(
+    banded = fps.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), F.expr(f"simhash DIV {1 << half}").alias("val")),
-                F.struct(F.lit(1).alias("part"), (F.col("simhash") % (1 << half)).alias("val")),
+                *[
+                    F.struct(
+                        F.lit(j).alias("part"),
+                        F.expr(f"shiftright(simhash, {j * band_bits}) & {mask}").alias("val"),
+                    )
+                    for j in range(bands)
+                ]
             )
         ).alias("h"),
     ).select("doc_id", "simhash", F.col("h.part").alias("part"), F.col("h.val").alias("val"))
-    a = halves.alias("a")
-    b = halves.alias("b")
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,

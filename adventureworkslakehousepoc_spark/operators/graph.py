@@ -21,10 +21,21 @@ __all__ = ["connected_components"]
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iterations: int = 20
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
-    ``edges`` is an undirected pair list; isolated nodes don't appear."""
+    ``edges`` is an undirected pair list; isolated nodes don't appear.
+
+    Each round is one join + one partial-aggregated groupBy on |pairs| rows.
+    The change flag rides along in the propagation result (no separate
+    old-vs-new join), so convergence detection is a filter over the round's
+    already-persisted output. Every ``checkpoint_every`` rounds the labels
+    frame is locally checkpointed to truncate lineage — without it 20 rounds
+    of join+agg build a plan deep enough to stress the optimizer."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -37,30 +48,30 @@ def connected_components(
         .select("u", F.least("u", "label").alias("label"))
         .persist()
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # propagate: each node takes min(own label, neighbors' labels).
-        # Each round persists its result — without this the lineage re-derives
-        # every prior round per iteration (quadratic recompute).
-        neighbor_labels = (
+        # Persist per round — without this the lineage re-derives every prior
+        # round per iteration (quadratic recompute).
+        min_neighbor = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
-            .select(F.col("e.u").alias("u"), F.col("l.label").alias("label"))
+            .groupBy(F.col("e.u").alias("u"))
+            .agg(F.min("l.label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
+        stepped = (
+            labels.join(min_neighbor, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias("chg"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.u") == F.col("o.u"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if (i + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter("chg").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

@@ -125,11 +125,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ODD = "('1','3','5','7','9','b','d','f')"
+_HIGH = "('8','9','a','b','c','d','e','f')"
+# 64 bits from one md5: bits 0-31 = low bit of hex digit b (odd), bits 32-63 =
+# high bit of digit b-32 (>= '8') — mirrors operators/dedup._simhash_bit_predicate.
 _SUM_COLS = ",\n        ".join(
-    f"SUM(CASE WHEN substr(md5(w), {b + 1}, 1) IN {_ODD} THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(16)
+    f"SUM(CASE WHEN substr(md5(w), {(b if b < 32 else b - 32) + 1}, 1) IN "
+    f"{_ODD if b < 32 else _HIGH} THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(64)
 )
-_FP_EXPR = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+# bit 63 packs as the two's-complement sign (-2^63, spelled to stay in BIGINT)
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN "
+    + ("(-9223372036854775807 - 1)" if b == 63 else str(1 << b))
+    + " ELSE 0 END)"
+    for b in range(64)
+)
 
 ORACLE_SIMHASH_FP = f"""
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -151,15 +161,17 @@ def dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     f"""
     WITH fp AS ({ORACLE_SIMHASH_FP}),
-    halves AS (
-      SELECT doc_id, simhash, 0 AS part, simhash // 256 AS val FROM fp
-      UNION ALL SELECT doc_id, simhash, 1, simhash % 256 FROM fp
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {j} AS part, (simhash >> {j * 16}) & 65535 AS val FROM fp"
+          for j in range(4)
+      )}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM halves a
-    JOIN halves b ON a.part = b.part AND a.val = b.val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    FROM bands a
+    JOIN bands b ON a.part = b.part AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,10 +588,12 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters (one component id per doc; the
-    component id doubles as the representative: min doc_id in the cluster)."""
+    component id doubles as the representative: min doc_id in the cluster).
+    The pair set is persisted before the iterative loop so the full
+    MinHash→LSH→verify pipeline runs once, not once per CC round."""
     from ..operators.graph import connected_components
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir))
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
     return connected_components(pairs)
 
 

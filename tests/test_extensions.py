@@ -45,11 +45,27 @@ def test_bucketed_ann_is_subset_semantics(spark, sf_dir):
     assert len(buckets) == 1
 
 
-def test_simhash_fingerprints_in_range(spark, sf_dir):
-    fps = QUERIES["dedup_simhash_fingerprints"](spark, sf_dir).agg(
-        F.min("simhash"), F.max("simhash")
+def test_simhash_fingerprints_use_full_64_bits(spark, sf_dir):
+    """The 64-bit fingerprint should spread across the full signed range
+    (bit 63 = two's-complement sign), and every doc gets exactly one."""
+    fps = QUERIES["dedup_simhash_fingerprints"](spark, sf_dir)
+    stats = fps.agg(
+        F.min("simhash").alias("mn"),
+        F.max("simhash").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
     ).collect()[0]
-    assert fps[0] >= 0 and fps[1] < (1 << 16)
+    assert stats.n == stats.n_docs
+    # with ~even sign-bit odds, docs land on both sides of 0
+    assert stats.mn < 0 < stats.mx
+
+
+def test_simhash_banding_requires_enough_bands():
+    import pytest
+    from adventureworkslakehousepoc_spark.operators.dedup import simhash_near_duplicates
+
+    with pytest.raises(ValueError, match="bands"):
+        simhash_near_duplicates(None, bands=4, max_hamming=4)
 
 
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):
