@@ -41,17 +41,31 @@ def asof_join(
     ``right_cols`` are the payload columns to carry through (exclusive of key
     and time columns). Right rows sort before left rows at equal timestamps,
     so a right event at exactly the left time matches (``r.t <= l.t``).
+
+    The matched right row is carried as ONE struct (time + all payload
+    columns) through a single ``last(ignorenulls)`` — per-column carries
+    would stitch values from different right rows whenever a newer right
+    row's payload column is legitimately NULL. Ties among right rows at equal
+    (key, time) resolve deterministically to the greatest payload struct
+    (compared field-by-field: time, then ``right_cols`` in order), via the
+    struct participating in the window sort.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lt = F.col(left_time)
     rt = F.col(right_time)
+    r_schema = {f.name: f for f in right.schema.fields}
+    r_struct_type = StructType(
+        [StructField(right_time, r_schema[right_time].dataType)]
+        + [StructField(c, r_schema[c].dataType) for c in right_cols]
+    )
     l_tagged = left.select(
         F.col(on).alias("_k"),
         lt.alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols],
         lt.alias(left_time),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_time]).alias(right_time),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -59,13 +73,12 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
         F.lit(None).cast(dict(left.dtypes)[left_time]).alias(left_time),
-        *[F.col(c) for c in right_cols],
-        rt.alias(right_time),
+        F.struct(rt.alias(right_time), *[F.col(c) for c in right_cols]).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_side"))
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -73,9 +86,12 @@ def asof_join(
         "_side",
         *[F.col(c) for c in left_cols],
         F.col(left_time),
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols],
-        F.last(F.col(right_time), ignorenulls=True).over(w).alias(right_time),
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     return carried.filter(F.col("_side") == 1).select(
-        F.col("_k").alias(on), *left_cols, left_time, *right_cols, right_time
+        F.col("_k").alias(on),
+        *left_cols,
+        left_time,
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
+        F.col(f"_r.{right_time}").alias(right_time),
     )

@@ -40,9 +40,22 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(tmp)
     back = spark.read.parquet(tmp)
     assert back.count() == df.count()
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_dirs(tmp, path)
     return n_files
+
+
+def _swap_dirs(tmp: str, path: str) -> None:
+    """Crash-safe table swap: move the live dir aside, rename the rewrite
+    into place, then delete the old copy. At every instant a complete
+    directory exists at ``path`` or ``path.old`` — a crash mid-swap is
+    recoverable by renaming ``.old`` back, unlike rmtree-then-rename which
+    strands the table in ``.tmp`` with nothing at ``path``."""
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def with_z_value(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
@@ -97,5 +110,4 @@ def cluster_zorder(
     clustered.write.mode("overwrite").parquet(tmp)
     back = spark.read.parquet(tmp)
     assert back.count() == df.count()
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_dirs(tmp, path)

@@ -31,7 +31,19 @@ def salted_join(
     ``salt_source`` names a column on the large side whose hash spreads rows
     across salts (defaults to the first non-key column); the salt is
     ``pmod(hash(salt_source), n)`` — deterministic, no RNG.
+
+    Only ``inner`` and ``left`` joins are supported: the small side is
+    exploded ×n_salts, so a right/full outer join would emit n_salts
+    null-padded copies of every unmatched small-side row — not row-identical
+    to the unsalted join. Flip the sides (the unmatched-preserving side must
+    be the salted large one) or dedupe externally for those shapes.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): the "
+            "exploded small side would duplicate unmatched rows under "
+            "right/full outer joins"
+        )
     src = salt_source or next(c for c in large.columns if c != large_key)
     salted_large = large.withColumn("_salt", F.pmod(F.hash(F.col(src)), F.lit(n_salts)))
     exploded_small = small.withColumn(

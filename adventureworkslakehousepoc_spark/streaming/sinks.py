@@ -45,8 +45,17 @@ def foreach_batch_upsert(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.isdir(state_dir) and os.listdir(state_dir):
-            current = spark.read.parquet(state_dir)
-            # current rows act as version -1 "inserts"; batch rows win per key
+            # the state table stores plain rows (latest_snapshot drops the CDF
+            # metadata), so re-attach it: current rows act as version -1
+            # "inserts" and any batch row (version >= 0) wins per key
+            current = (
+                spark.read.parquet(state_dir)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(-1).cast("bigint"))
+                .withColumn(
+                    "_commit_timestamp", F.lit(None).cast("timestamp")
+                )
+            )
             merged = current.unionByName(batch_df)
         else:
             merged = batch_df

@@ -41,6 +41,33 @@ def test_asof_matches_naive_per_row_lookup(spark, sf_dir):
     assert got == expected
 
 
+def test_asof_matched_right_row_is_atomic(spark):
+    """A newer right row with a NULL payload column must win wholesale — not
+    have its null skipped in favor of an older row's value (the per-column
+    carry bug). Also: no-match left rows get all-null right columns."""
+    from adventureworkslakehousepoc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 5, "p0"), (2, 3, "p2")], "k int, lt int, lp string"
+    )
+    right = spark.createDataFrame(
+        [(1, 2, "old-val", 100), (1, 8, None, 200), (2, 9, "late", 300)],
+        "k int, rt int, rv string, rx int",
+    )
+    out = {
+        r.lp: (r.rv, r.rx, r.rt)
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            left_cols=["lp"], right_cols=["rv", "rx"],
+        ).collect()
+    }
+    # lt=10 matches rt=8 whose rv is NULL — rv must be None, not "old-val"
+    assert out["p1"] == (None, 200, 8)
+    assert out["p0"] == ("old-val", 100, 2)
+    # k=2 has no right row at or before lt=3
+    assert out["p2"] == (None, None, None)
+
+
 def test_sessions_cover_all_events(spark, sf_dir):
     from adventureworkslakehousepoc_spark.catalog import load_tables
 

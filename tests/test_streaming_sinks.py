@@ -36,6 +36,48 @@ def test_foreach_batch_upsert_matches_snapshot(spark, sf_dir):
     assert g == e
 
 
+def test_foreach_batch_upsert_incremental_batches(spark, sf_dir):
+    """The MERGE emulation across runs: the second run starts from a
+    populated state table (whose snapshot has NO CDF metadata columns) and
+    must re-attach version -1 metadata before the union — the multi-batch
+    path that a single-run test never reaches."""
+    import shutil
+
+    from adventureworkslakehousepoc_spark.streaming.cdf import ChangeFeed
+
+    path = tempfile.mkdtemp(prefix="inc-cdf-", dir="/tmp/awlh_stream") + "/log"
+    state_dir = tempfile.mkdtemp(prefix="inc-upsert-", dir="/tmp/awlh_stream") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="inc-upsert-ck-", dir="/tmp/awlh_stream")
+    shutil.rmtree(path, ignore_errors=True)
+    cf = ChangeFeed(path)
+    base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    # run 1: inserts only
+    cf.write(base, "insert", 1, "2024-01-01 00:00:00")
+    foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
+    assert spark.read.parquet(state_dir).count() == base.count()
+
+    # run 2: updates + deletes appended; same checkpoint picks up only new files
+    updated = base.filter((F.col("c_custkey") % 5) == 0)
+    cf.write(updated, "update_preimage", 2, "2024-01-02 00:00:00")
+    cf.write(
+        updated.withColumn("c_name", F.upper("c_name")).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        ),
+        "update_postimage", 2, "2024-01-02 00:00:00",
+    )
+    cf.write(base.filter((F.col("c_custkey") % 7) == 0), "delete", 3, "2024-01-03 00:00:00")
+    foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
+
+    got = {r.c_custkey: (r.c_name, r.c_acctbal) for r in spark.read.parquet(state_dir).collect()}
+    expected = {
+        r.c_custkey: (r.c_name, r.c_acctbal)
+        for r in cf.latest_snapshot(spark, ["c_custkey"]).collect()
+    }
+    assert got == expected
+
+
 def test_apply_in_pandas_with_state_running_counts(spark, sf_dir):
     from adventureworkslakehousepoc_spark.streaming.runner import stream_table
 
