@@ -905,6 +905,23 @@ QUERIES["s9_bronze_passthrough"] = _medallion("stg_person__region")
 ORACLE["s9_bronze_passthrough"] = "SELECT * FROM region"
 
 
+# S8 managed-table sink, round-tripped: materialize dim_geo through
+# PipelineContext.run (the @dp.table write path, plans/registry.py) and read
+# the parquet back — the sink itself is what's hash-checked here.
+def _s8_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    warehouse = _os.path.join(
+        "/tmp/awlh_sink", _os.path.basename(sf_dir.rstrip("/"))
+    )
+    paths = medallion_context(spark, sf_dir).run(warehouse, names=["dim_geo"])
+    return spark.read.parquet(paths["dim_geo"])
+
+
+QUERIES["s8_sink_roundtrip"] = _s8_sink_roundtrip
+ORACLE["s8_sink_roundtrip"] = ORACLE["dim_geo"]
+
+
 # ---------------------------------------------------------------------------
 # S5 + S7 over a real text file: NOAA ghcnd-stations fixed-width layout
 # (reference noaa_bronze_layer.py:18-44), fixture generated deterministically
