@@ -88,6 +88,39 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
         assert a.n_lines == ex.n_lines
 
 
+def test_approx_bounds_property_sweep(spark):
+    """The sketch bounds must hold across distributions and cardinalities —
+    not just the lineitem fixture the queries run on. Three synthetic shapes
+    (high-cardinality uniform, skewed power-law, low-cardinality dense
+    duplicates) sweep the same sketch functions the approx queries use
+    (approx_count_distinct / percentile_approx), asserting the HLL relative
+    error and the KLL rank-error guarantee (tie-aware: the returned value's
+    [count(<v), count(<=v)] rank interval must overlap the target rank ±εn)."""
+    datasets = {
+        "uniform_9k": spark.range(100_000).select((F.col("id") % 9173).alias("v")),
+        "powerlaw": spark.range(100_000).select(
+            F.floor(F.pow((F.col("id") % 997) + 1, 1.7)).cast("long").alias("v")
+        ),
+        "dense_37": spark.range(50_000).select((F.col("id") % 37).alias("v")),
+    }
+    for name, df in datasets.items():
+        df = df.persist()
+        n = df.count()
+        exact_d = df.select(F.countDistinct("v")).first()[0]
+        approx_d = df.select(F.approx_count_distinct("v", 0.02)).first()[0]
+        assert abs(approx_d - exact_d) / exact_d < 0.05, (name, exact_d, approx_d)
+        accuracy = 1000
+        eps = n / accuracy + 0.004 * n
+        for q in (0.25, 0.5, 0.9, 0.99):
+            a = df.select(F.percentile_approx("v", q, accuracy)).first()[0]
+            below = df.filter(F.col("v") < a).count()
+            at_or_below = df.filter(F.col("v") <= a).count()
+            target = q * n
+            assert below <= target + eps, (name, q, below, target)
+            assert at_or_below >= target - eps, (name, q, at_or_below, target)
+        df.unpersist()
+
+
 def test_approx_percentile_within_bounds(spark, sf_dir):
     """The sketch path must stay close to the exact sort-based percentiles
     (rank error ≤ 1/accuracy ⇒ tight on these distributions)."""
