@@ -200,14 +200,27 @@ def simhash_fingerprints(
     words = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id").select(
         "doc_id", F.explode(F.split(F.col("t"), " ")).alias("w")
     )
+    # hash (doc, word) PAIRS, not occurrences: occurrences first reduce to
+    # per-doc word counts, then md5 + the 64 bit predicates run once per
+    # distinct pair with the count as the weight. Both aggregates cluster on
+    # doc_id, which spread()'s repartition already provides — HashPartitioning
+    # (doc_id) satisfies ClusteredDistribution(doc_id, w) too, so the whole
+    # operator is ONE exchange: repartition → count → project h → signed sums.
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     h = F.md5(F.col("w"))
-    sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(_simhash_bit_predicate(h, b), 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    sums = (
+        wc.withColumn("h", h)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(_simhash_bit_predicate(F.col("h"), b), F.col("cnt")).otherwise(
+                        -F.col("cnt")
+                    )
+                ).alias(f"s{b}")
+                for b in range(bits)
+            ]
+        )
     )
     fp: Column = F.lit(0).cast("bigint")
     for b in range(bits):
@@ -241,7 +254,10 @@ def simhash_near_duplicates(
         )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    fps = simhash_fingerprints(docs, text_col, id_col, bits)
+    # persist: the banded self-join reads fps from both sides — without this
+    # the whole fingerprint pipeline (explode + two aggregates) runs twice.
+    # Tiny frame: one (bigint, bigint) row per doc.
+    fps = simhash_fingerprints(docs, text_col, id_col, bits).persist()
     banded = fps.select(
         "doc_id",
         "simhash",
