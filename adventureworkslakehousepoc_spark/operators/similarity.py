@@ -29,11 +29,14 @@ __all__ = [
     "dot_product",
     "cosine_similarity",
     "quantize",
+    "ranked_topk",
+    "grouped_topk",
     "cosine_topk",
     "sign_lsh_bucket",
     "cosine_topk_bucketed",
     "ivf_assign_cells",
     "cosine_topk_ivf",
+    "knn_join",
     "cosine_scores_pandas_udf",
 ]
 
@@ -76,6 +79,28 @@ def ranked_topk(scored: DataFrame, k: int, rank_name: str = "rank") -> DataFrame
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn(rank_name, F.row_number().over(w))
+
+
+def grouped_topk(scored: DataFrame, group_cols: list, k: int, order: list, rank_name: str = "rank") -> DataFrame:
+    """Per-group top-k without per-group skew: a pre-pass ranks within
+    (group, spark_partition_id) so each group contributes ≤ k rows per input
+    partition, then the real per-group window ranks ≤ k·partitions survivors.
+    With few hot groups (a kNN join of 8 query vectors against 10⁹ rows), the
+    naive ``Window.partitionBy(group)`` funnels the whole corpus into 8
+    tasks; the pre-pass keeps the first shuffle's reduce work bounded.
+    ``order`` must be a total order for the two-phase cut to equal the
+    single-window result."""
+    pre = Window.partitionBy(*group_cols, F.spark_partition_id()).orderBy(*order)
+    local = (
+        scored.withColumn("_lrn", F.row_number().over(pre))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        local.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
 
 
 def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
@@ -196,6 +221,32 @@ def cosine_topk_ivf(
         )
     )
     return ranked_topk(scored, k).select("vec_id", "label", "cell", "score", "rank")
+
+
+def knn_join(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Batch kNN join: every query vector (vec_id < ``n_queries``) gets its
+    exact cosine top-k over the corpus (self excluded) in ONE pass — the
+    all-queries form of ``cosine_topk`` used to build retrieval eval sets.
+    The query side broadcasts; ranking goes through ``grouped_topk`` so the
+    per-query windows never funnel the scored corpus into n_queries tasks.
+    Deterministic ordering: (quantized score DESC, vec_id)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    order = [F.desc("score"), F.asc("vec_id")]
+    return grouped_topk(scored, ["q_id"], k, order).select(
+        "q_id", "vec_id", "label", "score", "rank"
+    )
 
 
 def cosine_scores_pandas_udf(embeddings: DataFrame, query_id: int = 0) -> DataFrame:

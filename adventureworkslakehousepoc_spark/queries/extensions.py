@@ -725,3 +725,116 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(d, "doc_id", "lang", {"en": 2}, default=8).select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 corpus-hygiene additions: boilerplate-span gating, unigram-LM
+# scoring, fuzzy entity matching, batch kNN join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_boilerplate_flags",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2] || ' '
+               || d.ws[i+3] || ' ' || d.ws[i+4] AS sh
+      FROM w d, unnest(generate_series(1, len(d.ws) - 4)) AS t(i)
+    ),
+    freq AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) >= 3 AS is_boiler FROM sh
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+      FROM freq GROUP BY 1
+    )
+    SELECT doc_id, n_spans, n_boilerplate,
+           CAST(FLOOR(CAST(n_boilerplate AS DOUBLE) / n_spans * 1000000 + 0.5) AS BIGINT)
+             AS boilerplate_micros,
+           CAST(n_boilerplate AS DOUBLE) / n_spans <= 0.5 AS keep
+    FROM per_doc
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span gating (C4-style, span-wise): 5-gram spans shared by
+    >= 3 distinct docs are boilerplate; docs over 50% boilerplate are dropped."""
+    from ..operators.text_analysis import boilerplate_flags
+
+    return boilerplate_flags(_docs(spark, sf_dir))
+
+
+@query(
+    "text_unigram_lm_score",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    cc AS (SELECT w, SUM(cnt) AS cw FROM wc GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS tot FROM cc),
+    probs AS (
+      SELECT w, CAST(FLOOR(-log10(CAST(cw AS DOUBLE) / tot) * 1000000 + 0.5) AS BIGINT)
+               AS nl_u
+      FROM cc, tot
+    )
+    SELECT wc.doc_id, CAST(SUM(wc.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(wc.cnt * p.nl_u) AS BIGINT) AS sum_neglog_micros,
+           CAST(SUM(wc.cnt * p.nl_u) AS DOUBLE) / SUM(wc.cnt) / 1000000.0 AS avg_neglog10_p
+    FROM wc JOIN probs p ON wc.w = p.w
+    GROUP BY 1
+    """,
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM perplexity filter (KenLM stand-in): mean
+    -log10 p(token) per doc, integer-micro-unit accumulation (order-free)."""
+    from ..operators.text_analysis import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "fuzzy_part_names",
+    """
+    WITH t AS (SELECT DISTINCT p_name AS s FROM part),
+    tb AS (SELECT s, string_split(s, ' ')[1] AS blk FROM t)
+    SELECT a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS distance
+    FROM tb a JOIN tb b ON a.blk = b.blk AND a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 4
+    """,
+)
+def fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the distinct part-name domain: first-token
+    blocking + Levenshtein <= 4 (both engines' built-in edit distance)."""
+    from ..operators.fuzzy import fuzzy_match_pairs
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    return fuzzy_match_pairs(part, "p_name", max_distance=4)
+
+
+@query(
+    "knn_join_exact",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             FLOOR(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))
+               * 1000000 + 0.5) / 1000000.0 AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, label, score, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: 8 query vectors x exact cosine top-5 in one pass,
+    ranked via grouped_topk (no per-query whole-corpus window funnel)."""
+    from ..operators.similarity import knn_join
+
+    return knn_join(_emb(spark, sf_dir), n_queries=8, k=5)

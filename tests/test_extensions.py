@@ -145,3 +145,89 @@ def test_hash_sample_invariant_under_partitioning(spark, sf_dir):
     assert by_lang["en"] / full["en"] < max(
         by_lang[lg] / full[lg] for lg in by_lang if lg != "en"
     )
+
+
+def test_knn_join_matches_naive_window(spark, sf_dir):
+    """grouped_topk's two-phase cut must equal the naive per-query window."""
+    from pyspark.sql import Window
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        cosine_similarity,
+        knn_join,
+        quantize,
+    )
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    got = knn_join(e, n_queries=4, k=3)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    naive = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", quantize(cosine_similarity("embedding", "q_embedding")).alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    assert sorted((r.q_id, r.rank, r.vec_id) for r in rows) == sorted(
+        (r.q_id, r.rank, r.vec_id) for r in naive.collect()
+    )
+
+
+def test_boilerplate_flags_semantics(spark):
+    from adventureworkslakehousepoc_spark.operators.text_analysis import boilerplate_flags
+
+    boiler = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha beta"),
+            (2, boiler + " other gamma delta"),
+            (3, boiler),                      # 100% boilerplate -> dropped
+            (4, "totally different words here now"),
+            (5, "shrt"),                      # < 5 words: no spans, absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_flags(docs).collect()}
+    assert 5 not in out
+    assert not out[3].keep and out[3].boilerplate_micros == 1000000
+    assert out[4].keep and out[4].n_boilerplate == 0
+    assert out[1].keep and out[1].n_boilerplate == 1  # only the shared span
+
+
+def test_unigram_lm_rare_words_score_higher(spark):
+    from adventureworkslakehousepoc_spark.operators.text_analysis import unigram_lm_scores
+
+    common = " ".join(["the"] * 20)
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "zyzzyva qwerty plugh xyzzy")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_neglog10_p for r in unigram_lm_scores(docs).collect()}
+    assert out[4] > out[1]
+
+
+def test_fuzzy_match_pairs_blocked(spark):
+    from adventureworkslakehousepoc_spark.operators.fuzzy import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("red gadget",), ("blue widget",), ("red widget",)],
+        "name string",
+    )
+    got = {(r.name_a, r.name_b): r.distance for r in fuzzy_match_pairs(df, "name", 3).collect()}
+    # distinct-value domain: the duplicate "red widget" collapses
+    assert got[("red widget", "red widgets")] == 1
+    assert ("blue widget", "red widget") not in got  # different block
+    assert all(d <= 3 for d in got.values())
