@@ -838,3 +838,32 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_join
 
     return knn_join(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+@query(
+    "pack_training_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS chunk_idx,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: per-source running token offsets -> chunk
+    assignment (capacity 512), one partitioned-window shuffle."""
+    from ..operators.packing import pack_training_sequences
+
+    return pack_training_sequences(_docs(spark, sf_dir), capacity=512)
