@@ -8,9 +8,16 @@ offset) in that stream WITHOUT a global sort. Packing here is per-group
 its start offset; chunk = offset div capacity. Documents may straddle chunk
 boundaries, exactly like the concat-then-chunk reference implementations.
 
-Scale posture: one shuffle on the group key; the window is partitioned (never
-global), groups are shards by construction, and the arithmetic is integer —
-deterministic, so a DuckDB SUM OVER oracle hash-matches.
+Scale posture: groups (sources/shards) are few, so a naive per-group
+running-sum window funnels the whole corpus into |groups| tasks. The prefix
+sum is therefore HIERARCHICAL: range-partition on (group, id) → local
+running sums within each (group, physical partition) → per-partition totals
+(a tiny groups×partitions frame) → exclusive partition offsets via a window
+over that tiny frame → broadcast-join the offsets back. Every full-data
+stage is balanced; the only per-group sequential object is the offsets
+frame. The result is partition-count-invariant (offset + local sum
+reconstructs the same global prefix for any boundary placement), integer
+arithmetic throughout — a DuckDB SUM OVER oracle hash-matches.
 """
 
 from __future__ import annotations
@@ -32,23 +39,38 @@ def pack_training_sequences(
     stream: ``start_offset`` (tokens before it), ``chunk_idx`` (=
     start_offset div capacity) and ``chunk_offset`` (position within the
     chunk). Deterministic order within a group: ascending ``id_col``."""
+    sc = docs.sparkSession.sparkContext
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("grp")
+    ).repartitionByRange(sc.defaultParallelism, "grp", "doc_id")
+    tp = t.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("grp", "_pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("start_offset")
-    return t.select(
-        "doc_id",
-        F.col("grp").alias(group_col),
-        "n_tokens",
-        start,
-        F.floor((cum - F.col("n_tokens")) / capacity).cast("bigint").alias("chunk_idx"),
-        ((cum - F.col("n_tokens")) % capacity).cast("bigint").alias("chunk_offset"),
+    local = tp.withColumn("_lcum", F.sum("n_tokens").over(w_local))
+    totals = tp.groupBy("grp", "_pid").agg(F.sum("n_tokens").alias("_psum"))
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "grp", "_pid", F.coalesce(F.sum("_psum").over(w_prev), F.lit(0)).alias("_poff")
+    )
+    cum = F.col("_poff") + F.col("_lcum")
+    start = cum - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), ["grp", "_pid"])
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            start.cast("bigint").alias("start_offset"),
+            F.floor(start / capacity).cast("bigint").alias("chunk_idx"),
+            (start % capacity).cast("bigint").alias("chunk_offset"),
+        )
     )

@@ -520,19 +520,18 @@ def source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus quota: cap any single source's contribution at 50
     docs, chosen by deterministic hash priority (md5 of the id — a stable,
     partitioning-invariant shuffle of each source's docs, not first-N file
-    order). One shuffle on source; per-partition top-k state only. At 100 TB
-    this is the domain-mixing cap that stops one crawl domain from dominating
-    the training mix."""
-    from pyspark.sql import Window
+    order). Ranking goes through ``grouped_topk``: a handful of source keys
+    over a 100 TB corpus would funnel everything into |sources| window
+    tasks — the pre-rank within (source, input-partition) caps each source's
+    shuffle contribution at 50 rows per partition first. At 100 TB this is
+    the domain-mixing cap that stops one crawl domain from dominating the
+    training mix."""
+    from ..operators.similarity import grouped_topk
 
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 50)
-    )
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    return grouped_topk(
+        _docs(spark, sf_dir).select("doc_id", "source"), ["source"], 50, order, rank_name="rn"
+    ).select("doc_id", "source", "rn")
 
 
 # ---------------------------------------------------------------------------

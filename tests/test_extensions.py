@@ -231,3 +231,27 @@ def test_fuzzy_match_pairs_blocked(spark):
     assert got[("red widget", "red widgets")] == 1
     assert ("blue widget", "red widget") not in got  # different block
     assert all(d <= 3 for d in got.values())
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    """The hierarchical prefix sum must reconstruct the same global offsets
+    for ANY physical partitioning of the input (offset + local sum is
+    boundary-independent)."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.packing import pack_training_sequences
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = sorted(map(tuple, pack_training_sequences(d).collect()))
+    b = sorted(map(tuple, pack_training_sequences(d.repartition(3)).collect()))
+    assert a == b
+    # chunks are dense: every doc's start_offset equals the running total
+    for grp_rows in (a,):
+        by_src = {}
+        for doc_id, src, n, start, ci, co in grp_rows:
+            by_src.setdefault(src, []).append((doc_id, n, start))
+        for src, rows in by_src.items():
+            rows.sort()
+            run = 0
+            for doc_id, n, start in rows:
+                assert start == run, (src, doc_id)
+                run += n
