@@ -157,3 +157,34 @@ def test_hash_sample_is_scan_side_filter(spark, sf_dir):
         entry_mod.queries()["sample_hash_deterministic"](spark, sf_dir)
     )
     assert "Exchange" not in plan, plan
+
+
+def test_plan_audit_all_batch_queries(spark, sf_dir):
+    """Sweep every batch query's physical plan: no CartesianProduct, no
+    row-at-a-time Python (BatchEvalPython), and any Exchange SinglePartition
+    must sit directly above a KEYLESS PARTIAL aggregate — the canonical
+    global-aggregate shape where one pre-combined row per partition crosses
+    the exchange. A single-partition exchange over anything else is a funnel
+    that dies at scale."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    failures = []
+    for name, fn in qs.items():
+        if name.startswith("st_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "BatchEvalPython"))
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            below = " ".join(lines[i + 1 : i + 2])
+            if not re.search(r"(Hash|Sort|Object.*)Aggregate\(keys?=\[\], functions=\[partial_", below):
+                failures.append((name, f"SinglePartition over: {below.strip()[:90]}"))
+    assert not failures, failures
