@@ -211,6 +211,40 @@ def st_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st_upsert_sink_snapshot",
+    """
+    SELECT c_custkey AS customer_id,
+           CASE WHEN c_custkey % 5 = 0 THEN UPPER(c_name) ELSE c_name END AS name,
+           c_mktsegment AS segment,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    """,
+)
+def st_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE emulation itself, driver-hash-checked: the change
+    stream runs through ``foreach_batch_upsert`` (foreachBatch → keyed
+    latest-version-wins state table) and the materialized parquet state is
+    returned — same oracle as ``st_cdf_snapshot``, but the rows travel the
+    upsert SINK path rather than batch snapshot compaction."""
+    import tempfile
+
+    from ..streaming.sinks import foreach_batch_upsert
+
+    cf = _build_change_log(spark, sf_dir)
+    os.makedirs("/tmp/awlh_stream", exist_ok=True)
+    state_dir = tempfile.mkdtemp(prefix="upsert-q-", dir="/tmp/awlh_stream") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="upsert-q-ck-", dir="/tmp/awlh_stream")
+    foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
+    return spark.read.parquet(state_dir).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming medallion: dim_geo with a streaming driving table (J1 shape) —
 # incremental run equals the batch dataset (same oracle as dim_geo)
