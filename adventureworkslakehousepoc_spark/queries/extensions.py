@@ -866,3 +866,107 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import pack_training_sequences
 
     return pack_training_sequences(_docs(spark, sf_dir), capacity=512)
+
+
+@query(
+    "training_corpus_pipeline_v2",
+    """
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             d.ws[i] || ' ' || d.ws[i+1] || ' ' || d.ws[i+2] || ' '
+               || d.ws[i+3] || ' ' || d.ws[i+4] AS sh
+      FROM ws d, unnest(generate_series(1, len(d.ws) - 4)) AS t(i)
+    ),
+    boiler AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.5
+               AS keep
+      FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+      GROUP BY 1
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+    wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    cc AS (SELECT w, SUM(cnt) AS cw FROM wc GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS tot FROM cc),
+    probs AS (
+      SELECT w, CAST(FLOOR(-log10(CAST(cw AS DOUBLE) / tot) * 1000000 + 0.5) AS BIGINT)
+               AS nl_u
+      FROM cc, tot
+    ),
+    lm AS (
+      SELECT wc.doc_id,
+             CAST(SUM(wc.cnt * p.nl_u) AS DOUBLE) / SUM(wc.cnt) / 1000000.0 AS score
+      FROM wc JOIN probs p ON wc.w = p.w GROUP BY 1
+    ),
+    gated AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+      JOIN reps r ON d.doc_id = r.doc_id
+      LEFT JOIN boiler b ON d.doc_id = b.doc_id
+      JOIN lm ON d.doc_id = lm.doc_id
+      WHERE COALESCE(b.keep, TRUE) AND lm.score <= 1.48
+    ),
+    quota AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM gated
+      ) WHERE rn <= 50
+    ),
+    packed AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM quota
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(FLOOR(CAST(MAX(cum) - 1 AS DOUBLE) / 512) + 1 AS BIGINT) AS n_chunks
+    FROM packed
+    GROUP BY 1
+    """,
+)
+def training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 end-to-end corpus pass, composing the modern pipeline:
+    exact dedup -> boilerplate-span gate (corpus-level 5-gram doc frequency)
+    -> unigram-LM quality gate (corpus-trained, score <= 1.48) -> per-source
+    quota cap (hash-priority 50) -> sequence packing (capacity 512) ->
+    per-source accounting. Corpus-level stats (boilerplate doc-freq, LM
+    model) are computed over the FULL corpus; gates then filter the deduped
+    stream — the realistic ordering for a 100 TB pretraining build."""
+    from ..operators.packing import pack_training_sequences
+    from ..operators.similarity import grouped_topk
+    from ..operators.text_analysis import boilerplate_flags, unigram_lm_scores
+
+    docs = _docs(spark, sf_dir)
+    kept = docs.join(
+        exact_duplicate_groups(docs).select(F.col("representative_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    bf = boilerplate_flags(docs).select("doc_id", "keep")
+    lm = unigram_lm_scores(docs).select("doc_id", "avg_neglog10_p")
+    gated = (
+        kept.join(bf, "doc_id", "left")
+        .join(lm, "doc_id")
+        .filter(F.coalesce(F.col("keep"), F.lit(True)) & (F.col("avg_neglog10_p") <= 1.48))
+        .select("doc_id", "source", "text")
+    )
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    quota = grouped_topk(gated, ["source"], 50, order, rank_name="rn").select(
+        "doc_id", "source", "text"
+    )
+    packed = pack_training_sequences(quota, capacity=512)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.floor((F.max(F.col("start_offset") + F.col("n_tokens")) - 1) / 512) + 1)
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
