@@ -37,6 +37,10 @@ __all__ = [
     "ivf_assign_cells",
     "cosine_topk_ivf",
     "knn_join",
+    "squared_l2",
+    "pq_codebook",
+    "pq_encode",
+    "pq_topk",
     "cosine_scores_pandas_udf",
 ]
 
@@ -246,6 +250,120 @@ def knn_join(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame
     order = [F.desc("score"), F.asc("vec_id")]
     return grouped_topk(scored, ["q_id"], k, order).select(
         "q_id", "vec_id", "label", "score", "rank"
+    )
+
+
+def squared_l2(a: str, b: str) -> Column:
+    """Quantization-stable squared L2: ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩, each inner
+    product the same order-stable double fold as ``dot_product`` — the
+    combination is three IEEE ops, identical in DuckDB."""
+    return dot_product(a, a) - F.lit(2.0) * dot_product(a, b) + dot_product(b, b)
+
+
+def pq_codebook(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> DataFrame:
+    """Product-quantization codebook: the embedding splits into ``m``
+    contiguous subspaces; per subspace the subvectors of the first
+    ``n_centroids`` vec_ids are the centroids (the same deterministic seeding
+    as IVF — Lloyd refinement would average floats order-dependently and
+    break the oracle). Returns (sub, cent_id, c_vec): m·n_centroids rows —
+    broadcastable at any corpus size."""
+    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
+    d = dim_row[0][0] // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"), F.slice("embedding", s * d + 1, d).alias("c_vec")
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.explode(subs).alias("x"))
+        .select("cent_id", F.col("x.sub").alias("sub"), F.col("x.c_vec").alias("c_vec"))
+    )
+
+
+def pq_encode(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> DataFrame:
+    """PQ index build: every vector's subspace slice joins the (broadcast)
+    codebook and keeps its nearest centroid id — argmin of quantized squared
+    L2, centroid id the tie break. Long-form output (vec_id, sub, code):
+    8 codes of 4 bits each here, i.e. ~4 bytes per vector instead of 256 —
+    the compression that lets 10⁹-vector indexes live in memory. One shuffle
+    (window keyed by (vec_id, sub)); built once, searched many times."""
+    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
+    d = dim_row[0][0] // m
+    subs = F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.slice("embedding", s * d + 1, d).alias("v_sub"))
+            for s in range(m)
+        ]
+    )
+    sub_vecs = embeddings.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", F.col("x.sub").alias("sub"), F.col("x.v_sub").alias("v_sub")
+    )
+    # distances live as integer micro-units from here on: argmin ordering and
+    # the ADC sum are exact integer ops, immune to float summation order
+    scored = sub_vecs.join(F.broadcast(pq_codebook(embeddings, m, n_centroids)), "sub").select(
+        "vec_id",
+        "sub",
+        "cent_id",
+        F.floor(squared_l2("v_sub", "c_vec") * 1000000 + F.lit(0.5)).cast("bigint").alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("cent_id").cast("int").alias("code"))
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: the query precomputes one
+    m×n_centroids distance table against the codebook (tiny, broadcast);
+    each corpus vector's approximate distance is the SUM of m table lookups
+    on its codes — no per-vector float math over raw embeddings at query
+    time. Exactly the FAISS IVF-PQ search shape minus the IVF cell pruning
+    (compose with ``ivf_assign_cells`` for that). Top-k by ascending
+    quantized distance via TakeOrderedAndProject; ties break on vec_id."""
+    codes = pq_encode(embeddings, m, n_centroids)
+    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
+    d = dim_row[0][0] // m
+    q_subs = F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.slice("embedding", s * d + 1, d).alias("q_sub"))
+            for s in range(m)
+        ]
+    )
+    q = (
+        embeddings.filter(F.col("vec_id") == query_id)
+        .select(F.explode(q_subs).alias("x"))
+        .select(F.col("x.sub").alias("sub"), F.col("x.q_sub").alias("q_sub"))
+    )
+    dtable = q.join(F.broadcast(pq_codebook(embeddings, m, n_centroids)), "sub").select(
+        "sub",
+        F.col("cent_id").cast("int").alias("code"),
+        F.floor(squared_l2("q_sub", "c_vec") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qd2"),
+    )
+    approx = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg((F.sum("qd2").cast("double") / F.lit(1000000.0)).alias("approx_d2"))
+    )
+    labeled = approx.join(embeddings.select("vec_id", "label"), "vec_id")
+    order = [F.asc("approx_d2"), F.asc("vec_id")]
+    top = labeled.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "vec_id", "label", "approx_d2", "rank"
     )
 
 

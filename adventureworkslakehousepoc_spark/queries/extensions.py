@@ -970,3 +970,60 @@ def training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chunks"),
     )
+
+
+_PQ_L2 = (
+    "FLOOR((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})) * 1000000 + 0.5)"
+)
+
+
+@query(
+    "ann_pq_adc_topk",
+    f"""
+    WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT s.sub, e.vec_id AS cent_id,
+             CAST(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS DOUBLE[]) AS c_vec
+      FROM embeddings e, subs s WHERE e.vec_id < 16
+    ),
+    sv AS (
+      SELECT e.vec_id, s.sub,
+             CAST(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS DOUBLE[]) AS v_sub
+      FROM embeddings e, subs s
+    ),
+    codes AS (
+      SELECT vec_id, sub, CAST(cent_id AS INTEGER) AS code FROM (
+        SELECT sv.vec_id, sv.sub, cb.cent_id,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {_PQ_L2.format(a="sv.v_sub", b="cb.c_vec")}, cb.cent_id) AS rn
+        FROM sv JOIN cb ON sv.sub = cb.sub
+      ) WHERE rn = 1
+    ),
+    dt AS (
+      SELECT cb.sub, CAST(cb.cent_id AS INTEGER) AS code,
+             CAST({_PQ_L2.format(a="q.q_sub", b="cb.c_vec")} AS BIGINT) AS qd2
+      FROM (SELECT sub, v_sub AS q_sub FROM sv WHERE vec_id = 0) q
+      JOIN cb ON q.sub = cb.sub
+    ),
+    approx AS (
+      SELECT c.vec_id, CAST(SUM(dt.qd2) AS DOUBLE) / 1000000.0 AS approx_d2
+      FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+      GROUP BY 1
+    )
+    SELECT vec_id, label, approx_d2, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT a.vec_id, e.label, a.approx_d2,
+             row_number() OVER (ORDER BY a.approx_d2, a.vec_id) AS rank
+      FROM approx a JOIN embeddings e ON a.vec_id = e.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: 8x8-dim subspaces, 16 centroids each
+    (4-byte codes), query-side distance table, exact-integer micro-unit
+    accumulation. The FAISS-style memory-resident index path for 10^9
+    vectors."""
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), query_id=0, k=10)

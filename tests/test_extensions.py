@@ -255,3 +255,41 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
             for doc_id, n, start in rows:
                 assert start == run, (src, doc_id)
                 run += n
+
+
+def test_pq_codes_compact_and_recall(spark, sf_dir):
+    """PQ index: every vector gets exactly m 4-bit codes; ADC search ranks
+    the query itself first at distance 0 and keeps useful recall vs the
+    exact-L2 top-k (recall < 1 by design — it's the compressed scale path)."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        squared_l2,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = e.count()
+    codes = pq_encode(e)
+    assert codes.count() == n * 8
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < 16
+
+    top = sorted(pq_topk(e, 0, 10).collect(), key=lambda r: r.rank)
+    assert top[0].vec_id == 0 and top[0].approx_d2 == 0.0
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.floor(squared_l2("embedding", "q_embedding") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+    )
+    ex = {r.vec_id for r in exact.collect()}
+    got = {r.vec_id for r in top}
+    assert len(ex & got) / 10 >= 0.2
