@@ -386,3 +386,41 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "ts")
     )
     return run_available_now(deduped, "stream-dedup")
+
+
+@query(
+    "cdf_scd2_history",
+    """
+    SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-01-02 00:00:00'
+                WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-01-03 00:00:00'
+                ELSE NULL END AS valid_to,
+           c_custkey % 5 <> 0 AND c_custkey % 7 <> 0 AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, UPPER(c_name), c_acctbal + 100.0,
+           TIMESTAMP '2024-01-02 00:00:00',
+           CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-01-03 00:00:00'
+                ELSE NULL END,
+           c_custkey % 7 <> 0
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history materialized from the change feed: one
+    row per key version with (valid_from, valid_to, is_current); deletes
+    close the last version. The oracle derives the expected history in
+    closed form from the deterministic 3-version log."""
+    from ..streaming.cdf import scd2_history
+
+    cf = _build_change_log(spark, sf_dir)
+    hist = scd2_history(cf.read_batch(spark), ["c_custkey"])
+    return hist.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

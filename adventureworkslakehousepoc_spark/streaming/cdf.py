@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ChangeFeed", "CHANGE_TYPES", "latest_snapshot"]
+__all__ = ["ChangeFeed", "CHANGE_TYPES", "latest_snapshot", "scd2_history"]
 
 CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
 
@@ -68,4 +68,28 @@ def latest_snapshot(log_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         log.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & F.col("_change_type").isin(list(_LIVE_TYPES)))
         .drop("_rn", "_change_type", "_commit_version", "_commit_timestamp")
+    )
+
+
+def scd2_history(log_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the change log: one row per
+    VERSION of each key, with ``valid_from``/``valid_to`` effectivity range
+    and an ``is_current`` flag — the dimension-history table a lakehouse
+    silver layer keeps alongside the latest snapshot.
+
+    Per key: live rows (inserts/post-images) open a version at their commit
+    timestamp; the NEXT change on the same key (including a delete) closes
+    it via ``lead()``. Deletes close the prior version but emit no row.
+    One window shuffle on the key — same cost shape as ``latest_snapshot``."""
+    log = log_df.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*key_cols).orderBy(F.asc("_commit_version"))
+    nxt_ts = F.lead("_commit_timestamp").over(w)
+    return (
+        log.withColumn("valid_from", F.col("_commit_timestamp"))
+        .withColumn("valid_to", nxt_ts)
+        .withColumn(
+            "is_current", nxt_ts.isNull() & (F.col("_change_type") != "delete")
+        )
+        .filter(F.col("_change_type").isin(list(_LIVE_TYPES)))
+        .drop("_change_type", "_commit_version", "_commit_timestamp")
     )
