@@ -139,3 +139,44 @@ def test_streaming_medallion_dag_equals_batch(spark, sf_dir):
         g = sorted(map(tuple, got.collect()))
         w = sorted(map(tuple, want.collect()))
         assert g == w, name
+
+
+def test_foreach_batch_upsert_one_file_per_microbatch(spark, sf_dir):
+    """Same run, MANY micro-batches: maxFilesPerTrigger=1 forces the file
+    source to deliver the change log one file per batch (mod-time order =
+    commit order), so the upsert's state-reload path runs within a single
+    streaming query — the final state must still equal snapshot compaction."""
+    import shutil
+
+    from adventureworkslakehousepoc_spark.streaming.cdf import ChangeFeed
+
+    path = tempfile.mkdtemp(prefix="mb-cdf-", dir="/tmp/awlh_stream") + "/log"
+    state_dir = tempfile.mkdtemp(prefix="mb-upsert-", dir="/tmp/awlh_stream") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="mb-upsert-ck-", dir="/tmp/awlh_stream")
+    shutil.rmtree(path, ignore_errors=True)
+    cf = ChangeFeed(path)
+    base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    cf.write(base, "insert", 1, "2024-01-01 00:00:00")
+    updated = base.filter((F.col("c_custkey") % 5) == 0)
+    cf.write(
+        updated.withColumn("c_acctbal", F.col("c_acctbal") + 100.0),
+        "update_postimage", 2, "2024-01-02 00:00:00",
+    )
+    cf.write(base.filter((F.col("c_custkey") % 7) == 0), "delete", 3, "2024-01-03 00:00:00")
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    foreach_batch_upsert(stream, state_dir, ["c_custkey"], ckpt)
+
+    got = {r.c_custkey: r.c_acctbal for r in spark.read.parquet(state_dir).collect()}
+    expected = {
+        r.c_custkey: r.c_acctbal
+        for r in cf.latest_snapshot(spark, ["c_custkey"]).collect()
+    }
+    assert got == expected
