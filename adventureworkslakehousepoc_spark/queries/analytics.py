@@ -655,3 +655,38 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS grp
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), (o_orderpriority))
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed GROUPING SETS aggregation (pair, per-segment, per-priority) with
+    GROUPING() disambiguation — the multi-granularity reporting aggregate;
+    Catalyst plans one Expand + a single shuffle, not three scans. Exact
+    decimal sum cast to double at the edge."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    joined.createOrReplaceTempView("gs_input")
+    return joined.sparkSession.sql(
+        """
+        SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INT) AS grp
+        FROM gs_input
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), (o_orderpriority))
+        """
+    )
