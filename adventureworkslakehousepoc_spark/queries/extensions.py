@@ -1027,3 +1027,41 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_topk
 
     return pq_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@query(
+    "f_array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+                AS BIGINT) AS l2sq_micros,
+           CAST(FLOOR(CAST(list_min(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS min_micros,
+           CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS max_micros
+    FROM embeddings
+    """,
+)
+def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: size, lambda
+    filter, fold (order-stable double dot product), element min/max — all
+    whole-stage-codegen projections, zero shuffles."""
+    from ..operators.similarity import dot_product
+
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.floor(dot_product("embedding", "embedding") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("l2sq_micros"),
+        F.floor(F.array_min("embedding").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("min_micros"),
+        F.floor(F.array_max("embedding").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("max_micros"),
+    )
