@@ -30,7 +30,12 @@ from pyspark.sql.types import (
 
 from .cdf import latest_snapshot
 
-__all__ = ["foreach_batch_upsert", "running_counts_with_state"]
+__all__ = [
+    "foreach_batch_upsert",
+    "running_counts_with_state",
+    "tws_available",
+    "running_max_with_tws",
+]
 
 
 def foreach_batch_upsert(
@@ -110,4 +115,67 @@ def running_counts_with_state(events: DataFrame, key: str = "user_id") -> DataFr
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` runs a protobuf-speaking
+    Python driver worker; this sandbox ships a broken ``google.protobuf``
+    (no compiled descriptors), so the capability is probed, not assumed.
+    ``applyInPandasWithState`` (above) is the supported fallback path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_max_with_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key running (count, max-cents) via Spark 4's
+    ``transformWithStateInPandas`` — the typed-state successor to
+    ``applyInPandasWithState`` (named ValueState handles, timers, TTL). Same
+    semantics as ``running_counts_with_state`` but through the new API;
+    callers must check ``tws_available()`` first (see its docstring)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_cents", LongType()),
+        ]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, mx_cents BIGINT")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            if self._state.exists():
+                n, mx = self._state.get()
+            else:
+                n, mx = 0, None
+            for pdf in rows:
+                n += len(pdf)
+                m = int((pdf["value"] * 100).round().astype("int64").max())
+                mx = m if mx is None else max(mx, m)
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_events": [n], "max_cents": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select(key, "value").groupBy(key).transformWithStateInPandas(
+        statefulProcessor=RunningMax(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -180,3 +180,31 @@ def test_foreach_batch_upsert_one_file_per_microbatch(spark, sf_dir):
         for r in cf.latest_snapshot(spark, ["c_custkey"]).collect()
     }
     assert got == expected
+
+
+def test_transform_with_state_running_max(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas path — skipped where the sandbox's
+    google.protobuf lacks compiled descriptors (probed, not assumed)."""
+    import pytest
+
+    from adventureworkslakehousepoc_spark.streaming.sinks import (
+        running_max_with_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf descriptors unavailable: TWS driver worker cannot start")
+    from adventureworkslakehousepoc_spark.streaming.runner import stream_table
+
+    tws = running_max_with_tws(stream_table(spark, sf_dir, "events"))
+    got = {r.user_id: (r.n_events, r.max_cents) for r in run_available_now_update(tws).collect()}
+    batch = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"),
+        )
+    )
+    for r in batch.collect():
+        assert got[r.user_id] == (r.n, r.mx), r.user_id
