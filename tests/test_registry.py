@@ -100,11 +100,14 @@ def test_partitioned_write(spark, sf_dir):
     assert len(parts) > 1
     back = spark.read.parquet(out["fact_sales"])
     assert back.count() == ctx.dataframe("fact_sales").count()
-    # partition pruning: a single-date read must scan one partition only
+    # partition pruning: a single-date read must reach the scan as a
+    # PartitionFilter (directory-level skip), not a post-scan filter
     one = parts[0].split("=", 1)[1]
     pruned = back.filter(F.col("order_date") == one)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() > 0
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "order_date" in pf[1].split("]", 1)[0], plan[:1200]
 
 
 def test_three_part_names_in_catalog(spark, sf_dir):
