@@ -74,15 +74,30 @@ _R02_PRIORITY = (
 )
 
 
+# Queries added after the round-2 registration order was frozen: placed after
+# every other unchecked query (but before the r01-checked block) so the
+# driver's 50-query prefix for round 2 is exactly the one planned above; the
+# round-3 reorder will front whatever the r02 pass did not reach.
+_R02_LATE = frozenset(
+    {
+        "sft_transcript_assembly",
+        "contrastive_negative_pairs",
+        "embedding_norm_histogram",
+        "runtime_filter_join",
+    }
+)
+
+
 def _unchecked_first(merged: dict) -> dict:
     out = {k: merged[k] for k in _R02_PRIORITY if k in merged}
     out.update(
         {
             k: v
             for k, v in merged.items()
-            if k not in _R01_DRIVER_CHECKED and k not in out
+            if k not in _R01_DRIVER_CHECKED and k not in _R02_LATE and k not in out
         }
     )
+    out.update({k: v for k, v in merged.items() if k in _R02_LATE})
     out.update({k: v for k, v in merged.items() if k in _R01_DRIVER_CHECKED})
     return out
 

@@ -348,3 +348,51 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime hash-bucket filter (manual Bloom-style join pruning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runtime_filter_join",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS urgent_revenue,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime filter (operators/runtime_filter.py): the urgent-order
+    keys' occupied hash buckets are broadcast and prune lineitem with a LEFT
+    SEMI BroadcastHashJoin BEFORE the exact shuffle join; collisions are
+    false-positive-only, so the result is value-identical to the plain join
+    the oracle runs. At 100 TB the build side outgrows the broadcast
+    threshold but its <=2^20-long bucket set never does, and the probe
+    shuffle shrinks by the build selectivity."""
+    from ..operators.runtime_filter import prune_with_hash_bucket_filter
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    pruned = prune_with_hash_bucket_filter(
+        t["lineitem"], "l_orderkey", urgent, "o_orderkey", n_buckets=1 << 20
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(rev).cast("double").alias("urgent_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )

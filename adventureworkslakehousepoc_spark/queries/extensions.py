@@ -1065,3 +1065,114 @@ def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-example assembly (transcripts + contrastive negatives) and
+# embedding QA (norm histogram)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@query(
+    "sft_transcript_assembly",
+    """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS transcript,
+           COUNT(*) AS n_events,
+           MIN(ts) AS started_at,
+           MAX(ts) AS ended_at
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def sft_transcript_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT corpus assembly: per-conversation ordered transcript. One shuffle
+    on the conversation key; ``array_sort`` over (ts, event_id) structs makes
+    the sequence deterministic regardless of partition interleaving (bare
+    ``collect_list`` is partition-ordered, i.e. unstable). Per-key state is
+    bounded by conversation length, so the shape holds at corpus scale."""
+    from ..operators.assembly import assemble_transcripts
+
+    return assemble_transcripts(_events(spark, sf_dir), key="user_id")
+
+
+@query(
+    "contrastive_negative_pairs",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    a AS (
+      SELECT d.doc_id AS anchor_id, d.lang AS anchor_lang, t.j AS neg_rank,
+             CAST(concat('0x', substr(md5(d.doc_id || ':' || t.j), 1, 15))
+                  AS BIGINT) AS raw,
+             n.n_docs
+      FROM documents d, n, unnest([0, 1, 2, 3]) AS t(j)
+    ),
+    w AS (
+      SELECT anchor_id, anchor_lang, neg_rank,
+             (anchor_id + 1 + (raw % (n_docs - 1))) % n_docs AS neg_id
+      FROM a
+    )
+    SELECT w.anchor_id, w.neg_rank, w.neg_id, w.anchor_lang,
+           d.lang AS neg_lang,
+           w.anchor_lang <> d.lang AS is_cross_lang,
+           d.source AS neg_source
+    FROM w JOIN documents d ON d.doc_id = w.neg_id
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative mining: 4 md5-derived negatives per
+    anchor, no RNG, no driver collect (corpus size is a broadcast 1-row
+    count); the feature join back to documents is a plain shuffle equi-join.
+    offset = 1 + md5 % (n-1) guarantees neg != anchor. Reproducible across
+    engines/partitionings — the resumability property a training pipeline
+    needs."""
+    from ..operators.assembly import negative_pairs
+
+    return negative_pairs(_docs(spark, sf_dir), k=4)
+
+
+@query(
+    "embedding_norm_histogram",
+    """
+    WITH s AS (
+      SELECT label,
+             CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))
+                        * 1000000 + 0.5) AS BIGINT) AS sumsq_micro
+      FROM embeddings
+    )
+    SELECT label, sumsq_micro // 1000000 AS norm_sq_bucket,
+           COUNT(*) AS n_vectors,
+           MIN(sumsq_micro) AS min_sumsq_micro,
+           MAX(sumsq_micro) AS max_sumsq_micro
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label histogram of squared L2 norms (outlier / dead
+    vector detection before ANN indexing). Micro-unit quantized fold (the
+    ``f_array_functions`` idiom) then an integer groupBy — one shuffle whose
+    key count is |labels| x |buckets|, both O(1) in corpus size after the
+    map-side partial aggregate."""
+    from ..operators.similarity import dot_product
+
+    e = _emb(spark, sf_dir)
+    sumsq = (
+        F.floor(dot_product("embedding", "embedding") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sumsq_micro")
+    )
+    s = e.select("label", sumsq)
+    return s.groupBy(
+        "label",
+        F.floor(F.col("sumsq_micro") / F.lit(1000000)).cast("bigint").alias("norm_sq_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("sumsq_micro").alias("min_sumsq_micro"),
+        F.max("sumsq_micro").alias("max_sumsq_micro"),
+    )

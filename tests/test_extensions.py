@@ -293,3 +293,63 @@ def test_pq_codes_compact_and_recall(spark, sf_dir):
     ex = {r.vec_id for r in exact.collect()}
     got = {r.vec_id for r in top}
     assert len(ex & got) / 10 >= 0.2
+
+
+def test_negative_pairs_deterministic_and_no_self(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.assembly import negative_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = negative_pairs(docs, k=4)
+    rows = out.collect()
+    n_docs = docs.count()
+    assert len(rows) == 4 * n_docs
+    per_anchor = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert 0 <= r.neg_id < n_docs
+        per_anchor.setdefault(r.anchor_id, set()).add(r.neg_rank)
+    assert all(v == {0, 1, 2, 3} for v in per_anchor.values())
+    # partition-layout invariance: same pairs after an adversarial repartition
+    again = {
+        (r.anchor_id, r.neg_rank): r.neg_id
+        for r in negative_pairs(docs.repartition(13), k=4).collect()
+    }
+    assert {(r.anchor_id, r.neg_rank): r.neg_id for r in rows} == again
+
+
+def test_hash_bucket_filter_superset_of_exact_semi(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.runtime_filter import (
+        prune_with_hash_bucket_filter,
+    )
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    exact = {
+        r.l_orderkey
+        for r in t["lineitem"]
+        .join(urgent, t["lineitem"]["l_orderkey"] == urgent["o_orderkey"], "left_semi")
+        .select("l_orderkey")
+        .collect()
+    }
+    # generous geometry: near-zero false positives expected, never a miss
+    kept = {
+        r.l_orderkey
+        for r in prune_with_hash_bucket_filter(
+            t["lineitem"], "l_orderkey", urgent, "o_orderkey", n_buckets=1 << 20
+        )
+        .select("l_orderkey")
+        .collect()
+    }
+    assert exact <= kept
+    # adversarially tiny filter (16 buckets): heavy collisions, still superset
+    tiny = {
+        r.l_orderkey
+        for r in prune_with_hash_bucket_filter(
+            t["lineitem"], "l_orderkey", urgent, "o_orderkey", n_buckets=16
+        )
+        .select("l_orderkey")
+        .collect()
+    }
+    assert exact <= tiny

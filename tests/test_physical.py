@@ -188,3 +188,19 @@ def test_plan_audit_all_batch_queries(spark, sf_dir):
             if not re.search(r"(Hash|Sort|Object.*)Aggregate\(keys?=\[\], functions=\[partial_", below):
                 failures.append((name, f"SinglePartition over: {below.strip()[:90]}"))
     assert not failures, failures
+
+
+def test_runtime_filter_plans_as_broadcast_semi_join(spark, sf_dir):
+    """The hash-bucket runtime filter must prune the probe via a LEFT SEMI
+    BroadcastHashJoin (no probe-side shuffle to apply the filter) and the
+    composed query must still broadcast nothing bigger than the bucket set."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    plan = (
+        qs["runtime_filter_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
