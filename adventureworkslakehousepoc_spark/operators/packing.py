@@ -74,3 +74,39 @@ def pack_training_sequences(
             (start % capacity).cast("bigint").alias("chunk_offset"),
         )
     )
+
+
+def length_quantile_buckets(docs: DataFrame, col: str = "n_chars") -> DataFrame:
+    """Curriculum / batch-shape bucketing: assign each document to a length
+    quartile using exact distributed quantile boundaries.
+
+    The boundary aggregate is the canonical two-phase global shape (partial
+    per partition, one merged row) and rides along as a broadcast 1-row
+    relation — no window over the corpus, no driver round-trip. Assignment is
+    then a pure projection, so the whole operator is one keyless aggregate
+    plus one codegen'd CASE. Returns the per-bucket summary (bucket id,
+    count, min/max length); at 100 TB swap the exact percentile for
+    ``approx_percentile`` and the shape is unchanged.
+    """
+    q = docs.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({col}, 0.50)").alias("q2"),
+        F.expr(f"percentile({col}, 0.75)").alias("q3"),
+    )
+    c = F.col(col)
+    bucket = (
+        F.when(c <= F.col("q1"), 0)
+        .when(c <= F.col("q2"), 1)
+        .when(c <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .select(c.alias(col), bucket.alias("length_bucket"))
+        .groupBy("length_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(col).alias("min_chars"),
+            F.max(col).alias("max_chars"),
+        )
+    )

@@ -261,3 +261,56 @@ def unigram_lm_scores(
             ).alias("avg_neglog10_p"),
         )
     )
+
+
+def encode_token_ids(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
+    """Tokenizer encode stage: map every document to its token-id sequence
+    under a corpus-derived frequency vocabulary.
+
+    Three scale-safe stages: (1) vocabulary = top-``vocab_size`` tokens by
+    (count DESC, token ASC) via ``orderBy().limit()`` — plans as distributed
+    TakeOrderedAndProject, never a single-partition sort, with ids assigned by
+    a window over only ``vocab_size`` rows; (2) the vocabulary (tiny by
+    construction) BROADCAST-joins onto the exploded (doc, position, token)
+    stream, out-of-vocab tokens encode as id 0; (3) sequences reassemble with
+    one shuffle on doc_id, ``array_sort`` over (pos, id) structs restoring
+    token order independent of partition interleaving.
+
+    This is the encode step a training pipeline runs after text hygiene and
+    before packing (see operators/packing.py); ids are '|'-joined strings so
+    the result value-hashes across engines.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import spread
+
+    counts = (
+        spread(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    order = [F.desc("n"), F.asc("token")]
+    vocab = (
+        counts.orderBy(*order)
+        .limit(vocab_size)
+        .withColumn("token_id", F.row_number().over(Window.orderBy(*order)))
+        .select("token", "token_id")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    enc = toks.join(F.broadcast(vocab), "token", "left")
+    item = F.struct(
+        F.col("pos"), F.coalesce(F.col("token_id"), F.lit(0)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(item)), lambda x: x["tid"].cast("string")
+            ),
+            "|",
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_unk"),
+    )

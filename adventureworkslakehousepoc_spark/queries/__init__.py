@@ -84,6 +84,8 @@ _R02_LATE = frozenset(
         "contrastive_negative_pairs",
         "embedding_norm_histogram",
         "runtime_filter_join",
+        "tokenize_encode_ids",
+        "curriculum_length_buckets",
     }
 )
 

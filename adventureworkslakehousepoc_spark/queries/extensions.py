@@ -1176,3 +1176,74 @@ def embedding_norm_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sumsq_micro").alias("min_sumsq_micro"),
         F.max("sumsq_micro").alias("max_sumsq_micro"),
     )
+
+
+@query(
+    "tokenize_encode_ids",
+    """
+    WITH counts AS (
+      SELECT w AS token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+               AS token_id
+      FROM counts
+      QUALIFY token_id <= 256
+    ),
+    toks AS (
+      SELECT d.doc_id, d.ws[i] AS token, i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+           unnest(generate_series(1, len(d.ws))) AS t(i)
+    )
+    SELECT doc_id,
+           string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), '|' ORDER BY pos)
+             AS token_ids,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk
+    FROM toks LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode stage (operators/text_analysis.py::encode_token_ids):
+    corpus-frequency vocabulary via distributed top-k, broadcast onto the
+    exploded token stream, sequences reassembled order-stable. The pipeline
+    step between text hygiene and sequence packing."""
+    from ..operators.text_analysis import encode_token_ids
+
+    return encode_token_ids(_docs(spark, sf_dir), vocab_size=256)
+
+
+@query(
+    "curriculum_length_buckets",
+    """
+    WITH q AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    ),
+    b AS (
+      SELECT d.n_chars,
+             CASE WHEN d.n_chars <= q.q1 THEN 0
+                  WHEN d.n_chars <= q.q2 THEN 1
+                  WHEN d.n_chars <= q.q3 THEN 2
+                  ELSE 3 END AS length_bucket
+      FROM documents d, q
+    )
+    SELECT length_bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM b GROUP BY 1
+    """,
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing (operators/packing.py::length_quantile_buckets):
+    exact quartile boundaries from one two-phase keyless aggregate, broadcast
+    back for a projection-only assignment — the batch-shape grouping step a
+    training scheduler needs, with no corpus-wide window or sort."""
+    from ..operators.packing import length_quantile_buckets
+
+    return length_quantile_buckets(_docs(spark, sf_dir), col="n_chars")
