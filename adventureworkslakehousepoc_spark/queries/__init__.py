@@ -86,6 +86,8 @@ _R02_LATE = frozenset(
         "runtime_filter_join",
         "tokenize_encode_ids",
         "curriculum_length_buckets",
+        "dq_expectations_orders",
+        "schema_evolution_read",
     }
 )
 

@@ -396,3 +396,94 @@ def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (DLT @dp.expect surface) and schema evolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectations_orders",
+    """
+    SELECT 'custkey_not_null' AS expectation,
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_failed,
+           CAST(COUNT(*) - SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_passed
+    FROM orders
+    UNION ALL
+    SELECT 'positive_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+             AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'known_status',
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+             AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0
+                               ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01' THEN 0 ELSE 1
+                    END) AS BIGINT),
+           CAST(COUNT(*) - SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                               THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style expectations (operators/quality.py): all constraints fold
+    into ONE keyless aggregate scan (conditional sums, map-side partials)
+    then unpivot — metric cost is one pass no matter how many rules. The
+    reference's host platform carries this surface on its pipeline
+    decorator; null predicates fail, per DLT semantics."""
+    from ..operators.quality import expectation_metrics
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return expectation_metrics(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "positive_totalprice": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "orderdate_in_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
+        },
+    )
+
+
+@query(
+    "schema_evolution_read",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution / drift tolerance: an old-schema snapshot (doc_id,
+    lang) and an evolved snapshot (+source, n_chars) are written side by side
+    and read back through ``mergeSchema`` — Spark unions the footers'
+    schemas and null-fills missing columns, the lakehouse upgrade path that
+    needs no rewrite of old files. The oracle states the expected merged
+    relation directly over the source table (same trick as
+    s8_sink_roundtrip), so the write+read round trip itself is what's
+    hash-checked. Footer merge cost scales with file count, not rows."""
+    import os as _os
+
+    base = _t(spark, sf_dir, "documents")["documents"]
+    tmp = _os.path.join("/tmp/awlh_schema_evo", _os.path.basename(sf_dir.rstrip("/")))
+    v1 = base.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = base.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    v1.write.mode("overwrite").parquet(tmp + "/v1")
+    v2.write.mode("overwrite").parquet(tmp + "/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(tmp + "/v1", tmp + "/v2")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
