@@ -88,6 +88,7 @@ _R02_LATE = frozenset(
         "curriculum_length_buckets",
         "dq_expectations_orders",
         "schema_evolution_read",
+        "cdf_time_travel_asof_v2",
     }
 )
 

@@ -424,3 +424,32 @@ def cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query(
+    "cdf_time_travel_asof_v2",
+    """
+    SELECT c_custkey AS customer_id,
+           CASE WHEN c_custkey % 5 = 0 THEN UPPER(c_name) ELSE c_name END AS name,
+           c_mktsegment AS segment,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+             AS acctbal
+    FROM customer
+    """,
+)
+def cdf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (Delta VERSION AS OF over the CDF emulation): state as of
+    version 2 — v2's updates applied, v3's deletes not yet visible, so every
+    customer is present. The version predicate is pushdown-eligible and
+    prunes newer log files at the scan. Oracle restates the expected v2
+    relation directly over `customer`."""
+    from ..streaming.cdf import snapshot_as_of
+
+    cf = _build_change_log(spark, sf_dir)
+    snap = snapshot_as_of(cf.read_batch(spark), ["c_custkey"], version=2)
+    return snap.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )

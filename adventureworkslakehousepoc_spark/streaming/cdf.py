@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ChangeFeed", "CHANGE_TYPES", "latest_snapshot", "scd2_history"]
+__all__ = ["ChangeFeed", "CHANGE_TYPES", "latest_snapshot", "scd2_history", "snapshot_as_of"]
 
 CHANGE_TYPES = ("insert", "update_preimage", "update_postimage", "delete")
 
@@ -92,4 +92,19 @@ def scd2_history(log_df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         )
         .filter(F.col("_change_type").isin(list(_LIVE_TYPES)))
         .drop("_change_type", "_commit_version", "_commit_timestamp")
+    )
+
+
+def snapshot_as_of(
+    log_df: DataFrame, key_cols: Sequence[str], version: int
+) -> DataFrame:
+    """Time travel: reconstruct table state as of ``version`` (inclusive) —
+    the Delta ``VERSION AS OF`` read over the append-log emulation
+    (reference's platform feature; delta-spark absent here, SURVEY §7.2).
+    Identical plan shape to ``latest_snapshot`` with one extra pushdown-
+    eligible version predicate, so cost falls with how far back you travel:
+    the filter prunes newer log files at the scan via footer min/max stats
+    when the log is written version-ordered (as ChangeFeed.write appends)."""
+    return latest_snapshot(
+        log_df.filter(F.col("_commit_version") <= F.lit(version)), key_cols
     )
