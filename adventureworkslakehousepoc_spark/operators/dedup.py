@@ -370,3 +370,26 @@ def benchmark_overlap(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def incremental_new_content(new_docs: DataFrame, seen_docs: DataFrame) -> DataFrame:
+    """Cross-run incremental dedup: which content in the incoming batch has
+    never been seen by the accumulated corpus, deduped within the batch too.
+
+    The production shape for a pipeline that ingests continuously: the
+    accumulated corpus contributes only its DISTINCT 16-byte digests (at
+    scale a bucketed digest table, so repeated runs shuffle just the new
+    batch), the batch LEFT ANTI joins on digest — one shuffle keyed on the
+    digest, batch-sized not corpus-sized when the digest side is bucketed —
+    then collapses to one representative per new digest.
+    """
+    seen = seen_docs.select(F.md5("text").alias("content_hash")).distinct()
+    batch = new_docs.select("doc_id", F.md5("text").alias("content_hash"))
+    return (
+        batch.join(seen, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )

@@ -56,3 +56,61 @@ def stratified_hash_sample(
     else:
         pred = expr.otherwise(F.lit(False))
     return df.filter(pred)
+
+
+def mixture_resample_summary(
+    docs: DataFrame, out_num: int = 1, out_den: int = 2
+) -> DataFrame:
+    """Resample the corpus toward target per-source mixture weights — the
+    data-mixture step of a training pipeline (cf. quota cap, which is a hard
+    ceiling; this is proportional allocation).
+
+    Source s with weight w_s gets desired_s = (out_num/out_den) * N_total *
+    w_s / sum(w) slots; its keep rate is min(1, desired_s / n_s), realized by
+    a deterministic md5-derived per-doc draw. EVERYTHING is exact bigint
+    arithmetic — rate_micro = min(1e6, (1e6 * out_num * N * w) div
+    (out_den * sum_w * n_s)) — so no float crosses an engine boundary and
+    reruns are bit-stable. The per-source rate table is tiny (|sources|
+    rows) and broadcasts; the draw is a pure projection, so the whole
+    operator costs one count-aggregate plus one scan. Demo weights:
+    w_s = 1 + (source_number mod 4).
+
+    Returns the per-source summary (n_in, rate_micro, n_kept).
+    """
+    w = (F.lit(1) + F.substring("source", 4, 10).cast("int") % 4).cast("bigint")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).withColumn(
+        "w", w
+    )
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("sum_w")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr(
+                f"(1000000L * {out_num} * n_total * w) div ({out_den} * sum_w * n_s)"
+            ),
+        ).alias("rate_micro"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(draw < F.col("rate_micro"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_s").alias("n_in"),
+            "rate_micro",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

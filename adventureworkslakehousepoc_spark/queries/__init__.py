@@ -89,6 +89,8 @@ _R02_LATE = frozenset(
         "dq_expectations_orders",
         "schema_evolution_read",
         "cdf_time_travel_asof_v2",
+        "dedup_incremental_batch",
+        "mixture_resample_sources",
     }
 )
 

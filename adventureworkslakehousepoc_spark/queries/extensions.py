@@ -1247,3 +1247,74 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import length_quantile_buckets
 
     return length_quantile_buckets(_docs(spark, sf_dir), col="n_chars")
+
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    newb AS (
+      SELECT doc_id, md5(text) AS content_hash
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT n.content_hash, MIN(n.doc_id) AS representative_id,
+           COUNT(*) AS n_in_batch
+    FROM newb n LEFT JOIN seen s USING (content_hash)
+    WHERE s.content_hash IS NULL
+    GROUP BY 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup (operators/dedup.py::incremental_new_content):
+    the accumulated corpus (docs with doc_id%3!=0 here) contributes only its
+    distinct digests; the incoming batch LEFT ANTI joins on digest and
+    collapses to one representative per genuinely-new content hash. At scale
+    the digest table is bucketed so repeated ingests shuffle only the batch."""
+    from ..operators.dedup import incremental_new_content
+
+    d = _docs(spark, sf_dir)
+    return incremental_new_content(
+        d.filter(F.col("doc_id") % 3 == 0), d.filter(F.col("doc_id") % 3 != 0)
+    )
+
+
+@query(
+    "mixture_resample_sources",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(1 + CAST(substr(source, 4, 10) AS INTEGER) % 4 AS BIGINT) AS w
+      FROM documents GROUP BY 1
+    ),
+    totals AS (SELECT SUM(n_s) AS n_total, SUM(w) AS sum_w FROM counts),
+    rates AS (
+      SELECT c.source, c.n_s,
+             CAST(LEAST(CAST(1000000 AS BIGINT),
+                        (1000000 * 1 * t.n_total * c.w) // (2 * t.sum_w * c.n_s))
+                  AS BIGINT) AS rate_micro
+      FROM counts c, totals t
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 < r.rate_micro
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_s AS n_in, r.rate_micro,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling (operators/sampling.py::mixture_resample_summary):
+    proportional per-source allocation to target weights, realized by a
+    deterministic md5 draw against an exact-bigint keep rate — no float
+    crosses the engine boundary, reruns are bit-stable. One count aggregate
+    plus one scan; the rate table broadcasts."""
+    from ..operators.sampling import mixture_resample_summary
+
+    return mixture_resample_summary(_docs(spark, sf_dir), out_num=1, out_den=2)
