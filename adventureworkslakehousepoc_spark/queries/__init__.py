@@ -91,6 +91,7 @@ _R02_LATE = frozenset(
         "cdf_time_travel_asof_v2",
         "dedup_incremental_batch",
         "mixture_resample_sources",
+        "agg_cube",
     }
 )
 

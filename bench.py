@@ -50,6 +50,26 @@ BENCH_QUERIES = [
     "training_corpus_pipeline",
 ]
 
+# Round-2 operator additions, reported under "extra_queries" (not in `value`)
+EXTRA_QUERIES = [
+    "text_boilerplate_flags",
+    "text_unigram_lm_score",
+    "fuzzy_part_names",
+    "knn_join_exact",
+    "pack_training_sequences",
+    "ann_pq_adc_topk",
+    "training_corpus_pipeline_v2",
+    "tokenize_encode_ids",
+    "sft_transcript_assembly",
+    "contrastive_negative_pairs",
+    "embedding_norm_histogram",
+    "curriculum_length_buckets",
+    "runtime_filter_join",
+    "dedup_incremental_batch",
+    "mixture_resample_sources",
+    "dq_expectations_orders",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,17 +100,23 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    for name in names:
-        if cold:
-            timings[name] = round(execute(name), 4)
-        else:
-            execute(name)  # warm-up: JIT + codegen compile, untimed
-            # min of 2 timed runs — guards against ambient VM/GC noise spikes
-            timings[name] = round(min(execute(name), execute(name)), 4)
-        spark._jvm.System.gc()
+    def timed_set(q_names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in q_names:
+            if cold:
+                out[name] = round(execute(name), 4)
+            else:
+                execute(name)  # warm-up: JIT + codegen compile, untimed
+                # min of 2 timed runs — guards against ambient VM/GC noise spikes
+                out[name] = round(min(execute(name), execute(name)), 4)
+            spark._jvm.System.gc()
+        return out
 
+    timings = timed_set(names)
     total = round(sum(timings.values()), 4)
+    # round-2 additions timed SEPARATELY so `value` stays the fixed r01 list —
+    # round-over-round totals remain apples-to-apples.
+    extra_timings = timed_set([n for n in EXTRA_QUERIES if n in queries])
     print(
         json.dumps(
             {
@@ -99,6 +125,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "extra_queries": extra_timings,
+                "extra_total_seconds": round(sum(extra_timings.values()), 4),
             }
         )
     )
