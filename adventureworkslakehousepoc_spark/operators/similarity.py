@@ -260,15 +260,23 @@ def squared_l2(a: str, b: str) -> Column:
     return dot_product(a, a) - F.lit(2.0) * dot_product(a, b) + dot_product(b, b)
 
 
-def pq_codebook(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> DataFrame:
+def _subdim(embeddings: DataFrame, m: int, dim: int | None) -> int:
+    """Subspace width; one driver probe of a single row unless passed in."""
+    if dim is None:
+        dim = embeddings.select(F.size("embedding").alias("d")).take(1)[0][0]
+    return dim // m
+
+
+def pq_codebook(
+    embeddings: DataFrame, m: int = 8, n_centroids: int = 16, dim: int | None = None
+) -> DataFrame:
     """Product-quantization codebook: the embedding splits into ``m``
     contiguous subspaces; per subspace the subvectors of the first
     ``n_centroids`` vec_ids are the centroids (the same deterministic seeding
     as IVF — Lloyd refinement would average floats order-dependently and
     break the oracle). Returns (sub, cent_id, c_vec): m·n_centroids rows —
     broadcastable at any corpus size."""
-    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
-    d = dim_row[0][0] // m
+    d = _subdim(embeddings, m, dim)
     subs = F.array(
         *[
             F.struct(
@@ -284,15 +292,19 @@ def pq_codebook(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> Dat
     )
 
 
-def pq_encode(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> DataFrame:
+def pq_encode(
+    embeddings: DataFrame, m: int = 8, n_centroids: int = 16, dim: int | None = None
+) -> DataFrame:
     """PQ index build: every vector's subspace slice joins the (broadcast)
     codebook and keeps its nearest centroid id — argmin of quantized squared
     L2, centroid id the tie break. Long-form output (vec_id, sub, code):
     8 codes of 4 bits each here, i.e. ~4 bytes per vector instead of 256 —
-    the compression that lets 10⁹-vector indexes live in memory. One shuffle
-    (window keyed by (vec_id, sub)); built once, searched many times."""
-    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
-    d = dim_row[0][0] // m
+    the compression that lets 10⁹-vector indexes live in memory. The argmin
+    is ``min(struct(d2, cent_id))`` — a hash aggregate with map-side partials
+    (n_centroids candidate rows combine to 1 per (vec_id, sub) BEFORE the
+    shuffle), not a window, so shuffled volume is the code table itself.
+    Built once, searched many times."""
+    d = _subdim(embeddings, m, dim)
     subs = F.array(
         *[
             F.struct(F.lit(s).alias("sub"), F.slice("embedding", s * d + 1, d).alias("v_sub"))
@@ -304,17 +316,18 @@ def pq_encode(embeddings: DataFrame, m: int = 8, n_centroids: int = 16) -> DataF
     )
     # distances live as integer micro-units from here on: argmin ordering and
     # the ADC sum are exact integer ops, immune to float summation order
-    scored = sub_vecs.join(F.broadcast(pq_codebook(embeddings, m, n_centroids)), "sub").select(
+    scored = sub_vecs.join(
+        F.broadcast(pq_codebook(embeddings, m, n_centroids, dim=d * m)), "sub"
+    ).select(
         "vec_id",
         "sub",
         "cent_id",
         F.floor(squared_l2("v_sub", "c_vec") * 1000000 + F.lit(0.5)).cast("bigint").alias("d2"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("cent_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", F.col("cent_id").cast("int").alias("code"))
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cent_id").cast("int").alias("code"))
     )
 
 
@@ -332,9 +345,8 @@ def pq_topk(
     time. Exactly the FAISS IVF-PQ search shape minus the IVF cell pruning
     (compose with ``ivf_assign_cells`` for that). Top-k by ascending
     quantized distance via TakeOrderedAndProject; ties break on vec_id."""
-    codes = pq_encode(embeddings, m, n_centroids)
-    dim_row = embeddings.select(F.size("embedding").alias("d")).take(1)
-    d = dim_row[0][0] // m
+    d = _subdim(embeddings, m, None)
+    codes = pq_encode(embeddings, m, n_centroids, dim=d * m)
     q_subs = F.array(
         *[
             F.struct(F.lit(s).alias("sub"), F.slice("embedding", s * d + 1, d).alias("q_sub"))
@@ -346,7 +358,9 @@ def pq_topk(
         .select(F.explode(q_subs).alias("x"))
         .select(F.col("x.sub").alias("sub"), F.col("x.q_sub").alias("q_sub"))
     )
-    dtable = q.join(F.broadcast(pq_codebook(embeddings, m, n_centroids)), "sub").select(
+    dtable = q.join(
+        F.broadcast(pq_codebook(embeddings, m, n_centroids, dim=d * m)), "sub"
+    ).select(
         "sub",
         F.col("cent_id").cast("int").alias("code"),
         F.floor(squared_l2("q_sub", "c_vec") * 1000000 + F.lit(0.5))
