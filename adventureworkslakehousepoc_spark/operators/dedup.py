@@ -35,6 +35,7 @@ __all__ = [
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
     "benchmark_overlap",
+    "span_duplicate_stats",
 ]
 
 
@@ -391,5 +392,52 @@ def incremental_new_content(new_docs: DataFrame, seen_docs: DataFrame) -> DataFr
         .agg(
             F.min("doc_id").alias("representative_id"),
             F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+
+
+def span_duplicate_stats(
+    docs: DataFrame, n_words: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Span-level (paragraph-analog) exact dedup stats — the RefinedWeb/CCNet
+    line-dedup pass restated over fixed 20-word spans, since the corpus's
+    documents carry no newline structure. Every document splits into
+    consecutive ``n_words``-word spans (trailing partial span dropped); a span
+    *instance* is a duplicate when its text occurs more than once corpus-wide
+    (other documents or repeats within its own). Returns per-document
+    ``(doc_id, n_spans, n_dup_spans, dup_ratio_micros)`` for documents with at
+    least one full span — the upstream signal for "this page is template
+    boilerplate" filtering.
+
+    Scale: spans explode ~|words|/n_words rows per doc but project to
+    (doc_id, 16-byte digest) immediately — raw text never shuffles. The global
+    span-frequency table aggregates with map-side partials on the digest, and
+    the instance⋈frequency join co-partitions on the same digest key, so the
+    whole operator is two digest-keyed shuffles regardless of corpus size.
+    The Spark ``sequence`` guard matters: ``sequence(0, -1)`` counts DOWN, so
+    short documents must produce an empty array, not a phantom span.
+    """
+    words = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id"
+    ).select("doc_id", F.split(F.col("t"), " ").alias("ws"))
+    n_spans_expr = F.floor(F.size("ws") / n_words).cast("int")
+    spans = words.select(
+        "doc_id",
+        F.when(n_spans_expr >= 1, F.expr(
+            f"transform(sequence(0, cast(floor(size(ws)/{n_words}) as int) - 1), "
+            f"i -> md5(array_join(slice(ws, i*{n_words}+1, {n_words}), ' ')))"
+        )).otherwise(F.array().cast("array<string>")).alias("hs"),
+    ).select("doc_id", F.explode("hs").alias("h"))
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio_micros",
+            F.floor(F.col("n_dup_spans") * 1000000 / F.col("n_spans")).cast("bigint"),
         )
     )

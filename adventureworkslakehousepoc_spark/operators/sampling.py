@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample_predicate", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "hash_sample_predicate",
+    "hash_sample",
+    "stratified_hash_sample",
+    "mixture_resample_summary",
+    "shuffle_assignment",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -113,4 +119,46 @@ def mixture_resample_summary(
             "rate_micro",
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
+    )
+
+
+def shuffle_assignment(df: DataFrame, id_col: str = "doc_id", seed: str = "shuffle42") -> DataFrame:
+    """Deterministic global training-shuffle: every row gets a reproducible
+    position in a pseudo-random permutation of the corpus, without a
+    single-partition total sort.
+
+    Two-phase global ordering: the md5 of ``seed:id`` is the shuffle key; its
+    first hex byte is the bucket (256-way — widen the prefix for more output
+    files at larger corpora). Phase 1 ranks WITHIN each bucket (each reduce
+    task sorts corpus/256 rows — exactly the per-file sort a shuffled-shard
+    writer needs anyway). Phase 2 turns per-bucket counts into exclusive
+    prefix offsets via a broadcast ``b.bucket < a.bucket`` self-join over the
+    256-row size table — NOT a global window, so nothing in the plan ever
+    funnels to one partition. ``global_pos = offset(bucket) + pos_in_bucket``
+    is then the exact rank a single ORDER BY (bucket, key, id) would assign —
+    the idiom that makes "shuffle 100 TB for training" a bucketed write
+    instead of one task sorting the world.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col))).alias("shuffle_key"),
+    ).withColumn("bucket", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    ranked = keyed.withColumn("pos_in_bucket", F.row_number().over(wb).cast("bigint"))
+    sizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # exclusive prefix sum over the 256-row size table: broadcast non-equi
+    # self-join (bounded 256x256 pair space), zero single-partition exchanges
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "bucket",
+        "pos_in_bucket",
+        (F.col("off") + F.col("pos_in_bucket")).cast("bigint").alias("global_pos"),
     )

@@ -19,6 +19,7 @@ __all__ = [
     "repetition_scores",
     "boilerplate_flags",
     "unigram_lm_scores",
+    "tfidf_top_terms",
     "LANG_MARKERS",
 ]
 
@@ -313,4 +314,48 @@ def encode_token_ids(docs: DataFrame, vocab_size: int = 256) -> DataFrame:
         ).alias("token_ids"),
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_unk"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic signal a
+    corpus pipeline uses for domain tagging and mixture labeling.
+    ``idf = log10(N / df(term))`` over the whole corpus; ``score = tf · idf``.
+
+    Float discipline: per-TERM idf is quantized to integer micro-units once
+    (the proven unigram-LM idiom — see ``unigram_lm_scores``), so the per-doc
+    score ``tf · idf_micros`` and its ranking are exact integer arithmetic
+    that a DuckDB oracle replays bit-for-bit.
+
+    Scale: term frequencies aggregate with map-side partials; the document
+    frequency table is vocabulary-sized (tiny vs corpus) and AQE broadcasts
+    it back onto (doc, term) counts; the corpus size N is a 1-row broadcast.
+    The per-doc top-k goes through ``grouped_topk`` — a bounded local pre-rank
+    per (doc, input-partition) ahead of the real per-doc window — so no
+    reduce task ever sees more than k rows per document per input partition.
+    """
+    from .dedup import spread
+    from .similarity import grouped_topk
+
+    words = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id"
+    ).select("doc_id", F.explode(F.split(F.col("t"), " ")).alias("term"))
+    wc = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = wc.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n = docs.select(F.count(F.lit(1)).alias("nd"))
+    idf_u = F.floor(
+        F.log10(F.col("nd").cast("double") / F.col("dfc")) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    idf = dfreq.crossJoin(F.broadcast(n)).select("term", idf_u.alias("idf_micros"))
+    scored = wc.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        (F.col("tf") * F.col("idf_micros")).cast("bigint").alias("score_micros"),
+    )
+    order = [F.desc("score_micros"), F.asc("term")]
+    return grouped_topk(scored, ["doc_id"], k, order, rank_name="rn").select(
+        "doc_id", "term", "tf", "score_micros", F.col("rn").cast("int").alias("rn")
     )

@@ -92,6 +92,12 @@ _R02_LATE = frozenset(
         "dedup_incremental_batch",
         "mixture_resample_sources",
         "agg_cube",
+        "dedup_span_exact",
+        "tfidf_top_terms",
+        "global_shuffle_buckets",
+        "w4_rolling_range_frame",
+        "unpivot_source_metrics",
+        "j6_skew_salted_join",
     }
 )
 

@@ -725,3 +725,100 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
         )
     )
+
+
+@query(
+    "w4_rolling_range_frame",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, date_part('epoch', ts) AS es,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_u
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+           CAST(CAST(SUM(v_u) OVER w AS BIGINT) AS DOUBLE) / 1000000 AS sum_value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per event, that user's event count and
+    value sum over the trailing hour — frame bounds are VALUES on the epoch
+    ordering key (ties share a frame), not row offsets, so no unique
+    tie-breaker is needed. Values quantize to integer micro-units BEFORE the
+    running sum, so accumulation order can't drift the float. Scale: one
+    shuffle on user_id; per-user state is a bounded 1-hour deque."""
+    e = _t(spark, sf_dir, "events")["events"]
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("es"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, Window.currentRow)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events_1h"),
+        (F.sum("v_u").over(w).cast("bigint").cast("double") / 1000000).alias("sum_value_1h"),
+    )
+
+
+@query(
+    "unpivot_source_metrics",
+    """
+    UNPIVOT (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY 1
+    )
+    ON n_docs, total_chars, total_tokens
+    INTO NAME metric VALUE value
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of A2's pivot: a wide per-source metrics row
+    unpivots to (source, metric, value) long form, the shape metric stores and
+    mixture dashboards ingest. Spark's native ``DataFrame.unpivot`` plans as
+    an Expand (no shuffle beyond the upstream aggregate); value columns share
+    one bigint type so no lossy casts."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    wide = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    return wide.unpivot(["source"], ["n_docs", "total_chars", "total_tokens"], "metric", "value")
+
+
+@query(
+    "j6_skew_salted_join",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def j6_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py::salted_join): lineitem's
+    partkey shuffle spreads over 8 deterministic salts while part explodes ×8
+    — the manual fix for a hot build-side key AQE's skew split can't reach.
+    The oracle is the PLAIN join: salting must be row-identical, only the
+    shuffle distribution changes. Exact-decimal sum, cast to double at the
+    edge."""
+    from ..operators.skew import salted_join
+
+    t = _t(spark, sf_dir, "lineitem", "part")
+    joined = salted_join(
+        t["lineitem"], t["part"], "l_partkey", "p_partkey", n_salts=8, how="inner"
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )

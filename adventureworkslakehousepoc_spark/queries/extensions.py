@@ -1318,3 +1318,96 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import mixture_resample_summary
 
     return mixture_resample_summary(_docs(spark, sf_dir), out_num=1, out_den=2)
+
+
+@query(
+    "dedup_span_exact",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT w.doc_id, md5(array_to_string(w.ws[i*20+1 : i*20+20], ' ')) AS h
+      FROM w, unnest(generate_series(0, CAST(len(w.ws) // 20 AS INT) - 1)) AS t(i)
+    ),
+    freq AS (SELECT h, COUNT(*) AS c FROM sp GROUP BY 1)
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(FLOOR(CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      * 1000000 / COUNT(*)) AS BIGINT) AS dup_ratio_micros
+    FROM sp JOIN freq f USING (h)
+    GROUP BY 1
+    """,
+)
+def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (paragraph-analog) exact dedup over fixed 20-word spans
+    (operators/dedup.py::span_duplicate_stats) — the RefinedWeb/CCNet
+    line-dedup signal. Two digest-keyed shuffles regardless of corpus size;
+    raw text never shuffles."""
+    from ..operators.dedup import span_duplicate_stats
+
+    return span_duplicate_stats(_docs(spark, sf_dir), n_words=20)
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    wc AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM wc GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT wc.doc_id, wc.term, CAST(wc.tf AS BIGINT) AS tf,
+             CAST(wc.tf * CAST(FLOOR(log10(CAST(n.nd AS DOUBLE) / d.dfc) * 1000000 + 0.5)
+                               AS BIGINT) AS BIGINT) AS score_micros
+      FROM wc JOIN dfreq d USING (term), n
+    )
+    SELECT doc_id, term, tf, score_micros, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micros DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (operators/text_analysis.py::tfidf_top_terms).
+    IDF quantized to integer micro-units once per term; ranking is exact
+    integer arithmetic. Vocabulary-sized idf table broadcasts; per-doc top-k
+    via the bounded two-phase grouped_topk."""
+    from ..operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@query(
+    "global_shuffle_buckets",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, shuffle_key,
+             CAST(CAST(concat('0x', substr(shuffle_key, 1, 2)) AS BIGINT) AS INT) AS bucket
+      FROM keyed
+    )
+    SELECT doc_id, bucket,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS pos_in_bucket,
+           CAST(row_number() OVER (ORDER BY bucket, shuffle_key, doc_id)
+                AS BIGINT) AS global_pos
+    FROM b
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle
+    (operators/sampling.py::shuffle_assignment): reproducible permutation via
+    md5 bucket + in-bucket rank + broadcast prefix offsets — the oracle's
+    single global ORDER BY is exactly what the two-phase plan avoids at
+    100 TB."""
+    from ..operators.sampling import shuffle_assignment
+
+    return shuffle_assignment(_docs(spark, sf_dir), seed="shuffle42")
