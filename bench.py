@@ -68,6 +68,12 @@ EXTRA_QUERIES = [
     "dedup_incremental_batch",
     "mixture_resample_sources",
     "dq_expectations_orders",
+    "dedup_span_exact",
+    "tfidf_top_terms",
+    "global_shuffle_buckets",
+    "w4_rolling_range_frame",
+    "unpivot_source_metrics",
+    "j6_skew_salted_join",
 ]
 
 

@@ -353,3 +353,64 @@ def test_hash_bucket_filter_superset_of_exact_semi(spark, sf_dir):
         .collect()
     }
     assert exact <= tiny
+
+
+def test_shuffle_assignment_partition_invariant(spark, sf_dir):
+    """The training-shuffle permutation is a pure function of (seed, id):
+    re-partitioning the input must not move a single row's global position,
+    and positions must be exactly 1..N with bucket-contiguous ranges."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.sampling import shuffle_assignment
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = {r.doc_id: (r.bucket, r.pos_in_bucket, r.global_pos)
+            for r in shuffle_assignment(docs).collect()}
+    again = {r.doc_id: (r.bucket, r.pos_in_bucket, r.global_pos)
+             for r in shuffle_assignment(docs.repartition(7, "source")).collect()}
+    assert base == again
+    positions = sorted(p for _, _, p in base.values())
+    assert positions == list(range(1, len(base) + 1))
+    # global order sorts by (bucket, key): bucket ranges must be contiguous
+    by_pos = sorted(base.values(), key=lambda t: t[2])
+    assert [b for b, _, _ in by_pos] == sorted(b for b, _, _ in by_pos)
+
+
+def test_span_duplicate_stats_semantics(spark):
+    """Planted fixture: doc 1 and 2 share their first 20-word span; doc 3 is
+    all-unique; doc 4 is shorter than one span and must not appear."""
+    from adventureworkslakehousepoc_spark.operators.dedup import span_duplicate_stats
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(20))  # noqa: E731
+    rows = [
+        (1, shared + " " + uniq("a")),
+        (2, shared + " " + uniq("b")),
+        (3, uniq("c") + " " + uniq("d")),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_duplicate_stats(docs, n_words=20).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 1
+    assert out[2].n_spans == 2 and out[2].n_dup_spans == 1
+    assert out[3].n_spans == 2 and out[3].n_dup_spans == 0
+    assert out[1].dup_ratio_micros == 500000
+
+
+def test_tfidf_idf_zero_for_ubiquitous_terms(spark):
+    """A term present in every document has idf = log10(1) = 0, so its score
+    is 0 regardless of tf; rare terms outrank it."""
+    from adventureworkslakehousepoc_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common common rare1"), (2, "common rare2"), (3, "common rare3")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rs[0].term for d, rs in by_doc.items() if rs[0].rn == 1}
+    assert top1 == {1: "rare1", 2: "rare2", 3: "rare3"}
+    common = [r for r in out if r.term == "common"]
+    assert all(r.score_micros == 0 for r in common)
