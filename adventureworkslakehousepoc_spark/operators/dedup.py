@@ -183,50 +183,88 @@ def _simhash_bit_predicate(h: Column, b: int) -> Column:
     """Bit source for simhash bit ``b`` over an md5 hex string (32 digits):
     bits 0–31 are the low bit of nibble b (digit odd), bits 32–63 the high bit
     of nibble b−32 (digit ≥ '8') — 64 independent bits from one md5, no second
-    hash pass. Portable: DuckDB replays the same substr/IN predicates."""
+    hash pass. This predicate form is what the DuckDB oracle replays
+    (substr/IN); the Spark hot path evaluates the SAME bits as integer ops —
+    see ``_simhash_bit``."""
     if b < 32:
         return F.substring(h, b + 1, 1).isin(list(_ODD_HEX))
     return F.substring(h, b - 32 + 1, 1).isin(list(_HIGH_HEX))
+
+
+def _simhash_bit(b: int) -> Column:
+    """Simhash bit ``b`` as a 0/1 integer over pre-converted md5 chunks
+    ``v1`` (hex chars 1–15), ``v2`` (16–30), ``v3`` (31–32) — bit-identical to
+    ``_simhash_bit_predicate`` but ~an order of magnitude cheaper per row
+    (two integer ops vs a substring + 8-way string set probe). Char c's
+    nibble sits at shift 4·(chunk_end − c) of its chunk; bits 0–31 take the
+    nibble's low bit, bits 32–63 its high bit (+3)."""
+    char_pos = (b + 1) if b < 32 else (b - 31)
+    if char_pos <= 15:
+        chunk, shift = "v1", 4 * (15 - char_pos)
+    elif char_pos <= 30:
+        chunk, shift = "v2", 4 * (30 - char_pos)
+    else:
+        chunk, shift = "v3", 4 * (32 - char_pos)
+    if b >= 32:
+        shift += 3  # high bit of the nibble
+    return F.expr(f"shiftright({chunk}, {shift}) & 1")
 
 
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
     """SimHash fingerprint per doc: bit b is the sign of Σ(±occurrences) over
-    words, where a word contributes +1 iff bit b of md5(word) is set (see
-    ``_simhash_bit_predicate``). Word multiplicity is the weight (no
-    distinct). Bit 63 is the two's-complement sign bit (packed as −2^63), so
-    the full 64-bit fingerprint fits a signed bigint identically in Spark and
-    DuckDB. Returns (doc_id, simhash)."""
+    words, where a word contributes +1 iff bit b of md5(word) is set (the bit
+    mapping of ``_simhash_bit_predicate``, evaluated integer-side by
+    ``_simhash_bit``). Word multiplicity is the weight (no distinct). Bit 63
+    is the two's-complement sign bit (packed as −2^63), so the full 64-bit
+    fingerprint fits a signed bigint identically in Spark and DuckDB.
+    Returns (doc_id, simhash).
+
+    Aggregate-buffer packing: the per-bit positive-occurrence counters pack 3
+    per bigint in 20-bit fields (⌈64/3⌉ = 22 packed sums + 1 total instead of
+    64 signed sums — ~3× less aggregation state and expression work per row,
+    the dominant cost of this operator). ``sign(s_b) = 2·pos_b ≥ tot`` since
+    ``s_b = pos_b − (tot − pos_b)``. The 20-bit field bounds documents at
+    2^20 tokens (1 M); widen the field/chunk split one line below for
+    longer-document corpora.
+    """
     words = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id").select(
         "doc_id", F.explode(F.split(F.col("t"), " ")).alias("w")
     )
     # hash (doc, word) PAIRS, not occurrences: occurrences first reduce to
-    # per-doc word counts, then md5 + the 64 bit predicates run once per
+    # per-doc word counts, then md5 + the bit extraction run once per
     # distinct pair with the count as the weight. Both aggregates cluster on
     # doc_id, which spread()'s repartition already provides — HashPartitioning
     # (doc_id) satisfies ClusteredDistribution(doc_id, w) too, so the whole
-    # operator is ONE exchange: repartition → count → project h → signed sums.
+    # operator is ONE exchange: repartition → count → project bits → sums.
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
     h = F.md5(F.col("w"))
-    sums = (
-        wc.withColumn("h", h)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(
-                    F.when(_simhash_bit_predicate(F.col("h"), b), F.col("cnt")).otherwise(
-                        -F.col("cnt")
-                    )
-                ).alias(f"s{b}")
-                for b in range(bits)
-            ]
-        )
+    wc = (
+        wc.withColumn("v1", F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"))
+        .withColumn("v2", F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint"))
+        .withColumn("v3", F.conv(F.substring(h, 31, 2), 16, 10).cast("bigint"))
     )
+    field = 20  # bits per packed counter; 3 counters per bigint
+    per_pack = 3
+    n_packs = (bits + per_pack - 1) // per_pack
+    packs = []
+    for g in range(n_packs):
+        expr: Column | None = None
+        for slot, b in enumerate(range(per_pack * g, min(per_pack * (g + 1), bits))):
+            term = F.col("cnt") * _simhash_bit(b) * F.lit(1 << (field * slot))
+            expr = term if expr is None else expr + term
+        packs.append(F.sum(expr).cast("bigint").alias(f"p{g}"))
+    sums = wc.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"), *packs)
+    mask = (1 << field) - 1
     fp: Column = F.lit(0).cast("bigint")
     for b in range(bits):
+        g, slot = divmod(b, per_pack)
+        pos = F.expr(f"shiftright(p{g}, {field * slot}) & {mask}")
         weight = _I64_MIN if b == 63 else (1 << b)
-        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(weight)).otherwise(F.lit(0)).cast("bigint")
+        fp = fp + F.when(pos * 2 >= F.col("tot"), F.lit(weight)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
     return sums.select("doc_id", fp.alias("simhash"))
 
 
