@@ -98,6 +98,7 @@ _R02_LATE = frozenset(
         "w4_rolling_range_frame",
         "unpivot_source_metrics",
         "j6_skew_salted_join",
+        "grouped_map_label_centroids",
     }
 )
 

@@ -1411,3 +1411,38 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import shuffle_assignment
 
     return shuffle_assignment(_docs(spark, sf_dir), seed="shuffle42")
+
+
+@query(
+    "grouped_map_label_centroids",
+    """
+    WITH q AS (
+      SELECT label, t.i AS dim,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sd FROM q GROUP BY 1, 2),
+    n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1),
+    m AS (
+      SELECT s.label, s.dim,
+             CAST(FLOOR(CAST(s.sd AS DOUBLE) / n.n_vecs) AS BIGINT) AS mc
+      FROM s JOIN n USING (label)
+    )
+    SELECT CAST(m.label AS INTEGER) AS label, n.n_vecs,
+           CAST(MAX(CASE WHEN m.dim = 1 THEN m.mc END) AS BIGINT) AS c0_micros,
+           CAST(MAX(CASE WHEN m.dim = 2 THEN m.mc END) AS BIGINT) AS c1_micros,
+           CAST(SUM(m.mc * m.mc) AS BIGINT) AS centroid_sumsq
+    FROM m JOIN n USING (label)
+    GROUP BY 1, 2
+    """,
+)
+def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow grouped-map surface (operators/grouped_map.py::label_centroids):
+    per-label embedding centroid via applyInPandas. The kernel is
+    deliberately SQL-expressible so the oracle hash-checks the Arrow
+    plumbing itself (FlatMapGroupsInPandas, never BatchEvalPython);
+    per-component micro-unit quantization makes the group fold exact-integer
+    and partitioning-independent."""
+    from ..operators.grouped_map import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))

@@ -74,6 +74,7 @@ EXTRA_QUERIES = [
     "w4_rolling_range_frame",
     "unpivot_source_metrics",
     "j6_skew_salted_join",
+    "grouped_map_label_centroids",
 ]
 
 

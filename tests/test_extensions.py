@@ -414,3 +414,20 @@ def test_tfidf_idf_zero_for_ubiquitous_terms(spark):
     assert top1 == {1: "rare1", 2: "rare2", 3: "rare3"}
     common = [r for r in out if r.term == "common"]
     assert all(r.score_micros == 0 for r in common)
+
+
+def test_grouped_map_centroids_partition_invariant(spark, sf_dir):
+    """applyInPandas group folds are integer micro-units — repartitioning the
+    input must not change a single output value, and the plan must be Arrow
+    grouped-map, not row-at-a-time Python."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.grouped_map import label_centroids
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = {r.label: r for r in label_centroids(emb).collect()}
+    again = {r.label: r for r in label_centroids(emb.repartition(13, "vec_id")).collect()}
+    assert set(base) == set(again)
+    for k in base:
+        assert base[k] == again[k]
+    plan = label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan and "BatchEvalPython" not in plan
