@@ -99,6 +99,7 @@ _R02_LATE = frozenset(
         "unpivot_source_metrics",
         "j6_skew_salted_join",
         "grouped_map_label_centroids",
+        "st_interval_join_left_outer",
     }
 )
 

@@ -453,3 +453,102 @@ def cdf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J3/ST2 (outer form): stream-stream LEFT OUTER interval join. Null-padded
+# rows emit only when the watermark proves no future match can arrive, so a
+# naive run truncates at the stream tail (SURVEY §4.3). Two far-future
+# sentinel rows (one per side, non-matching user ids, +1 h event time) push
+# both watermarks past every real row before the AvailableNow flush batch —
+# the materialized result then equals the full batch LEFT JOIN, giving the
+# outer join a real driver-oracle row instead of a subset-only test.
+# ---------------------------------------------------------------------------
+
+
+def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream with one staged sentinel file appended: a
+    'purchase' (user −1) and a 'click' (user −2) at max(ts)+1 h. Sentinels
+    survive the per-side event_type filters (advancing BOTH watermark
+    operators), can never join each other, and are filtered from the output
+    by ``user_id >= 0``."""
+    from ..streaming.runner import stage_stream_dir
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)  # ts arrives as bigint nanos here
+    max_ns = batch.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
+    hour_ns = 3_600_000_000_000
+    # unique dir per stream instance: a shared path would be clobbered by the
+    # second reader's overwrite, dangling the first reader's staged symlink
+    # (whose watermark then never advances past the real data)
+    import tempfile
+
+    os.makedirs("/tmp/awlh_stream", exist_ok=True)
+    sent_path = tempfile.mkdtemp(prefix="sentinel-", dir="/tmp/awlh_stream")
+    sentinels = spark.createDataFrame(
+        [
+            (10**12, int(max_ns) + hour_ns, -1, "purchase", 0.0, "{}"),
+            (10**12 + 1, int(max_ns) + hour_ns, -2, "click", 0.0, "{}"),
+        ],
+        batch.schema,
+    )
+    sentinels.coalesce(1).write.mode("overwrite").parquet(sent_path)
+    files = sorted(
+        os.path.join(sent_path, f)
+        for f in os.listdir(sent_path)
+        if f.endswith(".parquet")
+    )
+    src = stage_stream_dir(path, *files)
+    df = spark.readStream.schema(batch.schema).parquet(src)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "st_interval_join_left_outer",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts + INTERVAL 10 MINUTE
+    """,
+)
+def st_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream_with_sentinels(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "5 minutes")
+    )
+    clicks = (
+        _events_stream_with_sentinels(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "5 minutes")
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        on=[("user_id", "click_user")],
+        left_time="purchase_ts",
+        right_time="click_ts",
+        lower="10 minutes",
+        upper="10 minutes",
+        how="left",
+    ).select(
+        F.col("l.purchase_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.purchase_ts").alias("purchase_ts"),
+        F.col("r.click_id").alias("click_id"),
+        F.col("r.click_ts").alias("click_ts"),
+    )
+    out = run_available_now(joined.filter(F.col("user_id") >= 0), "interval-left-outer")
+    return out
