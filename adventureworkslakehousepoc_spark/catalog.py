@@ -62,6 +62,13 @@ def load_tables(
         for col in _NANOS_TS_COLS.get(n, ()):
             if dict(df.dtypes).get(col) == "bigint":
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # parquet timestamp[us] with isAdjustedToUTC=false loads as TIMESTAMP_NTZ;
+        # normalize to session-tz TIMESTAMP (session tz pinned UTC above, so the
+        # cast is value-preserving vs DuckDB's naive timestamps) so downstream
+        # watermarks / unix-time extraction / window range frames all work.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         out[n] = df
     return out
 

@@ -29,7 +29,10 @@ def sessionize(
     """Batch gap-sessionization. Returns one row per session:
     (key, session_idx, session_start, session_end, n_events)."""
     w_order = Window.partitionBy(key).orderBy(F.asc(time_col), F.asc(order_tiebreak))
-    gap = F.col(time_col).cast("double") - F.lag(F.col(time_col)).over(w_order).cast("double")
+    # cast through TIMESTAMP first: numeric casts are illegal on TIMESTAMP_NTZ,
+    # and NTZ→TIMESTAMP is value-preserving under the pinned-UTC session tz
+    ts_sec = F.col(time_col).cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w_order)
     flagged = events.withColumn(
         "_new_session",
         F.when(gap.isNull() | (gap >= gap_minutes * 60), 1).otherwise(0),

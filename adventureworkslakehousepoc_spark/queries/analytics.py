@@ -754,7 +754,7 @@ def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("es"),
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
         F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("v_u"),
     )
     w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, Window.currentRow)

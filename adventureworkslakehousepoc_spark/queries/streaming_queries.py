@@ -477,9 +477,19 @@ def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(path)  # ts arrives as bigint nanos here
-    max_ns = batch.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
-    hour_ns = 3_600_000_000_000
+    # ts arrives either as bigint nanos (legacy testdata) or TIMESTAMP_NTZ
+    # (timestamp[us] isAdjustedToUTC=false); sentinels must be written in the
+    # SAME physical encoding as the source file since both share one stream
+    # schema.
+    batch = spark.read.parquet(path)
+    ts_is_nanos = dict(batch.dtypes).get("ts") == "bigint"
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]  # 1-row driver fetch
+    if ts_is_nanos:
+        sentinel_ts = int(max_ts) + 3_600_000_000_000
+    else:
+        import datetime
+
+        sentinel_ts = max_ts + datetime.timedelta(hours=1)
     # unique dir per stream instance: a shared path would be clobbered by the
     # second reader's overwrite, dangling the first reader's staged symlink
     # (whose watermark then never advances past the real data)
@@ -489,8 +499,8 @@ def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame
     sent_path = tempfile.mkdtemp(prefix="sentinel-", dir="/tmp/awlh_stream")
     sentinels = spark.createDataFrame(
         [
-            (10**12, int(max_ns) + hour_ns, -1, "purchase", 0.0, "{}"),
-            (10**12 + 1, int(max_ns) + hour_ns, -2, "click", 0.0, "{}"),
+            (10**12, sentinel_ts, -1, "purchase", 0.0, "{}"),
+            (10**12 + 1, sentinel_ts, -2, "click", 0.0, "{}"),
         ],
         batch.schema,
     )
@@ -502,7 +512,9 @@ def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     src = stage_stream_dir(path, *files)
     df = spark.readStream.schema(batch.schema).parquet(src)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @query(
@@ -550,5 +562,11 @@ def st_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.click_id").alias("click_id"),
         F.col("r.click_ts").alias("click_ts"),
     )
-    out = run_available_now(joined.filter(F.col("user_id") >= 0), "interval-left-outer")
-    return out
+    # Sentinel filter MUST run on the materialized batch result, not inside
+    # the streaming plan: Catalyst pushes a pre-sink filter below the
+    # EventTimeWatermark operators into both source scans, removing the
+    # sentinel rows before the watermark trackers see them — the watermark
+    # then never passes the real data and tail purchases lose their
+    # null-padded emission (observed: last-two purchases missing at sf0.001).
+    out = run_available_now(joined, "interval-left-outer")
+    return out.filter(F.col("user_id") >= 0)

@@ -67,6 +67,12 @@ def stream_table(
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # parquet timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ, on which
+    # watermarks are illegal; normalize to TIMESTAMP like the batch loader
+    # (session tz pinned UTC above, so the cast is value-preserving)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
