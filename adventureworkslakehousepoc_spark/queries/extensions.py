@@ -555,7 +555,33 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_metadata(_docs(spark, sf_dir))
 
 
-@query("multimodal_decode_features")  # mapInPandas stub decode — rows-only check
+@query(
+    "multimodal_decode_features",
+    # The stub decode is closed-form over the payload bytes (sum % 65536):
+    # testdata text is all-ASCII, so per-character ord() == per-byte value and
+    # DuckDB can replay the exact checksum/width/height/n_frames arithmetic.
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CAST(list_aggregate(
+                    list_transform(range(1, octet_length(encode(text)) + 1),
+                                   i -> ord(text[i])), 'sum') AS BIGINT) % 65536
+               AS checksum
+      FROM documents
+    )
+    SELECT doc_id,
+           media_type,
+           16 + checksum % 64 AS width,
+           16 + (checksum // 64) % 64 AS height,
+           CASE WHEN media_type = 'image/png' THEN 1
+                ELSE 1 + checksum % 30 END AS n_frames,
+           checksum
+    FROM c
+    """,
+)
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_binary_payload(_docs(spark, sf_dir)))
 
