@@ -62,34 +62,51 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str 
 
 
 def word_shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, sh).
 
     Built with 1-based ``element_at`` so the DuckDB oracle (1-based list index)
     produces byte-identical shingles. Documents with < n words yield no rows
-    (guarded: Spark's ``sequence(1, 0)`` would count *down*)."""
+    (guarded: Spark's ``sequence(1, 0)`` would count *down*).
+
+    ``hashed=True`` replaces the shingle string with ``xxhash64(sh)`` BEFORE
+    the distinct, so every downstream exchange/sort carries 8-byte ints
+    instead of ~6n-byte strings — use when only shingle IDENTITY matters
+    (doc-frequency, overlap counting), not the text itself. At a 2^-64
+    collision rate the count semantics are indistinguishable from exact."""
     idx = ", ".join(f"element_at(words, i + {k})" for k in range(n))
     shingle_expr = (
         f"CASE WHEN size(words) >= {n} THEN "
         f"transform(sequence(1, size(words) - {n - 1}), i -> concat_ws(' ', {idx})) "
         "ELSE array() END"
     )
-    return (
-        spread(docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words")), "doc_id")
-        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
-        .distinct()
-    )
+    exploded = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words")), "doc_id"
+    ).select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
+    if hashed:
+        exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
+    return exploded.distinct()
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: h0..h{n-1}, each = min over shingles of
-    ``md5('<seed>:' || shingle)`` (min over hex strings — portable total order).
-    One partial-aggregated groupBy; signature width is config."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
+    """MinHash signature per doc: h0..h{n-1}, min over shingles of a per-hash
+    8-hex-char lane (min over fixed-width hex strings — portable total order).
+
+    Hash lanes: each ``md5('<seed>:' || shingle)`` yields 128 well-mixed bits,
+    sliced into four independent 32-bit lanes — so 16 hash functions cost 4
+    md5 evaluations per shingle row, not 16 (the md5 is the hot loop of the
+    whole near-dup pass). One partial-aggregated groupBy."""
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4 (4 lanes per md5)")
+    aggs = []
+    for s in range(num_hashes // 4):
+        digest = F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))
+        for lane in range(4):
+            aggs.append(
+                F.min(F.substring(digest, 8 * lane + 1, 8)).alias(f"h{4 * s + lane}")
+            )
     return shingles.groupBy("doc_id").agg(*aggs)
 
 

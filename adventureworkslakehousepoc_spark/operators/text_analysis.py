@@ -196,7 +196,10 @@ def boilerplate_flags(
 
     from .dedup import word_shingles
 
-    sh = word_shingles(docs, text_col, id_col, n)
+    # hashed shingles: the window exchange + sort carry 8-byte ints, not
+    # ~30-byte strings (3-5x less shuffle CPU/GC; semantics identical at a
+    # 2^-64 collision rate — only shingle identity matters here)
+    sh = word_shingles(docs, text_col, id_col, n, hashed=True)
     w = Window.partitionBy("sh")
     flagged = sh.select("doc_id", (F.count(F.lit(1)).over(w) >= min_doc_freq).alias("is_boiler"))
     per_doc = flagged.groupBy("doc_id").agg(

@@ -83,7 +83,12 @@ _SHINGLES_SQL = """
        unnest(generate_series(1, len(d.words) - 2)) AS t(i)
 """
 
-_SIG_COLS = ",\n           ".join(f"min(md5('{s}:' || sh)) AS h{s}" for s in range(16))
+# 4 md5 digests sliced into four 8-hex-char lanes each = 16 minhash lanes
+# (mirrors operators/dedup.py minhash_signatures — md5 is the hot loop, so
+# both engines evaluate 4 digests per shingle, not 16)
+_SIG_COLS = ",\n           ".join(
+    f"min(substr(md5('{s // 4}:' || sh), {8 * (s % 4) + 1}, 8)) AS h{s}" for s in range(16)
+)
 _BANDS_SQL = "\n      UNION ALL ".join(
     f"SELECT doc_id, {j} AS band, h{2 * j} || h{2 * j + 1} AS band_key FROM sig" for j in range(8)
 )
