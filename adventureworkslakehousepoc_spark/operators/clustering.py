@@ -1,0 +1,123 @@
+"""K-means clustering over embedding columns — the semantic-dedup /
+corpus-curation building block (SemDeDup-style: cluster embeddings, then
+keep one representative per cluster or drop intra-cluster near-duplicates).
+
+All arithmetic is exact-integer so runs are bit-reproducible and the DuckDB
+oracle can replay them: coordinates quantize once to 1e-6 micro-units
+(bigint), distances are integer sums of squares, centroid updates are
+``floor(sum / count)`` with the sum below 2^53 so the double division is
+exact. Ties in the argmin break on the smaller centroid id.
+
+Scale posture (100 TB): centroids are k×dim rows — always broadcast; each
+iteration is one broadcast-join map pass over the vectors plus one
+(cluster, dim)-keyed partial aggregate (map-side combine), so per-iteration
+shuffle volume is O(n·dim) small ints, independent of k. No driver-side
+materialization; the loop is a fixed, small iteration count (Lloyd steps),
+not a convergence poll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vectors", "kmeans_assign", "kmeans_representatives"]
+
+
+def quantize_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, v: array<bigint>) — coordinates in exact 1e-6 micro-units."""
+    micros = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), micros.alias("v"))
+
+
+def _assign(eu: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k×dim centroid table, one
+    map pass computes all k exact integer distances, one partial-aggregated
+    groupBy takes the (dist, cid)-lexicographic min."""
+    dist = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d = eu.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", dist.alias("dist_u")
+    )
+    m = d.groupBy("vec_id").agg(F.min(F.struct("dist_u", "cid")).alias("m"))
+    return m.select(
+        "vec_id",
+        F.col("m.cid").alias("cluster"),
+        F.col("m.dist_u").alias("dist_u"),
+    )
+
+
+def _recompute(assigned: DataFrame, eu: DataFrame) -> DataFrame:
+    """New centroid = per-dimension floor-mean of member coordinates.
+    (cluster, pos)-keyed aggregate over exploded coordinates — map-side
+    combine keeps the shuffle at k·dim rows per partition. Empty clusters
+    simply vanish (no members → no rows), as in classic Lloyd."""
+    j = assigned.join(eu, "vec_id").select(
+        "cluster", F.posexplode("v").alias("pos", "val")
+    )
+    agg = j.groupBy("cluster", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # sums stay < 2^53, so the double division is exact before floor
+    coord = F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+    packed = (
+        agg.select("cluster", F.struct("pos", coord.alias("val")).alias("pv"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list("pv")).alias("pvs"))
+    )
+    return packed.select(
+        F.col("cluster").alias("cid"),
+        F.transform("pvs", lambda s: s["val"]).alias("c"),
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means; returns the final per-vector assignment
+    (vec_id, cluster, dist_u). Init: the k vectors with vec_id < k (a
+    deterministic seed — swap for k-means|| sampling in prod)."""
+    eu = quantize_vectors(embeddings, id_col, vec_col)
+    centroids = eu.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("c")
+    )
+    for _ in range(iters):
+        assigned = _assign(eu, centroids)
+        centroids = _recompute(assigned, eu)
+    return _assign(eu, centroids)
+
+
+def kmeans_representatives(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup: one representative per cluster — the member closest
+    to its centroid (vec_id tiebreak) — plus cluster size and total inertia.
+    One extra partial-aggregated groupBy over the assignment."""
+    a = kmeans_assign(embeddings, k, iters, id_col, vec_col)
+    m = a.groupBy("cluster").agg(
+        F.min(F.struct("dist_u", "vec_id")).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("dist_u").cast("bigint").alias("inertia_u"),
+    )
+    return m.select(
+        "cluster",
+        F.col("m.vec_id").alias("representative_id"),
+        "n_members",
+        "inertia_u",
+    )

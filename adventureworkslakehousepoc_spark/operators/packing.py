@@ -110,3 +110,42 @@ def length_quantile_buckets(docs: DataFrame, col: str = "n_chars") -> DataFrame:
             F.max(col).alias("max_chars"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG indexing / long-context
+    pretraining): fixed ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``, last window ragged. One narrow map stage —
+    split, per-row chunk-count arithmetic, ``explode`` of the chunk index
+    range, ``slice`` per chunk — no shuffle at all; chunk-count formula:
+    1 chunk if n <= chunk_tokens else 1 + ceil((n - chunk_tokens) / stride).
+    Returns (doc_id, chunk_idx, chunk_start 1-based, n_chunk_tokens,
+    chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride).cast("double")).cast("int")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("ws"), n_chunks.alias("nc")
+    )
+    ci = F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx")
+    chunked = base.select("doc_id", "ws", ci)
+    start = F.lit(1) + F.col("chunk_idx") * stride
+    piece = F.slice(F.col("ws"), start, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("chunk_start"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -162,3 +162,80 @@ def shuffle_assignment(df: DataFrame, id_col: str = "doc_id", seed: str = "shuff
         "pos_in_bucket",
         (F.col("off") + F.col("pos_in_bucket")).cast("bigint").alias("global_pos"),
     )
+
+
+def mixture_token_budget(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-budget mixture planning: allocate a total training-token budget
+    across sources with sqrt-smoothed weights (sub-linear upsampling of small
+    sources, the standard pretraining-mixture temperature trick), then emit
+    the per-source sampling plan.
+
+    weight_u = floor(sqrt(actual_tokens) * 1000 + 0.5)   (integer milliunits)
+    planned  = floor(budget * weight_u / sum(weight_u))  (exact bigint)
+    rate_u   = floor(min(planned, actual) * 1e6 / actual)
+
+    IEEE sqrt is correctly rounded, and everything after the one quantize is
+    exact integer arithmetic — cross-engine deterministic, no float-sum
+    drift. Plan shape: one partial-aggregated groupBy to per-source totals (a
+    |sources|-row frame), a 1-row sum broadcast back — nothing else touches
+    the corpus."""
+    per_src = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("actual_tokens")
+    )
+    w_u = F.floor(F.sqrt(F.col("actual_tokens").cast("double")) * 1000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    weighted = per_src.select("source", "actual_tokens", w_u.alias("weight_mu"))
+    total = weighted.agg(F.sum("weight_mu").alias("total_mu"))
+    # integer `div`, not floor(double /): a double quotient can round up
+    # across an integer boundary and make floor disagree with exact floor-div
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .withColumn(
+            "planned_tokens",
+            F.expr(f"CAST({budget_tokens} AS BIGINT) * weight_mu div total_mu"),
+        )
+        .withColumn(
+            "sample_rate_micros",
+            F.expr("least(planned_tokens, actual_tokens) * 1000000 div actual_tokens"),
+        )
+        .select(
+            "source", "actual_tokens", "weight_mu", "planned_tokens", "sample_rate_micros"
+        )
+    )
+
+
+def train_eval_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    seed: str = "split42",
+) -> DataFrame:
+    """Deterministic 3-way corpus split: bucket = first two md5 hex digits of
+    ``seed:id`` as a value in 0..255, mapped onto test / val / train ranges
+    (≈ pct/100 each, quantized to 1/256ths). Hash-keyed so the assignment is
+    partitioning- and engine-invariant, reproducible run-over-run, and
+    leakage-free (a doc can never change split when the corpus grows).
+    Returns per (group, split) counts — the audit view of the split."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    test_hi = (256 * test_pct) // 100
+    val_hi = test_hi + (256 * val_pct) // 100
+    split = (
+        F.when(bucket < test_hi, "test").when(bucket < val_hi, "val").otherwise("train")
+    )
+    return (
+        docs.select(F.col(group_col).alias("grp"), split.alias("split"))
+        .groupBy(F.col("grp").alias(group_col), "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

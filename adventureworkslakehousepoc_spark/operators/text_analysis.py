@@ -362,3 +362,44 @@ def tfidf_top_terms(
     return grouped_topk(scored, ["doc_id"], k, order, rank_name="rn").select(
         "doc_id", "term", "tf", "score_micros", F.col("rn").cast("int").alias("rn")
     )
+
+
+def ngram_continuations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_n: int = 2,
+    top_k: int = 3,
+) -> DataFrame:
+    """Next-token statistics: for each ``prefix_n``-word context, the corpus
+    count of each continuation word and its rank — the raw material of
+    n-gram LM smoothing, contamination probes, and memorization audits.
+    Keeps the ``top_k`` continuations per context, ranked by (count desc,
+    word asc) for a total deterministic order.
+
+    Plan shape: explode (prefix, next) pairs → one (prefix, next)-keyed
+    partial-aggregated count → per-prefix top-k via grouped_topk's
+    per-partition pre-rank (no whole-corpus window funnel). Shuffles carry
+    short string keys only; at 100 TB the count table is vocabulary-sized,
+    orders smaller than the corpus."""
+    from .similarity import grouped_topk
+
+    n = prefix_n + 1
+    idx_prefix = ", ".join(f"element_at(words, i + {k})" for k in range(prefix_n))
+    pair_expr = (
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(1, size(words) - {n - 1}), "
+        f"i -> struct(concat_ws(' ', {idx_prefix}) AS prefix, "
+        f"element_at(words, i + {prefix_n}) AS next_word)) "
+        "ELSE array() END"
+    )
+    pairs = docs.select(
+        F.split(F.col(text_col), " ").alias("words")
+    ).select(F.explode(F.expr(pair_expr)).alias("p")).select("p.prefix", "p.next_word")
+    counts = pairs.groupBy("prefix", "next_word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = grouped_topk(
+        counts, ["prefix"], top_k, [F.desc("n"), F.asc("next_word")], rank_name="rank"
+    )
+    return ranked.select("prefix", "next_word", "n", F.col("rank").cast("bigint").alias("rank"))

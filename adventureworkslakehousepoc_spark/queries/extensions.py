@@ -1477,3 +1477,206 @@ def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.grouped_map import label_centroids
 
     return label_centroids(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Semantic clustering / dedup: all-integer fixed-iteration Lloyd k-means over
+# the embedding table (operators/clustering.py). Exact-integer arithmetic
+# makes the whole iterative algorithm replayable in DuckDB, so even the
+# ITERATIVE operator gets a value-hash oracle (d{i}/a{i}/c{i+1} CTE chain =
+# distance pass / argmin assign / floor-mean recompute per Lloyd step).
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    parts = [
+        "eu AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM eu WHERE vec_id < {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, c.cid,"
+            f" CAST(list_aggregate(list_transform(range(1, {dim + 1}),"
+            f" j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])), 'sum') AS BIGINT) AS dist_u"
+            f" FROM eu e, c{i} c)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid AS cluster, dist_u FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn"
+            f" FROM d{i}) WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i + 1} AS (SELECT cluster AS cid, list(coord ORDER BY pos) AS c FROM"
+                f" (SELECT a.cluster, t.pos,"
+                f" CAST(floor(CAST(SUM(e.v[t.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS coord"
+                f" FROM a{i} a JOIN eu e ON a.vec_id = e.vec_id,"
+                f" unnest(generate_series(1, {dim})) AS t(pos)"
+                f" GROUP BY a.cluster, t.pos) GROUP BY cluster)"
+            )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query(
+    "semantic_cluster_assign",
+    _kmeans_oracle_cte()
+    + "\n    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist_u FROM a2",
+)
+def semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd iterations, deterministic vec_id<k init) over
+    embeddings; final per-vector assignment. Broadcast centroids, one keyed
+    partial aggregate per iteration — O(n*dim) shuffle, cluster-scale-safe."""
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+
+
+@query(
+    "semantic_dedup_reps",
+    _kmeans_oracle_cte()
+    + """
+    SELECT CAST(cluster AS BIGINT) AS cluster, vec_id AS representative_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(inertia_u AS BIGINT) AS inertia_u
+    FROM (
+      SELECT cluster, vec_id, dist_u,
+             row_number() OVER (PARTITION BY cluster ORDER BY dist_u, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_members,
+             SUM(dist_u) OVER (PARTITION BY cluster) AS inertia_u
+      FROM a2
+    ) WHERE rn = 1
+    """,
+)
+def semantic_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style representative selection: the member closest to its
+    cluster centroid (vec_id tiebreak) survives; cluster size + inertia for
+    curation diagnostics."""
+    from ..operators.clustering import kmeans_representatives
+
+    return kmeans_representatives(_emb(spark, sf_dir), k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-construction additions (round 4): chunking, mixture budgeting,
+# n-gram continuation stats, split auditing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunking_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE 1 + CAST(CEIL((n - 32) / 24.0) AS INT) END AS nc
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(g.ci AS BIGINT) AS chunk_idx,
+           CAST(1 + g.ci * 24 AS BIGINT) AS chunk_start,
+           CAST(len(ws[1 + g.ci * 24 : g.ci * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ws[1 + g.ci * 24 : g.ci * 24 + 32], ' ') AS chunk_text
+    FROM c, unnest(generate_series(0, nc - 1)) AS g(ci)
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows, 8-token overlap): the RAG
+    indexing / long-context splitting pass. Pure narrow map stage — zero
+    shuffles at any scale."""
+    from ..operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+@query(
+    "mixture_token_budget_plan",
+    """
+    WITH per AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, actual_tokens,
+             CAST(FLOOR(sqrt(CAST(actual_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS weight_mu
+      FROM per
+    ),
+    t AS (SELECT CAST(SUM(weight_mu) AS BIGINT) AS total_mu FROM w)
+    SELECT source, actual_tokens, weight_mu,
+           CAST((CAST(100000 AS BIGINT) * weight_mu) // total_mu AS BIGINT)
+             AS planned_tokens,
+           CAST((LEAST((CAST(100000 AS BIGINT) * weight_mu) // total_mu,
+                       actual_tokens) * 1000000) // actual_tokens AS BIGINT)
+             AS sample_rate_micros
+    FROM w, t
+    """,
+)
+def mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature token-budget allocation across sources; exact-integer
+    plan table (|sources| rows) from one partial-aggregated pass."""
+    from ..operators.sampling import mixture_token_budget
+
+    return mixture_token_budget(_docs(spark, sf_dir), budget_tokens=100_000)
+
+
+@query(
+    "ngram_continuation_topk",
+    """
+    WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+    pairs AS (
+      SELECT w[i] || ' ' || w[i + 1] AS prefix, w[i + 2] AS next_word
+      FROM ws, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    counts AS (
+      SELECT prefix, next_word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT prefix, next_word, n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY prefix ORDER BY n DESC, next_word) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def ngram_continuation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-context next-token counts, top-3 continuations per context —
+    n-gram LM statistics / memorization-audit raw material."""
+    from ..operators.text_analysis import ngram_continuations
+
+    return ngram_continuations(_docs(spark, sf_dir), prefix_n=2, top_k=3)
+
+
+@query(
+    "train_eval_split_counts",
+    """
+    WITH h AS (
+      SELECT source,
+             substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket
+      FROM h
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+      SELECT source,
+             CASE WHEN bucket < 25 THEN 'test'
+                  WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM b
+    ) GROUP BY 1, 2
+    """,
+)
+def train_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 3-way split audit: per (source, split) doc counts. The
+    assignment is a pure function of doc_id — growth-stable, leakage-free."""
+    from ..operators.sampling import train_eval_split
+
+    return train_eval_split(_docs(spark, sf_dir), val_pct=10, test_pct=10)
