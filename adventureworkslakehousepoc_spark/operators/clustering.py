@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vectors", "kmeans_assign", "kmeans_representatives"]
+__all__ = [
+    "quantize_vectors",
+    "kmeans_assign",
+    "kmeans_representatives",
+    "semantic_prune_pairs",
+]
 
 
 def quantize_vectors(
@@ -120,4 +125,42 @@ def kmeans_representatives(
         F.col("m.vec_id").alias("representative_id"),
         "n_members",
         "inertia_u",
+    )
+
+
+def semantic_prune_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup pruning: cosine-similar pairs WITHIN a k-means cluster.
+    Clustering bounds the pairwise work — all-pairs runs only inside a
+    cluster, never across the corpus (at 100 TB, k scales with corpus size so
+    cluster populations stay bounded; the cluster-keyed self-join is the only
+    shuffle). Scores are micro-unit-quantized doubles (IEEE-deterministic).
+    Returns (cluster, vec_a, vec_b, score) above ``threshold``."""
+    from .similarity import cosine_similarity, quantize
+
+    assign = kmeans_assign(embeddings, k, iters, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    score = quantize(cosine_similarity("a.embedding", "b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
     )

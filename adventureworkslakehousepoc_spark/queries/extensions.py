@@ -1680,3 +1680,24 @@ def train_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import train_eval_split
 
     return train_eval_split(_docs(spark, sf_dir), val_pct=10, test_pct=10)
+
+
+@query(
+    "semantic_prune_pairs",
+    _kmeans_oracle_cte()
+    + f"""
+    SELECT CAST(x.cluster AS BIGINT) AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 AS score
+    FROM a2 x
+    JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+    WHERE FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 >= 0.2
+    """,
+)
+def semantic_prune_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup intra-cluster near-duplicate pairs: k-means bounds the
+    all-pairs cosine work to within-cluster populations."""
+    from ..operators.clustering import semantic_prune_pairs
+
+    return semantic_prune_pairs(_emb(spark, sf_dir), k=8, iters=2, threshold=0.2)
