@@ -14,7 +14,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["qualified", "split_qualified", "TESTDATA_TABLES", "load_tables", "register_views"]
+__all__ = [
+    "qualified",
+    "split_qualified",
+    "TESTDATA_TABLES",
+    "load_tables",
+    "register_views",
+    "ensure_database",
+    "register_external_table",
+    "read_three_part",
+]
 
 _SEP = "__"
 
@@ -76,3 +85,46 @@ def load_tables(
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Three-level namespace on real catalog objects. The reference addresses every
+# dataset as catalog.schema.table (Unity Catalog; e.g. `dev_bronze.stg_sales
+# .stg_customer` — sales_aw_silver_layer_dim_customer.py:10-11). Spark's
+# session catalog is two-level (database.table), so catalog+schema fold into
+# one database (`<catalog>_<schema>`) and tables register as EXTERNAL parquet
+# tables over their existing files — real catalog entries with three-part
+# `spark_catalog.<db>.<table>` SQL addressing, zero data copies, rather than
+# the string-mangled temp-view fallback above.
+#
+# NOTE: `spark.table` on an external table reads the raw parquet — the
+# `load_tables` timestamp normalization does NOT apply. Register normalized
+# data (or normalize after read) for tables with event-time columns.
+# ---------------------------------------------------------------------------
+
+
+def ensure_database(spark: SparkSession, catalog: str, schema: str) -> str:
+    """Create (idempotently) the database backing ``catalog.schema``."""
+    db = f"{catalog}_{schema}".replace(".", "_").replace("`", "")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    return db
+
+
+def register_external_table(
+    spark: SparkSession, path: str, catalog: str, schema: str, table: str
+) -> str:
+    """Register existing parquet files as an external table under the
+    ``catalog.schema`` database; returns the two-part name Spark resolves."""
+    db = ensure_database(spark, catalog, schema)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` USING parquet LOCATION '{path}'"
+    )
+    return f"{db}.{table}"
+
+
+def read_three_part(
+    spark: SparkSession, catalog: str, schema: str, table: str
+) -> DataFrame:
+    """Resolve a reference-style three-part name through the real catalog."""
+    db = f"{catalog}_{schema}".replace(".", "_").replace("`", "")
+    return spark.table(f"`{db}`.`{table}`")

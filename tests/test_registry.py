@@ -176,3 +176,34 @@ def test_malformed_csv_quarantine(spark):
     assert len(bad) == 2
     assert any("NOT A CSV RECORD" in b for b in bad)
     assert any("not_an_int" in b for b in bad)
+
+
+def test_three_part_namespace_resolves_via_real_catalog(spark, sf_dir):
+    """catalog.schema.table lands on a real database + external table and is
+    addressable with three-part spark_catalog SQL (reference:
+    sales_aw_silver_layer_dim_customer.py:10-11 Unity-style names)."""
+    import os
+
+    from adventureworkslakehousepoc_spark.catalog import (
+        read_three_part,
+        register_external_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS `dev_bronze_stg_sales`.`stg_customer`")
+    two_part = register_external_table(
+        spark,
+        os.path.join(sf_dir, "customer.parquet"),
+        "dev_bronze",
+        "stg_sales",
+        "stg_customer",
+    )
+    assert two_part == "dev_bronze_stg_sales.stg_customer"
+    via_helper = read_three_part(spark, "dev_bronze", "stg_sales", "stg_customer")
+    direct = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    assert via_helper.count() == direct.count()
+    # full three-part SQL addressing through the session catalog
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM spark_catalog.dev_bronze_stg_sales.stg_customer"
+    ).collect()[0].n
+    assert n == direct.count()
+    assert spark.catalog.tableExists("dev_bronze_stg_sales.stg_customer")
