@@ -1701,3 +1701,52 @@ def semantic_prune_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import semantic_prune_pairs
 
     return semantic_prune_pairs(_emb(spark, sf_dir), k=8, iters=2, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key under the oracle gate: the Morton interleave that
+# cluster_zorder range-partitions on (operators/maintenance.py) is pure
+# arithmetic, so DuckDB replays it bit-for-bit — the layout optimizer's key
+# derivation itself gets a value-hash row, not just the file-skipping test.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql(cols: list, bits: int = 16) -> str:
+    n = len(cols)
+    scaled = []
+    for i, c in enumerate(cols):
+        scaled.append(
+            f"CAST(FLOOR(CASE WHEN mx_{i} > mn_{i} THEN"
+            f" (CAST({c} AS DOUBLE) - mn_{i}) / (mx_{i} - mn_{i})"
+            f" ELSE 0.0 END * {(1 << bits) - 1}) AS BIGINT) AS s_{i}"
+        )
+    terms = [
+        f"((s_{i} >> {b}) & 1) * {1 << (b * n + i)}"
+        for b in range(bits)
+        for i in range(n)
+    ]
+    mins = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS mn_{i}, MAX(CAST({c} AS DOUBLE)) AS mx_{i}"
+        for i, c in enumerate(cols)
+    )
+    return (
+        f"WITH st AS (SELECT {mins} FROM orders),\n"
+        f"sc AS (SELECT o_orderkey, {', '.join(scaled)} FROM orders, st)\n"
+        f"SELECT o_orderkey, CAST({' + '.join(terms)} AS BIGINT) AS z FROM sc"
+    )
+
+
+@query("zorder_key_orders", _zorder_oracle_sql(["o_custkey", "o_totalprice"]))
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (o_custkey, o_totalprice): min-max stats from one
+    broadcast 1-row aggregate, interleave as codegen'd bit arithmetic —
+    the scan-side derivation OPTIMIZE ZORDER clusters by."""
+    from ..catalog import load_tables
+    from ..operators.maintenance import with_z_value
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    z = with_z_value(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ["o_custkey", "o_totalprice"],
+    )
+    return z.select("o_orderkey", F.col("_z").alias("z"))
