@@ -70,9 +70,12 @@ _NEVER_WINDOWED = (
     "unpivot_source_metrics",
     "j6_skew_salted_join",
     "runtime_filter_join",
-    "dq_expectations_orders",
-    "schema_evolution_read",
 )
+
+# dq_expectations_orders / schema_evolution_read intentionally NOT fronted:
+# they sort with the new-this-round group (after it, by module order) so the
+# round-4 additions all fit inside a 50-query driver prefix; both have strong
+# local test evidence (test_advanced.py) if the window cuts them off.
 
 # Green rows recorded by the driver in CORRECTNESS_r01/r02/r03.json — these
 # sort to the back of the registry; everything not listed here and not
