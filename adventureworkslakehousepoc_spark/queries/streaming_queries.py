@@ -570,3 +570,42 @@ def st_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-padded emission (observed: last-two purchases missing at sf0.001).
     out = run_available_now(joined, "interval-left-outer")
     return out.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "st_corpus_ingest_gate",
+    """
+    WITH gated AS (
+      SELECT source, len(string_split(text, ' ')) AS n_words
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+            / length(text) >= 0.5
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM gated GROUP BY source
+    """,
+)
+def st_corpus_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with quality gating — the medallion shape
+    of a training-data pipeline: documents arrive as a file stream, the
+    stateless bronze→silver gate (token-count band + alpha-ratio floor) runs
+    inside the stream and appends to the silver sink; the gold per-source
+    accounting aggregates the materialized silver table as batch. Stateless
+    streaming transforms are exactly batch-replayable, so the oracle is the
+    plain batch SQL."""
+    docs = stream_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    alpha_ratio = F.regexp_count(F.col("text"), F.lit("[a-z]")).cast("double") / F.length(
+        "text"
+    )
+    gated = docs.filter(n_words.between(20, 1000) & (alpha_ratio >= 0.5)).select(
+        "source", n_words.alias("n_words")
+    )
+    silver = run_available_now(gated, "corpus-ingest-gate")
+    return silver.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )

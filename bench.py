@@ -75,6 +75,16 @@ EXTRA_QUERIES = [
     "unpivot_source_metrics",
     "j6_skew_salted_join",
     "grouped_map_label_centroids",
+    # round-4 additions
+    "semantic_cluster_assign",
+    "semantic_dedup_reps",
+    "semantic_prune_pairs",
+    "doc_chunking_overlap",
+    "mixture_token_budget_plan",
+    "ngram_continuation_topk",
+    "train_eval_split_counts",
+    "zorder_key_orders",
+    "st_corpus_ingest_gate",
 ]
 
 
