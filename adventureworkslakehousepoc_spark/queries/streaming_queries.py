@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..operators.joins import interval_join, star_left_join
 from ..streaming.cdf import ChangeFeed, latest_snapshot
-from ..streaming.runner import run_available_now, stream_table
+from ..streaming.runner import run_available_now, stream_table, stream_tmp_root
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -167,7 +167,7 @@ def _build_change_log(spark: SparkSession, sf_dir: str) -> ChangeFeed:
     """Deterministic 3-version log derived from `customer`:
     v1 inserts all; v2 updates every c_custkey % 5 == 0 (upper name,
     acctbal + 100); v3 deletes every c_custkey % 7 == 0."""
-    path = os.path.join("/tmp/awlh_stream", f"cdf-{os.path.basename(sf_dir.rstrip('/'))}")
+    path = os.path.join(stream_tmp_root(), f"cdf-{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(path, ignore_errors=True)
     cf = ChangeFeed(path)
     base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
@@ -233,9 +233,9 @@ def st_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_upsert
 
     cf = _build_change_log(spark, sf_dir)
-    os.makedirs("/tmp/awlh_stream", exist_ok=True)
-    state_dir = tempfile.mkdtemp(prefix="upsert-q-", dir="/tmp/awlh_stream") + "/state"
-    ckpt = tempfile.mkdtemp(prefix="upsert-q-ck-", dir="/tmp/awlh_stream")
+    os.makedirs(stream_tmp_root(), exist_ok=True)
+    state_dir = tempfile.mkdtemp(prefix="upsert-q-", dir=stream_tmp_root()) + "/state"
+    ckpt = tempfile.mkdtemp(prefix="upsert-q-ck-", dir=stream_tmp_root())
     foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
     return spark.read.parquet(state_dir).select(
         F.col("c_custkey").alias("customer_id"),
@@ -338,8 +338,8 @@ def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import running_counts_with_state
 
     counts = running_counts_with_state(stream_table(spark, sf_dir, "events"))
-    out = tempfile.mkdtemp(prefix="stateful-out-", dir="/tmp/awlh_stream")
-    ckpt = tempfile.mkdtemp(prefix="stateful-ck-", dir="/tmp/awlh_stream")
+    out = tempfile.mkdtemp(prefix="stateful-out-", dir=stream_tmp_root())
+    ckpt = tempfile.mkdtemp(prefix="stateful-ck-", dir=stream_tmp_root())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
@@ -495,8 +495,8 @@ def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame
     # (whose watermark then never advances past the real data)
     import tempfile
 
-    os.makedirs("/tmp/awlh_stream", exist_ok=True)
-    sent_path = tempfile.mkdtemp(prefix="sentinel-", dir="/tmp/awlh_stream")
+    os.makedirs(stream_tmp_root(), exist_ok=True)
+    sent_path = tempfile.mkdtemp(prefix="sentinel-", dir=stream_tmp_root())
     sentinels = spark.createDataFrame(
         [
             (10**12, sentinel_ts, -1, "purchase", 0.0, "{}"),

@@ -25,7 +25,20 @@ from ..catalog import _NANOS_TS_COLS
 
 __all__ = ["stage_stream_dir", "stream_table", "run_available_now"]
 
-_STREAM_TMP = "/tmp/awlh_stream"
+def stream_tmp_root() -> str:
+    """Scratch root for stream staging/checkpoints/sinks. Prefers tmpfs
+    (/dev/shm) — the AvailableNow harness is deterministic run-to-completion
+    scratch, so checkpoint fsync latency is pure overhead locally; a real
+    deployment points AWLH_STREAM_TMP at durable storage instead."""
+    root = os.environ.get("AWLH_STREAM_TMP")
+    if root:
+        return root
+    if os.path.isdir("/dev/shm"):
+        return "/dev/shm/awlh_stream"
+    return "/tmp/awlh_stream"
+
+
+_STREAM_TMP = stream_tmp_root()
 
 
 def _tmpdir(kind: str) -> str:

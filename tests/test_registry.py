@@ -14,6 +14,14 @@ from adventureworkslakehousepoc_spark.pipelines.medallion import medallion_conte
 from adventureworkslakehousepoc_spark.plans.registry import DatasetRegistry, PipelineContext
 
 
+def _stream_root():
+    from adventureworkslakehousepoc_spark.streaming.runner import stream_tmp_root
+    import os as _os
+
+    root = stream_tmp_root()
+    _os.makedirs(root, exist_ok=True)
+    return root
+
 def test_lazy_topological_resolution(spark):
     dp = DatasetRegistry()
     order = []
@@ -76,7 +84,7 @@ def test_medallion_run_materializes_warehouse(spark, sf_dir):
     parquet; fact_weather recomputed from the materialized warehouse matches
     the in-memory plan."""
     ctx = medallion_context(spark, sf_dir)
-    wh = tempfile.mkdtemp(prefix="wh-", dir="/tmp/awlh_stream")
+    wh = tempfile.mkdtemp(prefix="wh-", dir=_stream_root())
     out = ctx.run(wh, names=["dim_geo", "dim_product", "fact_sales", "fact_weather"])
     assert set(out) == {"dim_geo", "dim_product", "fact_sales", "fact_weather"}
     for name, path in out.items():
@@ -94,9 +102,13 @@ def test_partitioned_write(spark, sf_dir):
     import tempfile
 
     ctx = medallion_context(spark, sf_dir)
-    wh = tempfile.mkdtemp(prefix="whp-", dir="/tmp/awlh_stream")
+    wh = tempfile.mkdtemp(prefix="whp-", dir=_stream_root())
     out = ctx.run(wh, names=["fact_sales"], partition_by={"fact_sales": ["order_date"]})
-    parts = [d for d in os.listdir(out["fact_sales"]) if d.startswith("order_date=")]
+    parts = sorted(
+        d
+        for d in os.listdir(out["fact_sales"])
+        if d.startswith("order_date=") and "__HIVE_DEFAULT_PARTITION__" not in d
+    )
     assert len(parts) > 1
     back = spark.read.parquet(out["fact_sales"])
     assert back.count() == ctx.dataframe("fact_sales").count()

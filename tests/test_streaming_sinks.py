@@ -21,12 +21,20 @@ from adventureworkslakehousepoc_spark.streaming.sinks import (
 )
 
 
+def _stream_root():
+    from adventureworkslakehousepoc_spark.streaming.runner import stream_tmp_root
+    import os as _os
+
+    root = stream_tmp_root()
+    _os.makedirs(root, exist_ok=True)
+    return root
+
 def test_foreach_batch_upsert_matches_snapshot(spark, sf_dir):
     """Streaming MERGE emulation: applying the change stream via foreachBatch
     must land the same final state as batch snapshot compaction."""
     cf = _build_change_log(spark, sf_dir)
-    state_dir = tempfile.mkdtemp(prefix="upsert-", dir="/tmp/awlh_stream") + "/state"
-    ckpt = tempfile.mkdtemp(prefix="upsert-ck-", dir="/tmp/awlh_stream")
+    state_dir = tempfile.mkdtemp(prefix="upsert-", dir=_stream_root()) + "/state"
+    ckpt = tempfile.mkdtemp(prefix="upsert-ck-", dir=_stream_root())
     foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
     got = spark.read.parquet(state_dir)
     expected = cf.latest_snapshot(spark, ["c_custkey"])
@@ -45,9 +53,9 @@ def test_foreach_batch_upsert_incremental_batches(spark, sf_dir):
 
     from adventureworkslakehousepoc_spark.streaming.cdf import ChangeFeed
 
-    path = tempfile.mkdtemp(prefix="inc-cdf-", dir="/tmp/awlh_stream") + "/log"
-    state_dir = tempfile.mkdtemp(prefix="inc-upsert-", dir="/tmp/awlh_stream") + "/state"
-    ckpt = tempfile.mkdtemp(prefix="inc-upsert-ck-", dir="/tmp/awlh_stream")
+    path = tempfile.mkdtemp(prefix="inc-cdf-", dir=_stream_root()) + "/log"
+    state_dir = tempfile.mkdtemp(prefix="inc-upsert-", dir=_stream_root()) + "/state"
+    ckpt = tempfile.mkdtemp(prefix="inc-upsert-ck-", dir=_stream_root())
     shutil.rmtree(path, ignore_errors=True)
     cf = ChangeFeed(path)
     base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
@@ -105,8 +113,8 @@ def run_available_now_update(df):
     import tempfile as _tf
 
     spark = df.sparkSession
-    out = _tf.mkdtemp(prefix="upd-out-", dir="/tmp/awlh_stream")
-    ckpt = _tf.mkdtemp(prefix="upd-ck-", dir="/tmp/awlh_stream")
+    out = _tf.mkdtemp(prefix="upd-out-", dir=_stream_root())
+    ckpt = _tf.mkdtemp(prefix="upd-ck-", dir=_stream_root())
     collected = []
 
     def grab(batch_df, batch_id):
@@ -150,9 +158,9 @@ def test_foreach_batch_upsert_one_file_per_microbatch(spark, sf_dir):
 
     from adventureworkslakehousepoc_spark.streaming.cdf import ChangeFeed
 
-    path = tempfile.mkdtemp(prefix="mb-cdf-", dir="/tmp/awlh_stream") + "/log"
-    state_dir = tempfile.mkdtemp(prefix="mb-upsert-", dir="/tmp/awlh_stream") + "/state"
-    ckpt = tempfile.mkdtemp(prefix="mb-upsert-ck-", dir="/tmp/awlh_stream")
+    path = tempfile.mkdtemp(prefix="mb-cdf-", dir=_stream_root()) + "/log"
+    state_dir = tempfile.mkdtemp(prefix="mb-upsert-", dir=_stream_root()) + "/state"
+    ckpt = tempfile.mkdtemp(prefix="mb-upsert-ck-", dir=_stream_root())
     shutil.rmtree(path, ignore_errors=True)
     cf = ChangeFeed(path)
     base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
