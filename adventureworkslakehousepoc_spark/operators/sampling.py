@@ -210,6 +210,28 @@ def mixture_token_budget(
     )
 
 
+def split_column(
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    seed: str = "split42",
+) -> Column:
+    """The 3-way split expression: bucket = first two md5 hex digits of
+    ``seed:id`` as a value in 0..255, mapped onto test / val / train ranges
+    (≈ pct/100 each, quantized to 1/256ths). A pure scan-side projection —
+    drop it into any plan as a column or filter."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    test_hi = (256 * test_pct) // 100
+    val_hi = test_hi + (256 * val_pct) // 100
+    return (
+        F.when(bucket < test_hi, "test").when(bucket < val_hi, "val").otherwise("train")
+    )
+
+
 def train_eval_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -218,22 +240,11 @@ def train_eval_split(
     test_pct: int = 10,
     seed: str = "split42",
 ) -> DataFrame:
-    """Deterministic 3-way corpus split: bucket = first two md5 hex digits of
-    ``seed:id`` as a value in 0..255, mapped onto test / val / train ranges
-    (≈ pct/100 each, quantized to 1/256ths). Hash-keyed so the assignment is
-    partitioning- and engine-invariant, reproducible run-over-run, and
+    """Deterministic 3-way corpus split audit. Hash-keyed so the assignment
+    is partitioning- and engine-invariant, reproducible run-over-run, and
     leakage-free (a doc can never change split when the corpus grows).
     Returns per (group, split) counts — the audit view of the split."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 2),
-        16,
-        10,
-    ).cast("int")
-    test_hi = (256 * test_pct) // 100
-    val_hi = test_hi + (256 * val_pct) // 100
-    split = (
-        F.when(bucket < test_hi, "test").when(bucket < val_hi, "val").otherwise("train")
-    )
+    split = split_column(id_col, val_pct, test_pct, seed)
     return (
         docs.select(F.col(group_col).alias("grp"), split.alias("split"))
         .groupBy(F.col("grp").alias(group_col), "split")

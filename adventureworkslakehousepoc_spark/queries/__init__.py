@@ -65,17 +65,17 @@ _NEVER_WINDOWED = (
     "grouped_map_label_centroids",
     "cdf_time_travel_asof_v2",
     "st_interval_join_left_outer",
-    "agg_cube",
     "w4_rolling_range_frame",
     "unpivot_source_metrics",
     "j6_skew_salted_join",
     "runtime_filter_join",
 )
 
-# dq_expectations_orders / schema_evolution_read intentionally NOT fronted:
-# they sort with the new-this-round group (after it, by module order) so the
-# round-4 additions all fit inside a 50-query driver prefix; both have strong
-# local test evidence (test_advanced.py) if the window cuts them off.
+# dq_expectations_orders / schema_evolution_read / agg_cube intentionally NOT
+# fronted: they sort with the new-this-round group (after it, by module order)
+# so the round-4 additions all fit inside a 50-query driver prefix; all three
+# have strong local evidence (test_advanced.py; agg_cube's ROLLUP /
+# GROUPING SETS siblings are already driver-green) if the window cuts them off.
 
 # Green rows recorded by the driver in CORRECTNESS_r01/r02/r03.json — these
 # sort to the back of the registry; everything not listed here and not

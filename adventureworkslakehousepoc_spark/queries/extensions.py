@@ -1750,3 +1750,92 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey", "o_totalprice"],
     )
     return z.select("o_orderkey", F.col("_z").alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline v3 (round 4): the modern curation chain with the
+# semantic stage in it — exact dedup → SemDeDup prune (k-means + intra-cluster
+# cosine, drop the higher id of each near-pair) → sliding-window chunking →
+# leakage-free split assignment → per-(split, source) chunk/token accounting.
+# One oracle replays the WHOLE composition including the iterative k-means.
+# ---------------------------------------------------------------------------
+
+_V3_SPLIT_B = (
+    "(strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+_V3_ORACLE = (
+    _kmeans_oracle_cte()
+    + f""",
+    reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    prune AS (
+      SELECT DISTINCT y.vec_id AS doc_id
+      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN embeddings a ON a.vec_id = x.vec_id
+      JOIN embeddings b ON b.vec_id = y.vec_id
+      WHERE FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 >= 0.2
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source, string_split(d.text, ' ') AS ws,
+             len(string_split(d.text, ' ')) AS n
+      FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM prune)
+    ),
+    ch AS (
+      SELECT doc_id, source,
+             len(ws[1 + g.ci * 24 : g.ci * 24 + 32]) AS n_chunk_tokens
+      FROM (SELECT *, CASE WHEN n <= 32 THEN 1
+                           ELSE 1 + CAST(CEIL((n - 32) / 24.0) AS INT) END AS nc
+            FROM surv),
+           unnest(generate_series(0, nc - 1)) AS g(ci)
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_V3_SPLIT_B} < 25 THEN 'test'
+                  WHEN {_V3_SPLIT_B} < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM surv
+    )
+    SELECT sp.split, ch.source,
+           CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ch.n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+    FROM ch JOIN sp ON ch.doc_id = sp.doc_id
+    GROUP BY 1, 2
+    """
+)
+
+
+@query("training_corpus_pipeline_v3", _V3_ORACLE)
+def training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 curation chain: exact dedup → SemDeDup prune (drop the higher id of
+    each intra-cluster cosine near-pair) → 32/8 sliding-window chunking →
+    hash-keyed split assignment → per-(split, source) accounting. Embeddings
+    cover a subset of docs (realistic); uncovered docs pass the semantic
+    stage untouched via the anti-join."""
+    from ..operators.clustering import semantic_prune_pairs
+    from ..operators.packing import chunk_documents
+    from ..operators.sampling import split_column
+
+    docs = _docs(spark, sf_dir)
+    kept = docs.join(
+        exact_duplicate_groups(docs).select(F.col("representative_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    prune = (
+        semantic_prune_pairs(_emb(spark, sf_dir), k=8, iters=2, threshold=0.2)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    surv = kept.join(prune, "doc_id", "left_anti")
+    chunks = chunk_documents(surv, chunk_tokens=32, overlap=8)
+    enriched = chunks.join(surv.select("doc_id", "source"), "doc_id").withColumn(
+        "split", split_column()
+    )
+    return enriched.groupBy("split", "source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+    )

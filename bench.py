@@ -85,6 +85,7 @@ EXTRA_QUERIES = [
     "train_eval_split_counts",
     "zorder_key_orders",
     "st_corpus_ingest_gate",
+    "training_corpus_pipeline_v3",
 ]
 
 

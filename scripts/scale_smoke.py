@@ -96,6 +96,16 @@ def main() -> None:
         "sample_stratified_corpus",
         "agg_percentiles",
         "agg_percentiles_approx",
+        # round-4 operators + the re-optimized shingle path
+        "text_boilerplate_flags",
+        "training_corpus_pipeline_v2",
+        "semantic_cluster_assign",
+        "semantic_dedup_reps",
+        "doc_chunking_overlap",
+        "ngram_continuation_topk",
+        "train_eval_split_counts",
+        "mixture_token_budget_plan",
+        "zorder_key_orders",
     ]
     timings = {}
     for name in names:

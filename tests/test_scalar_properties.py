@@ -145,3 +145,44 @@ def test_quantized_avg_engine_identical(spark, duck, vals):
         "CAST(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(v) / 1000000.0",
     )
     assert _eq(got_s[0][0], got_d[0][0]), (got_s, got_d)
+
+
+def _py_chunks(words, chunk=32, overlap=8):
+    """Pure-Python reference chunker for the chunk_documents property test."""
+    stride = chunk - overlap
+    n = len(words)
+    n_chunks = 1 if n <= chunk else 1 + math.ceil((n - chunk) / stride)
+    out = []
+    for ci in range(n_chunks):
+        start = ci * stride
+        piece = words[start : start + chunk]
+        out.append((ci, start + 1, len(piece), " ".join(piece)))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo"]),
+            min_size=1,
+            max_size=90,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_matches_python_reference(spark, word_lists):
+    from adventureworkslakehousepoc_spark.operators.packing import chunk_documents
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    }
+    expect = {}
+    for i, ws in enumerate(word_lists):
+        for ci, start1, npc, text in _py_chunks(ws):
+            expect[(i, ci)] = (start1, npc, text)
+    assert got == expect
