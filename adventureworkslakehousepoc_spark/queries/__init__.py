@@ -63,7 +63,6 @@ _NEVER_WINDOWED = (
     "tfidf_top_terms",
     "global_shuffle_buckets",
     "grouped_map_label_centroids",
-    "cdf_time_travel_asof_v2",
     "st_interval_join_left_outer",
     "w4_rolling_range_frame",
     "unpivot_source_metrics",
@@ -71,11 +70,13 @@ _NEVER_WINDOWED = (
     "runtime_filter_join",
 )
 
-# dq_expectations_orders / schema_evolution_read / agg_cube intentionally NOT
-# fronted: they sort with the new-this-round group (after it, by module order)
-# so the round-4 additions all fit inside a 50-query driver prefix; all three
-# have strong local evidence (test_advanced.py; agg_cube's ROLLUP /
-# GROUPING SETS siblings are already driver-green) if the window cuts them off.
+# dq_expectations_orders / schema_evolution_read / agg_cube /
+# cdf_time_travel_asof_v2 intentionally NOT fronted: they sort with the
+# new-this-round group (after it, by module order) so the round-4 additions
+# all fit inside a 50-query driver prefix. Every registered query is
+# oracle-compared locally by tests/test_oracle_parity.py regardless; the
+# demoted four also have dedicated tests (test_advanced.py, test_streaming.py;
+# agg_cube's ROLLUP / GROUPING SETS siblings are already driver-green).
 
 # Green rows recorded by the driver in CORRECTNESS_r01/r02/r03.json — these
 # sort to the back of the registry; everything not listed here and not
@@ -126,8 +127,13 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
+# new-in-r4 streaming query, fronted explicitly because its module
+# (streaming_queries) sorts after extensions in the merged dict
+_R04_FRONT = ("st_corpus_ingest_gate",)
+
+
 def _round4_order(merged: dict) -> dict:
-    front = [k for k in _R03_FAILED + _NEVER_WINDOWED if k in merged]
+    front = [k for k in _R03_FAILED + _NEVER_WINDOWED + _R04_FRONT if k in merged]
     out = {k: merged[k] for k in front}
     # new-this-round queries: registered but never driver-verified nor fronted
     out.update({k: v for k, v in merged.items() if k not in out and k not in _DRIVER_VERIFIED})

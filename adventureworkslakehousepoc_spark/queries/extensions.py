@@ -1839,3 +1839,48 @@ def training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    # videos only (doc_id % 3 == 2); n_frames and frame offsets are
+    # closed-form over the ASCII payload bytes, and frame bytes are a
+    # CONTIGUOUS slice — so character slicing == byte slicing and DuckDB
+    # replays the Arrow 1->N fan-out exactly, down to the frame md5.
+    """
+    WITH v AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS blen,
+             CAST(list_aggregate(
+                    list_transform(range(1, octet_length(encode(text)) + 1),
+                                   i -> ord(text[i])), 'sum') AS BIGINT) % 65536
+               AS checksum
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT doc_id, text, blen,
+             1 + checksum % 30 AS n_frames
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(g.idx AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST((g.idx * 37) % greatest(1, blen - 8) AS INT) + 1, 8))
+             AS frame_md5,
+           CAST(length(substr(text, CAST((g.idx * 37) % greatest(1, blen - 8) AS INT) + 1, 8)) AS INTEGER)
+             AS frame_len
+    FROM f, unnest(generate_series(0, n_frames - 1, 10)) AS g(idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the Arrow mapInPandas 1->N fan-out
+    (operators/multimodal.py::sample_frames), hash-verified per frame — the
+    extraction-stage batch contract itself is under the oracle gate."""
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    frames = sample_frames(attach_binary_payload(_docs(spark, sf_dir)), every_nth=10)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame_payload")).alias("frame_md5"),
+        F.length(F.col("frame_payload")).cast("int").alias("frame_len"),
+    )

@@ -86,6 +86,7 @@ EXTRA_QUERIES = [
     "zorder_key_orders",
     "st_corpus_ingest_gate",
     "training_corpus_pipeline_v3",
+    "multimodal_frame_sample",
 ]
 
 
