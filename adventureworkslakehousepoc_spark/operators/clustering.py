@@ -142,14 +142,26 @@ def semantic_prune_pairs(
     cluster populations stay bounded; the cluster-keyed self-join is the only
     shuffle). Scores are micro-unit-quantized doubles (IEEE-deterministic).
     Returns (cluster, vec_a, vec_b, score) above ``threshold``."""
-    from .similarity import cosine_similarity, quantize
+    from .similarity import dot_product, quantize
 
     assign = kmeans_assign(embeddings, k, iters, id_col, vec_col)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(assign.select("vec_id", "cluster"), "vec_id")
+    # per-vector norm computed ONCE here (n rows), not per pair (n² sqrt+dot
+    # evaluations); same IEEE expression order as cosine_similarity, so
+    # scores are bit-identical to the naive form and the oracle
+    e = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .join(assign.select("vec_id", "cluster"), "vec_id")
+        .withColumn("norm", F.sqrt(dot_product("embedding", "embedding")))
+        # materialize once: both self-join sides would otherwise recompute
+        # the full k-means DAG (no exchange reuse across aliased subtrees).
+        # The production analog is writing the assignment table before the
+        # pruning pass — SemDeDup's own structure.
+        .localCheckpoint()
+    )
     a, b = e.alias("a"), e.alias("b")
-    score = quantize(cosine_similarity("a.embedding", "b.embedding"))
+    score = quantize(
+        dot_product("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
+    )
     return (
         a.join(
             b,

@@ -53,6 +53,7 @@ def dot_product(a: str, b: str) -> Column:
     )
 
 
+
 def cosine_similarity(a: str, b: str) -> Column:
     return dot_product(a, b) / (F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b)))
 
