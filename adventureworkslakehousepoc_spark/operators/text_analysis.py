@@ -403,3 +403,50 @@ def ngram_continuations(
         counts, ["prefix"], top_k, [F.desc("n"), F.asc("next_word")], rank_name="rank"
     )
     return ranked.select("prefix", "next_word", "n", F.col("rank").cast("bigint").alias("rank"))
+
+
+def source_drift_scores(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Distribution-drift monitor: per-source unigram KL divergence (base 10)
+    against the whole-corpus distribution — the ops check that one crawl
+    source hasn't shifted vocabulary (spam injection, template change,
+    encoding rot) relative to the mix.
+
+    KL_10(source || corpus) = Σ_w p_s(w) · log10(p_s(w) / p_c(w)), computed
+    with the unigram-LM integer discipline: the probability ratio is a ratio
+    of exact integer products (n_sw·N_c)/(N_s·n_cw) — every operand < 2^53 —
+    its log10 quantizes once to 1e-6, and all accumulation is exact
+    count-weighted integer arithmetic. Non-negative by Gibbs' inequality;
+    ~zero for a source matching the mix.
+
+    Plan shape: one (source, word) count, one word re-aggregate (both
+    map-side-combinable, vocabulary-scale outputs), a broadcast 1-row total,
+    one join back, one per-source sum. No corpus-sized shuffle carries text."""
+    from .dedup import spread
+
+    words = spread(
+        docs.select(F.col(group_col).alias("src"), F.col(text_col).alias("t")), "src"
+    ).select("src", F.explode(F.split(F.col("t"), " ")).alias("w"))
+    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).alias("n_sw"))
+    cw = sw.groupBy("w").agg(F.sum("n_sw").alias("n_cw"))
+    src_tot = sw.groupBy("src").agg(F.sum("n_sw").alias("n_s"))
+    corpus_tot = cw.agg(F.sum("n_cw").alias("n_c"))
+    ratio = (F.col("n_sw") * F.col("n_c")).cast("double") / (
+        F.col("n_s") * F.col("n_cw")
+    ).cast("double")
+    term_u = (F.col("n_sw") * F.floor(F.log10(ratio) * 1000000 + F.lit(0.5)).cast("bigint"))
+    per_src = (
+        sw.join(cw, "w")
+        .join(F.broadcast(src_tot), "src")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("src", "n_s")
+        .agg(F.sum(term_u).alias("sum_term_u"))
+    )
+    return per_src.select(
+        F.col("src").alias(group_col),
+        F.col("n_s").cast("bigint").alias("n_tokens"),
+        (F.col("sum_term_u").cast("double") / F.col("n_s") / F.lit(1000000.0)).alias(
+            "kl10_drift"
+        ),
+    )

@@ -1884,3 +1884,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("frame_payload")).alias("frame_md5"),
         F.length(F.col("frame_payload")).cast("int").alias("frame_len"),
     )
+
+
+@query(
+    "source_drift_kl",
+    """
+    WITH w AS (
+      SELECT source AS src, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sw AS (SELECT src, w, COUNT(*) AS n_sw FROM w GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_cw FROM sw GROUP BY 1),
+    st AS (SELECT src, CAST(SUM(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+    ct AS (SELECT CAST(SUM(n_cw) AS BIGINT) AS n_c FROM cw)
+    SELECT sw.src AS source,
+           st.n_s AS n_tokens,
+           CAST(SUM(sw.n_sw * CAST(FLOOR(
+                 log10(CAST(sw.n_sw * ct.n_c AS DOUBLE) / CAST(st.n_s * cw.n_cw AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / st.n_s / 1000000.0
+             AS kl10_drift
+    FROM sw JOIN cw USING (w) JOIN st USING (src), ct
+    GROUP BY 1, 2
+    """,
+)
+def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL drift vs the corpus mix — integer-quantized
+    log10 terms, exact count-weighted accumulation (unigram-LM discipline)."""
+    from ..operators.text_analysis import source_drift_scores
+
+    return source_drift_scores(_docs(spark, sf_dir))

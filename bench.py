@@ -87,6 +87,7 @@ EXTRA_QUERIES = [
     "st_corpus_ingest_gate",
     "training_corpus_pipeline_v3",
     "multimodal_frame_sample",
+    "source_drift_kl",
 ]
 
 
