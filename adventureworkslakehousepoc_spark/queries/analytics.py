@@ -822,3 +822,103 @@ def j6_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "gold_sales_wide",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS DOUBLE) AS quantity,
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+             AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority,
+           c.c_name AS customer_name, c.c_mktsegment AS segment,
+           n.n_name AS nation, r.r_name AS region,
+           p.p_name AS part_name, p.p_brand AS brand,
+           s.s_name AS supplier_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def gold_sales_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-layer denormalized wide table: the 7-way star flattened for BI /
+    feature-store consumption. True dimensions (nation/region/part/supplier)
+    are explicitly broadcast; lineitem⋈orders⋈customer are fact-scale joins
+    left to the planner — AQE broadcasts them locally, while at 100 TB they
+    shuffle on their natural keys (or ride pre-bucketed layouts,
+    plans/bucketing.py). Money lands as exact integer cents
+    (float-discipline for the oracle hash)."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "part", "supplier")
+    l, o, c = t["lineitem"].alias("l"), t["orders"].alias("o"), t["customer"].alias("c")
+    n, r = t["nation"].alias("n"), t["region"].alias("r")
+    p, s = t["part"].alias("p"), t["supplier"].alias("s")
+    return (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .select(
+            "l.l_orderkey",
+            "l.l_linenumber",
+            F.col("l.l_quantity").cast("double").alias("quantity"),
+            F.floor(
+                F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")) * 100 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            "o.o_orderdate",
+            "o.o_orderpriority",
+            F.col("c.c_name").alias("customer_name"),
+            F.col("c.c_mktsegment").alias("segment"),
+            F.col("n.n_name").alias("nation"),
+            F.col("r.r_name").alias("region"),
+            F.col("p.p_name").alias("part_name"),
+            F.col("p.p_brand").alias("brand"),
+            F.col("s.s_name").alias("supplier_name"),
+        )
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a daily aggregate maintained by MERGING
+    mergeable partials (counts + integer-micro sums) from an old snapshot and
+    a new-arrivals batch — never re-scanning history. The oracle is the full
+    recompute, proving partial-merge == recompute. At 100 TB this is the
+    difference between touching one day and touching three years; the merge
+    is one keyed aggregate over two pre-aggregated (small) inputs."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    v_u = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    day = F.date_trunc("day", F.col("ts"))
+    cutoff = "2024-01-20"
+    # two disjoint pre-aggregated partials (in production: yesterday's stored
+    # snapshot + today's new-data aggregate)
+    def partial(df):
+        return df.groupBy(F.col("event_type"), day.alias("day")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(v_u).cast("bigint").alias("sum_value_micros"),
+        )
+
+    old_part = partial(ev.filter(F.col("ts") < cutoff))
+    new_part = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = old_part.unionByName(new_part)
+    return merged.groupBy("event_type", "day").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value_micros").cast("bigint").alias("sum_value_micros"),
+    )

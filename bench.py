@@ -88,6 +88,8 @@ EXTRA_QUERIES = [
     "training_corpus_pipeline_v3",
     "multimodal_frame_sample",
     "source_drift_kl",
+    "gold_sales_wide",
+    "incremental_agg_merge",
 ]
 
 
