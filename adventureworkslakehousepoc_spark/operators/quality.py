@@ -52,3 +52,42 @@ def enforce_expectations(df: DataFrame, expectations: dict[str, Column]) -> Data
     for pred in expectations.values():
         out = out.filter(pred)
     return out
+
+
+def weak_label_votes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Weak-supervision labeling: four cheap heuristic labelers vote on
+    document quality (length band, stopword floor, repetition ceiling,
+    alphabetic floor); majority (≥3) keeps. The programmatic-labeling prep
+    step of a classifier-filtered corpus (Snorkel-style): labelers are pure
+    scan-side projections, votes are exact ints — one narrow pass, zero
+    shuffles, trivially auditable.
+
+    Returns (doc_id, l_length, l_stopword, l_repetition, l_alpha, votes,
+    keep)."""
+    from .text_analysis import LANG_MARKERS
+
+    stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_hits = F.expr(f"size(filter(split({text_col}, ' '), w -> w IN ({stop})))")
+    # repetition: distinct-token fraction over whitespace tokens
+    distinct_frac = F.size(F.array_distinct(words)).cast("double") / n_words
+    alpha_ratio = F.regexp_count(F.col(text_col), F.lit("[a-z]")).cast("double") / F.length(
+        F.col(text_col)
+    )
+    l1 = n_words.between(20, 1000)
+    l2 = (stop_hits.cast("double") / n_words) >= 0.05
+    l3 = distinct_frac >= 0.3
+    l4 = alpha_ratio >= 0.5
+    votes = sum(F.when(c, 1).otherwise(0) for c in (l1, l2, l3, l4))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        l1.alias("l_length"),
+        l2.alias("l_stopword"),
+        l3.alias("l_repetition"),
+        l4.alias("l_alpha"),
+        votes.cast("int").alias("votes"),
+        (votes >= 3).alias("keep"),
+    )

@@ -1912,3 +1912,42 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import source_drift_scores
 
     return source_drift_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "weak_label_votes",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'and', 'of', 'is', 'a', 'to', 'in')))
+               AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_frac,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             n_words BETWEEN 20 AND 1000 AS l_length,
+             CAST(stop_hits AS DOUBLE) / n_words >= 0.05 AS l_stopword,
+             distinct_frac >= 0.3 AS l_repetition,
+             alpha_ratio >= 0.5 AS l_alpha
+      FROM f
+    )
+    SELECT doc_id, l_length, l_stopword, l_repetition, l_alpha,
+           CAST(CAST(l_length AS INT) + CAST(l_stopword AS INT)
+                + CAST(l_repetition AS INT) + CAST(l_alpha AS INT) AS INTEGER) AS votes,
+           CAST(l_length AS INT) + CAST(l_stopword AS INT)
+             + CAST(l_repetition AS INT) + CAST(l_alpha AS INT) >= 3 AS keep
+    FROM v
+    """,
+)
+def weak_label_votes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style weak-supervision voting over four heuristic labelers —
+    scan-side projections, exact integer votes, zero shuffles."""
+    from ..operators.quality import weak_label_votes
+
+    return weak_label_votes(_docs(spark, sf_dir))

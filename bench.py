@@ -90,6 +90,7 @@ EXTRA_QUERIES = [
     "source_drift_kl",
     "gold_sales_wide",
     "incremental_agg_merge",
+    "weak_label_votes",
 ]
 
 
