@@ -42,6 +42,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "cosine_scores_pandas_udf",
+    "int8_quantize",
 ]
 
 
@@ -407,3 +408,54 @@ def cosine_scores_pandas_udf(embeddings: DataFrame, query_id: int = 0) -> DataFr
 
     out_schema = "vec_id bigint, label int, score double"
     return embeddings.select("vec_id", "label", "embedding").mapInPandas(score_batches, out_schema)
+
+
+def int8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4× memory /
+    bandwidth lever for a 100 TB embedding store (the compressed form ANN
+    indexes and caches actually hold). Per-DIMENSION min/max ranges come from
+    one keyless aggregate broadcast as a single row; codes are
+    ``floor((x - mn_d) / (mx_d - mn_d) * 255 + 0.5)``; a constant dimension
+    maps to code 0. Returns (vec_id, label, codes array<int>,
+    recon_mse_micros) where the MSE against the float original is quantized
+    to integer micro-units (IEEE-deterministic, oracle-exact)."""
+    dim_stats = embeddings.select(
+        F.posexplode(vec_col).alias("pos", "x")
+    ).groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    packed = dim_stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
+    ).select(
+        F.transform("st", lambda s: s["mn"]).alias("mns"),
+        F.transform("st", lambda s: s["mx"]).alias("mxs"),
+    )
+    withr = embeddings.crossJoin(F.broadcast(packed))
+    code = F.expr(
+        "zip_with(embedding, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)), "
+        "(x, r) -> CASE WHEN r.mx > r.mn THEN "
+        "CAST(floor((CAST(x AS DOUBLE) - r.mn) / (r.mx - r.mn) * 255 + 0.5) AS INT) "
+        "ELSE 0 END)"
+    )
+    # per-dimension squared error quantizes to integer micro-units BEFORE
+    # the sum — group-order float addition differs between engines, exact
+    # integer accumulation does not
+    recon_err = F.expr(
+        "aggregate(zip_with(embedding, zip_with(codes, zip_with(mns, mxs, "
+        "(a, b) -> struct(a AS mn, b AS mx)), (c, r) -> "
+        "CASE WHEN r.mx > r.mn THEN r.mn + CAST(c AS DOUBLE) * (r.mx - r.mn) / 255 "
+        "ELSE r.mn END), (x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * "
+        "(CAST(x AS DOUBLE) - y) * 1000000 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        withr.withColumn("codes", code)
+        .withColumn("recon_sse_u", recon_err)
+        .select(
+            "vec_id",
+            "label",
+            "codes",
+            F.expr(f"recon_sse_u div size({vec_col})").alias("recon_mse_micros"),
+        )
+    )

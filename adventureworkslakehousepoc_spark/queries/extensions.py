@@ -1951,3 +1951,55 @@ def weak_label_votes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import weak_label_votes
 
     return weak_label_votes(_docs(spark, sf_dir))
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH ds AS (
+      SELECT t.i AS pos,
+             MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY 1
+    ),
+    cd AS (
+      SELECT e.vec_id, e.label, d.pos,
+             CASE WHEN d.mx > d.mn THEN
+               CAST(FLOOR((CAST(e.embedding[d.pos] AS DOUBLE) - d.mn)
+                          / (d.mx - d.mn) * 255 + 0.5) AS INT)
+             ELSE 0 END AS c,
+             CAST(e.embedding[d.pos] AS DOUBLE) AS x,
+             d.mn, d.mx
+      FROM embeddings e, ds d
+    ),
+    rc AS (
+      SELECT vec_id, label, pos, c,
+             CASE WHEN mx > mn THEN mn + CAST(c AS DOUBLE) * (mx - mn) / 255
+                  ELSE mn END AS recon,
+             x
+      FROM cd
+    )
+    SELECT vec_id, label,
+           md5(array_to_string(list(c ORDER BY pos), ',')) AS codes_md5,
+           CAST(SUM(CAST(FLOOR((x - recon) * (x - recon) * 1000000 + 0.5) AS BIGINT))
+                // 64 AS BIGINT) AS recon_mse_micros
+    FROM rc
+    GROUP BY 1, 2
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 compression of the embedding store (4x memory/bandwidth):
+    per-dimension ranges from one broadcast aggregate, codes + exact-integer
+    reconstruction MSE per vector."""
+    from ..operators.similarity import int8_quantize
+
+    q = int8_quantize(_emb(spark, sf_dir))
+    # scalar digest of the code array: value-hash harnesses compare scalar
+    # cells, and the md5 over the joined codes pins every code anyway
+    return q.select(
+        "vec_id",
+        "label",
+        F.md5(F.concat_ws(",", F.col("codes"))).alias("codes_md5"),
+        "recon_mse_micros",
+    )

@@ -91,6 +91,7 @@ EXTRA_QUERIES = [
     "gold_sales_wide",
     "incremental_agg_merge",
     "weak_label_votes",
+    "embedding_int8_quantize",
 ]
 
 
