@@ -922,3 +922,77 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("sum_value_micros").cast("bigint").alias("sum_value_micros"),
     )
+
+
+@query(
+    "funnel_conversion_stages",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT u.user_id, u.t_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u.t_view THEN e.ts END)
+               AS t_click
+      FROM u LEFT JOIN events e ON e.user_id = u.user_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT c.user_id, c.t_view, c.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click THEN e.ts END)
+               AS t_purchase
+      FROM c LEFT JOIN events e ON e.user_id = c.user_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(CASE WHEN t_view IS NULL THEN 0
+                     WHEN t_click IS NULL THEN 1
+                     WHEN t_purchase IS NULL THEN 2
+                     ELSE 3 END AS INTEGER) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY 1
+    """,
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click-after-view ->
+    purchase-after-click): per-user stage reached, then stage population
+    counts — the product-analytics staple. One pass computes all three
+    ordered milestones via conditional aggregation over a single user_id
+    shuffle (the self-join form the oracle uses is how a naive SQL engine
+    does it; conditional min-over-window collapses it to one exchange)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_view = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_click = with_view.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_click.withColumn("t_purchase", t_purchase)
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull(), 1)
+        .when(F.col("t_purchase").isNull(), 2)
+        .otherwise(3)
+    )
+    return per_user.select(stage.cast("int").alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -92,6 +92,7 @@ EXTRA_QUERIES = [
     "incremental_agg_merge",
     "weak_label_votes",
     "embedding_int8_quantize",
+    "funnel_conversion_stages",
 ]
 
 
