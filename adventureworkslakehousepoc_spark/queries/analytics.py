@@ -996,3 +996,41 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select(stage.cast("int").alias("stage")).groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('week', c.cohort_week, date_trunc('week', e.ts)) AS INTEGER)
+             AS weeks_since,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, active
+    user counts per (cohort, weeks-since) cell — the product-analytics
+    retention triangle. Two user_id-keyed aggregates; the cohort frame is
+    users-sized and joins back on the same key (co-partitioned exchange
+    reuse at scale)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weeks_since = F.datediff(
+        F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+    ) / 7
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            weeks_since.cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

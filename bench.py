@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "weak_label_votes",
     "embedding_int8_quantize",
     "funnel_conversion_stages",
+    "cohort_retention_matrix",
 ]
 
 
