@@ -186,3 +186,40 @@ def test_chunk_documents_matches_python_reference(spark, word_lists):
         for ci, start1, npc, text in _py_chunks(ws):
             expect[(i, ci)] = (start1, npc, text)
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),      # source number
+            st.integers(min_value=1, max_value=400),     # n words in doc
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=200_000),         # budget
+)
+@settings(**_SETTINGS)
+def test_mixture_budget_matches_python_reference(spark, rows, budget):
+    from adventureworkslakehousepoc_spark.operators.sampling import mixture_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, f"src{s}", " ".join(["w"] * n)) for i, (s, n) in enumerate(rows)],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        r.source: (r.actual_tokens, r.weight_mu, r.planned_tokens, r.sample_rate_micros)
+        for r in mixture_token_budget(docs, budget_tokens=budget).collect()
+    }
+    # pure-python replay of the documented integer arithmetic
+    actual = {}
+    for s, n in rows:
+        actual[f"src{s}"] = actual.get(f"src{s}", 0) + n
+    w = {s: math.floor(math.sqrt(t) * 1000 + 0.5) for s, t in actual.items()}
+    total = sum(w.values())
+    expect = {}
+    for s, t in actual.items():
+        planned = (budget * w[s]) // total
+        rate = (min(planned, t) * 1_000_000) // t
+        expect[s] = (t, w[s], planned, rate)
+    assert got == expect
