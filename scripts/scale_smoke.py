@@ -106,6 +106,15 @@ def main() -> None:
         "train_eval_split_counts",
         "mixture_token_budget_plan",
         "zorder_key_orders",
+        "semantic_prune_pairs",
+        "training_corpus_pipeline_v3",
+        "source_drift_kl",
+        "gold_sales_wide",
+        "incremental_agg_merge",
+        "weak_label_votes",
+        "embedding_int8_quantize",
+        "funnel_conversion_stages",
+        "cohort_retention_matrix",
     ]
     timings = {}
     for name in names:
