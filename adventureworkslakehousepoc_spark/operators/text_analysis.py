@@ -450,3 +450,59 @@ def source_drift_scores(
             "kl10_drift"
         ),
     )
+
+
+def collocation_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction: top-k adjacent-word bigrams by pointwise
+    mutual information — the phrase-mining pass (tokenizer merge candidates,
+    stopword-phrase screens) of corpus analysis.
+
+    PMI = log10(p(ab) / (p(a)·p(b))) computed as a SUM OF LOGS — the integer
+    products overflow 2^53, but an identical add/subtract sequence of
+    correctly-rounded log10 terms is cross-engine deterministic, then
+    quantizes once to micro-units. Count tables are vocabulary-scale with
+    map-side combine; the final top-k is an orderBy().limit() —
+    TakeOrderedAndProject, no global sort."""
+    from pyspark.sql import Window
+
+    words = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    unigrams = words.select(F.explode("ws").alias("w"))
+    nb = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    nu = unigrams.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    tot_b = nb.agg(F.sum("n_ab").alias("n_bigrams"))
+    tot_u = nu.agg(F.sum("n_w").alias("n_words"))
+    lg = lambda c: F.log10(F.col(c).cast("double"))  # noqa: E731
+    pmi_micro = F.floor(
+        (
+            lg("n_ab") + lg("n_words") + lg("n_words")
+            - lg("n_bigrams") - lg("n_a") - lg("n_b")
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        nb.filter(F.col("n_ab") >= min_count)
+        .join(nu.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(nu.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select("w1", "w2", "n_ab", pmi_micro.alias("pmi_micro"))
+    )
+    order = [F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

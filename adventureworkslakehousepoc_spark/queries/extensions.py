@@ -2003,3 +2003,43 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.col("codes"))).alias("codes_md5"),
         "recon_mse_micros",
     )
+
+
+@query(
+    "collocation_pmi_topk",
+    """
+    WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM ws, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    ug AS (SELECT unnest(ws) AS w FROM ws),
+    nb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+    nu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM ug GROUP BY 1),
+    tb AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bigrams FROM nb),
+    tu AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_words FROM nu)
+    SELECT w1, w2, n_ab, pmi_micro, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT w1, w2, n_ab,
+             CAST(FLOOR((log10(CAST(n_ab AS DOUBLE)) + log10(CAST(n_words AS DOUBLE))
+                         + log10(CAST(n_words AS DOUBLE)) - log10(CAST(n_bigrams AS DOUBLE))
+                         - log10(CAST(a.n_w AS DOUBLE)) - log10(CAST(b.n_w AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_micro,
+             row_number() OVER (ORDER BY
+               FLOOR((log10(CAST(n_ab AS DOUBLE)) + log10(CAST(n_words AS DOUBLE))
+                      + log10(CAST(n_words AS DOUBLE)) - log10(CAST(n_bigrams AS DOUBLE))
+                      - log10(CAST(a.n_w AS DOUBLE)) - log10(CAST(b.n_w AS DOUBLE)))
+                     * 1000000 + 0.5) DESC, w1, w2) AS rank
+      FROM nb
+      JOIN nu a ON nb.w1 = a.w
+      JOIN nu b ON nb.w2 = b.w, tb, tu
+      WHERE n_ab >= 5
+    ) WHERE rank <= 50
+    """,
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over adjacent bigrams — phrase mining with
+    the deterministic sum-of-logs idiom and a TakeOrderedAndProject top-k."""
+    from ..operators.text_analysis import collocation_pmi
+
+    return collocation_pmi(_docs(spark, sf_dir))

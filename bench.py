@@ -94,6 +94,7 @@ EXTRA_QUERIES = [
     "embedding_int8_quantize",
     "funnel_conversion_stages",
     "cohort_retention_matrix",
+    "collocation_pmi_topk",
 ]
 
 
