@@ -71,16 +71,22 @@ def weak_label_votes(
     stop = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
     words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
-    stop_hits = F.expr(f"size(filter(split({text_col}, ' '), w -> w IN ({stop})))")
+    # backtick-quoted like _marker_count so column names needing escaping work
+    stop_hits = F.expr(f"size(filter(split(`{text_col}`, ' '), w -> w IN ({stop})))")
     # repetition: distinct-token fraction over whitespace tokens
     distinct_frac = F.size(F.array_distinct(words)).cast("double") / n_words
-    alpha_ratio = F.regexp_count(F.col(text_col), F.lit("[a-z]")).cast("double") / F.length(
-        F.col(text_col)
+    # try_divide: zero-length text must yield NULL (→ FALSE vote below), not
+    # an ANSI divide-by-zero error
+    alpha_ratio = F.try_divide(
+        F.regexp_count(F.col(text_col), F.lit("[a-z]")).cast("double"),
+        F.length(F.col(text_col)),
     )
-    l1 = n_words.between(20, 1000)
-    l2 = (stop_hits.cast("double") / n_words) >= 0.05
-    l3 = distinct_frac >= 0.3
-    l4 = alpha_ratio >= 0.5
+    # each labeler coalesces NULL (zero-length / NULL text → NULL ratios) to
+    # an explicit FALSE vote so votes/keep stay non-null in every engine
+    l1 = F.coalesce(n_words.between(20, 1000), F.lit(False))
+    l2 = F.coalesce((stop_hits.cast("double") / n_words) >= 0.05, F.lit(False))
+    l3 = F.coalesce(distinct_frac >= 0.3, F.lit(False))
+    l4 = F.coalesce(alpha_ratio >= 0.5, F.lit(False))
     votes = sum(F.when(c, 1).otherwise(0) for c in (l1, l2, l3, l4))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -90,4 +96,49 @@ def weak_label_votes(
         l4.alias("l_alpha"),
         votes.cast("int").alias("votes"),
         (votes >= 3).alias("keep"),
+    )
+
+
+def mad_outlier_flags(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection: flag documents whose value sits
+    more than ``k_mad`` median-absolute-deviations from the group median —
+    the length/size anomaly screen that, unlike z-scores, a few huge
+    documents cannot drag around (median and MAD have 50% breakdown).
+
+    Two grouped exact percentiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the same interpolation, proven bit-identical by
+    agg_percentiles) on integer inputs: the median has at worst an exact .5
+    fraction, so deviations, the MAD, and the ``k_mad``·MAD threshold are all
+    exactly-representable doubles — the flag comparison is deterministic.
+
+    Plan: two (group)-keyed aggregates + a broadcast stats join (|groups|
+    rows). The exact percentile buffers one group's values per buffer — at
+    100 TB swap in approx_percentile exactly as agg_percentiles_approx does;
+    the operator's join/flag structure is unchanged."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group_id"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    med = base.groupBy("group_id").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = base.join(F.broadcast(med), "group_id").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("group_id").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            F.col("x").cast("bigint").alias("value"),
+            F.col("med").alias("group_median"),
+            F.col("mad").alias("group_mad"),
+            (F.col("dev") > F.lit(k_mad) * F.col("mad")).alias("is_outlier"),
+        )
     )

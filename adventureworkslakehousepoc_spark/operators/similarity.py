@@ -433,7 +433,7 @@ def int8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFram
     )
     withr = embeddings.crossJoin(F.broadcast(packed))
     code = F.expr(
-        "zip_with(embedding, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)), "
+        f"zip_with(`{vec_col}`, zip_with(mns, mxs, (a, b) -> struct(a AS mn, b AS mx)), "
         "(x, r) -> CASE WHEN r.mx > r.mn THEN "
         "CAST(floor((CAST(x AS DOUBLE) - r.mn) / (r.mx - r.mn) * 255 + 0.5) AS INT) "
         "ELSE 0 END)"
@@ -442,7 +442,7 @@ def int8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFram
     # the sum — group-order float addition differs between engines, exact
     # integer accumulation does not
     recon_err = F.expr(
-        "aggregate(zip_with(embedding, zip_with(codes, zip_with(mns, mxs, "
+        f"aggregate(zip_with(`{vec_col}`, zip_with(codes, zip_with(mns, mxs, "
         "(a, b) -> struct(a AS mn, b AS mx)), (c, r) -> "
         "CASE WHEN r.mx > r.mn THEN r.mn + CAST(c AS DOUBLE) * (r.mx - r.mn) / 255 "
         "ELSE r.mn END), (x, y) -> CAST(floor((CAST(x AS DOUBLE) - y) * "
@@ -456,6 +456,6 @@ def int8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFram
             "vec_id",
             "label",
             "codes",
-            F.expr(f"recon_sse_u div size({vec_col})").alias("recon_mse_micros"),
+            F.expr(f"recon_sse_u div size(`{vec_col}`)").alias("recon_mse_micros"),
         )
     )

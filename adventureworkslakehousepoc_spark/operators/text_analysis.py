@@ -506,3 +506,51 @@ def collocation_pmi(
     top = scored.orderBy(*order).limit(top_k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def char_entropy_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document (base 10) — the
+    gibberish/compression-artifact screen: natural text sits in a narrow
+    entropy band, while base64 blobs, repeated padding, and binary spills
+    fall far outside it.
+
+    H₁₀ = −Σ_c (n_c/N)·log10(n_c/N), computed with the same count-weighted
+    integer-log discipline as the KL drift monitor: each character's
+    log10(n_c/N) quantizes once to 1e-6 (bigint), accumulation is exact
+    integer arithmetic weighted by the exact count n_c, and the final
+    division by N happens once in doubles. Bit-identical across engines
+    and partitionings.
+
+    Plan shape: one narrow (doc, char)-keyed count with map-side combine
+    (≤ alphabet-size rows per doc), one per-doc re-aggregate — raw text never
+    shuffles, so the shuffle payload is bounded by |alphabet|·n_docs."""
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = per_char.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )
+    term_u = F.col("n_c") * F.floor(
+        F.log10(F.col("n_c").cast("double") / F.col("n_chars").cast("double")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    agg = (
+        per_char.join(tot, "doc_id")
+        .groupBy("doc_id", "n_chars", "n_distinct_chars")
+        .agg(F.sum(term_u).alias("sum_term_u"))
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+        (
+            -F.col("sum_term_u").cast("double")
+            / F.col("n_chars")
+            / F.lit(1000000.0)
+        ).alias("char_entropy10"),
+    )

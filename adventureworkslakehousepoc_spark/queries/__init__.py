@@ -2,16 +2,28 @@
 to (Spark callable, DuckDB oracle SQL) pairs consumed by ``__spark_entry__``.
 
 Registration ORDER matters: the driver's per-round correctness pass covers a
-prefix of the registry (50 queries in rounds 1-3), so each round fronts the
-queries most in need of a fresh driver row:
+50-query prefix of the registry, so each round fronts the queries most in
+need of a fresh driver row. The ROUND-5 window (checked by
+tests/test_registry.py::test_round5_driver_window_composition so additions
+can't silently overflow it, the round-4 mistake) is, in order:
 
-1. queries whose round-3 row errored (the TIMESTAMP_NTZ regression, now
-   fixed) plus ``multimodal_decode_features`` (first round with a real
-   oracle),
-2. queries never yet included in any driver window,
-3. queries new this round (no local-green history either),
-4. everything already driver-verified green in r1-r3, oldest verification
-   first is unnecessary — any order is fine.
+1. the 12 queries that have NEVER had a driver row (they overflowed the
+   round-4 window: 8 operators added after the r4 order was planned, plus
+   the 4 demoted to make room),
+2. the two sketch rows, re-shaped this round to be driver-verifiable
+   (``agg_percentiles_approx`` emitted an array column the driver's
+   canonicalizer couldn't sort; ``approx_distinct_sketch`` had no oracle),
+3. queries NEW this round,
+4. queries whose OUTPUT changed in round 4 after their last driver row
+   (md5-lane MinHash signatures, hashed-shingle boilerplate flags,
+   coalesced weak-label votes), so the old green rows no longer attest
+   current behavior,
+5. refresh of the oldest driver rows — all remaining slots go to rows last
+   verified in round 1, §2 core parity first (the rest of the r1 set plus
+   the r3 set rotate in round 6).
+
+Every registered query is ALSO oracle-compared locally by
+tests/test_oracle_parity.py each session regardless of window position.
 """
 
 from __future__ import annotations
@@ -20,67 +32,78 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Rows that errored in CORRECTNESS_r03.json — re-green them in the driver
-# record first (all were the one NTZ regression; multimodal_decode_features
-# was `no_oracle` until round 4 gave the stub decode a closed-form oracle).
-_R03_FAILED = (
-    "sessionization_batch",
-    "st_windowed_agg",
-    "st_interval_join_inner",
-    "st_streaming_dedup",
-    "st_session_window",
-    "multimodal_decode_features",
-)
-
-# Registered queries that have never appeared in any driver correctness
-# window (r1-r3 each checked a 50-query prefix; these were always behind it).
-_NEVER_WINDOWED = (
-    "q2_min_within_group",
+# Window groups 1-4 above, in driver-row priority order. Queries added later
+# in round 5 must be appended HERE (the composition test forces the matching
+# trim of _R05_REFRESH_R1).
+_R05_FRONT = (
+    # -- group 1: never had a driver row (r4 window overflow)
+    "source_drift_kl",
+    "weak_label_votes",
+    "embedding_int8_quantize",
+    "collocation_pmi_topk",
+    "cdf_time_travel_asof_v2",
+    "agg_cube",
+    "gold_sales_wide",
+    "incremental_agg_merge",
+    "funnel_conversion_stages",
+    "cohort_retention_matrix",
+    "dq_expectations_orders",
+    "schema_evolution_read",
+    # -- group 2: sketch rows made driver-verifiable this round
     "agg_percentiles_approx",
-    "agg_grouping_sets",
     "approx_distinct_sketch",
-    "q7_volume_between_nations",
-    "q10_returned_items",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_delay_priority_counts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q20_dominant_suppliers",
-    "sft_transcript_assembly",
-    "contrastive_negative_pairs",
-    "embedding_norm_histogram",
-    "tokenize_encode_ids",
-    "curriculum_length_buckets",
-    "dedup_incremental_batch",
-    "mixture_resample_sources",
-    "dedup_span_exact",
-    "tfidf_top_terms",
-    "global_shuffle_buckets",
-    "grouped_map_label_centroids",
-    "st_interval_join_left_outer",
-    "w4_rolling_range_frame",
-    "unpivot_source_metrics",
-    "j6_skew_salted_join",
-    "runtime_filter_join",
+    # -- group 3: new in round 5
+    "semantic_prune_pairs_scaled",
+    "reward_group_normalize",
+    "dpo_pair_mining",
+    "char_entropy_quality",
+    "mad_outlier_flags",
+    # -- group 4: outputs changed in r4 after their last driver row
+    "dedup_minhash_lsh",
+    "text_boilerplate_flags",
 )
 
-# dq_expectations_orders / schema_evolution_read / agg_cube /
-# cdf_time_travel_asof_v2 intentionally NOT fronted: they sort with the
-# new-this-round group (after it, by module order) so the round-4 additions
-# all fit inside a 50-query driver prefix. Every registered query is
-# oracle-compared locally by tests/test_oracle_parity.py regardless; the
-# demoted four also have dedicated tests (test_advanced.py, test_streaming.py;
-# agg_cube's ROLLUP / GROUPING SETS siblings are already driver-green).
+# Group 5: refresh slots — rows last driver-verified in ROUND 1, §2 core
+# parity surface first. 50 - len(_R05_FRONT) names; the 20 r1 rows that
+# don't fit (ann_*, dedup_simhash_*, dedup_exact/_embedding_cosine, text_*,
+# q5/q6/q14/q19, dim_store, us_stations…) plus the r3-verified block rotate
+# into the round-6 window.
+_R05_REFRESH_R1 = (
+    "p1_projection_rename",
+    "p2_computed_columns",
+    "p3_null_filter",
+    "p4_conjunctive_filter",
+    "p5_membership_filter",
+    "j1_dim_lookup_left_join",
+    "j3_interval_join_symmetric",
+    "j4_chained_interval_join",
+    "j5_batch_inner_join",
+    "a1_grouped_avg",
+    "a2_pivot_explicit_values",
+    "f_string_functions",
+    "f_conditional_functions",
+    "f_date_functions",
+    "s5_s7_stations_text_file",
+    "s6_csv_explicit_schema",
+    "s6_csv_malformed_quarantine",
+    "s7_fixed_width_parse",
+    "s7_inventory_file",
+    "s9_bronze_passthrough",
+    "dim_customer",
+    "dim_geo",
+    "dim_product",
+    "fact_sales",
+    "fact_weather",
+    "raw_metrics_timeseries",
+    "flagship_revenue_by_month_segment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+)
 
-# Green rows recorded by the driver in CORRECTNESS_r01/r02/r03.json — these
-# sort to the back of the registry; everything not listed here and not
-# explicitly fronted is new this round and sorts just after the fronted set.
+# Every query with a green driver row in SOME round (r1-r4) — used to route
+# queries that are neither fronted nor refreshed: unknown names land right
+# after the front block (never silently at 50+), known-verified ones sort to
+# the back.
 _DRIVER_VERIFIED = frozenset(
     {
         "a1_grouped_avg", "a2_pivot_explicit_values", "agg_distinct",
@@ -123,20 +146,38 @@ _DRIVER_VERIFIED = frozenset(
         "timeseries_gapfill_locf", "training_corpus_pipeline",
         "training_corpus_pipeline_v2", "us_stations", "vocab_top_tokens",
         "w1_topk_per_group", "w2_running_sum", "w3_lag_lead",
+        # green in CORRECTNESS_r04.json:
+        "agg_grouping_sets", "contrastive_negative_pairs",
+        "curriculum_length_buckets", "dedup_incremental_batch",
+        "dedup_span_exact", "doc_chunking_overlap",
+        "embedding_norm_histogram", "global_shuffle_buckets",
+        "grouped_map_label_centroids", "j6_skew_salted_join",
+        "mixture_resample_sources", "mixture_token_budget_plan",
+        "multimodal_decode_features", "multimodal_frame_sample",
+        "ngram_continuation_topk", "q10_returned_items",
+        "q11_important_parts", "q12_delay_priority_counts",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q20_dominant_suppliers", "q21_sole_late_supplier",
+        "q22_dormant_customers", "q2_min_within_group",
+        "q7_volume_between_nations", "q8_market_share", "q9_product_profit",
+        "runtime_filter_join", "semantic_cluster_assign",
+        "semantic_dedup_reps", "semantic_prune_pairs", "sft_transcript_assembly",
+        "st_corpus_ingest_gate", "st_interval_join_left_outer",
+        "tfidf_top_terms", "tokenize_encode_ids", "train_eval_split_counts",
+        "training_corpus_pipeline_v3", "unpivot_source_metrics",
+        "w4_rolling_range_frame", "zorder_key_orders",
     }
 )
 
 
-# new-in-r4 streaming query, fronted explicitly because its module
-# (streaming_queries) sorts after extensions in the merged dict
-_R04_FRONT = ("st_corpus_ingest_gate",)
-
-
-def _round4_order(merged: dict) -> dict:
-    front = [k for k in _R03_FAILED + _NEVER_WINDOWED + _R04_FRONT if k in merged]
-    out = {k: merged[k] for k in front}
-    # new-this-round queries: registered but never driver-verified nor fronted
+def _round5_order(merged: dict) -> dict:
+    out = {k: merged[k] for k in _R05_FRONT if k in merged}
+    # safety net: anything never driver-verified and not fronted goes HERE,
+    # before the refresh block — a forgotten new query steals a refresh slot
+    # instead of silently landing past position 50 (the round-4 failure mode)
     out.update({k: v for k, v in merged.items() if k not in out and k not in _DRIVER_VERIFIED})
+    out.update({k: merged[k] for k in _R05_REFRESH_R1 if k in merged and k not in out})
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 
@@ -151,7 +192,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(advanced.QUERIES)
     out.update(tpch_suite.QUERIES)
-    return _round4_order(out)
+    return _round5_order(out)
 
 
 def all_oracles() -> dict[str, str]:
@@ -164,4 +205,4 @@ def all_oracles() -> dict[str, str]:
     out.update(analytics.ORACLE)
     out.update(advanced.ORACLE)
     out.update(tpch_suite.ORACLE)
-    return _round4_order(out)
+    return _round5_order(out)

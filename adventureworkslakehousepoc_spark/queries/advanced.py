@@ -177,18 +177,54 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate-distinct sketch (HLL) — engine-specific estimates, rows-only
-# check; accuracy asserted against exact counts in tests/test_advanced.py
+# Approximate-distinct sketch (HLL) — the HLL estimate itself is
+# engine-specific, so the hashable output is: the EXACT distinct counts
+# (identical across engines) plus in-query booleans asserting the estimate
+# landed within 3·rsd of exact. The oracle recomputes the exact counts and
+# emits literal TRUE — a red row means the sketch accuracy contract broke.
 # ---------------------------------------------------------------------------
 
 
-@query("approx_distinct_sketch")
+@query(
+    "approx_distinct_sketch",
+    """
+    SELECT l_returnflag AS return_flag,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(*) AS n_lines,
+           TRUE AS orders_within_3rsd,
+           TRUE AS parts_within_3rsd
+    FROM lineitem GROUP BY 1
+    """,
+)
 def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct sketch (``approx_count_distinct``, rsd=0.02) — the 100 TB
+    distinct-count path: a fixed ~kB sketch per group, map-side mergeable, vs
+    an exact COUNT(DISTINCT) that shuffles every distinct key. The estimate is
+    checked against the exact count in the same aggregation (one scan, both
+    aggregates partial-merged); the 3·rsd bound (99.7% confidence) is the
+    published HLL++ accuracy contract."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_lines"),
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= F.lit(3 * 0.02) * F.col(exact)
+    )
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        )
+        .select(
+            "return_flag",
+            "n_orders_exact",
+            "n_parts_exact",
+            "n_lines",
+            within("_approx_orders", "n_orders_exact").alias("orders_within_3rsd"),
+            within("_approx_parts", "n_parts_exact").alias("parts_within_3rsd"),
+        )
     )
 
 

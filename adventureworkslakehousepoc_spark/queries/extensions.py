@@ -1488,7 +1488,9 @@ def grouped_map_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle_cte(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle_cte(k: int | str = 8, iters: int = 2, dim: int = 64) -> str:
+    """``k`` may be an int or a SQL scalar expression (e.g. a subquery that
+    derives k from the corpus size — the k∝n scale configuration)."""
     parts = [
         "eu AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v"
@@ -1697,10 +1699,44 @@ def train_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_prune_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup intra-cluster near-duplicate pairs: k-means bounds the
-    all-pairs cosine work to within-cluster populations."""
+    all-pairs cosine work to within-cluster populations. NOTE: this row pins
+    k=8 — the measured quadratic-at-scale configuration (SCALE.md: 137 s at
+    the 10× probe vs 23.5 s with k∝n). It stays as the small-corpus baseline;
+    ``semantic_prune_pairs_scaled`` below is the 100 TB form."""
     from ..operators.clustering import semantic_prune_pairs
 
     return semantic_prune_pairs(_emb(spark, sf_dir), k=8, iters=2, threshold=0.2)
+
+
+_K_SCALED_SQL = "(SELECT CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) FROM embeddings)"
+
+
+@query(
+    "semantic_prune_pairs_scaled",
+    _kmeans_oracle_cte(k=_K_SCALED_SQL)
+    + f"""
+    SELECT CAST(x.cluster AS BIGINT) AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 AS score
+    FROM a2 x
+    JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+    WHERE FLOOR({_COS_SQL} * 1000000 + 0.5) / 1000000.0 >= 0.2
+    """,
+)
+def semantic_prune_pairs_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe SemDeDup configuration: k grows with the corpus
+    (k = ⌈n/50⌉ → mean cluster population stays ~50 regardless of corpus
+    size), so the within-cluster all-pairs join is O(n·pop), LINEAR in n —
+    measured 23.5 s vs 137 s for fixed k=8 at the 10× probe (SCALE.md).
+    The count() that sizes k is a metadata-only parquet action; in a real
+    pipeline k comes from the corpus manifest. The oracle replays the same
+    k∝n rule via a scalar subquery."""
+    from ..operators.clustering import semantic_prune_pairs
+
+    emb = _emb(spark, sf_dir)
+    k = -(-emb.count() // 50)  # ceil(n / 50)
+    return semantic_prune_pairs(emb, k=k, iters=2, threshold=0.2)
 
 
 # ---------------------------------------------------------------------------
@@ -1931,10 +1967,10 @@ def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v AS (
       SELECT doc_id,
-             n_words BETWEEN 20 AND 1000 AS l_length,
-             CAST(stop_hits AS DOUBLE) / n_words >= 0.05 AS l_stopword,
-             distinct_frac >= 0.3 AS l_repetition,
-             alpha_ratio >= 0.5 AS l_alpha
+             COALESCE(n_words BETWEEN 20 AND 1000, FALSE) AS l_length,
+             COALESCE(CAST(stop_hits AS DOUBLE) / n_words >= 0.05, FALSE) AS l_stopword,
+             COALESCE(distinct_frac >= 0.3, FALSE) AS l_repetition,
+             COALESCE(alpha_ratio >= 0.5, FALSE) AS l_alpha
       FROM f
     )
     SELECT doc_id, l_length, l_stopword, l_repetition, l_alpha,
@@ -2043,3 +2079,136 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import collocation_pmi
 
     return collocation_pmi(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: preference-data / RLHF-prep + robust curation screens
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+@query(
+    "reward_group_normalize",
+    """
+    WITH b AS (
+      SELECT user_id AS group_id, event_id AS sample_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ru
+      FROM events
+    ),
+    s AS (
+      SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ru) AS BIGINT) AS sum_u,
+             CAST(SUM(ru * ru) AS BIGINT) AS sumsq_u
+      FROM b GROUP BY 1
+    )
+    SELECT b.group_id, b.sample_id, b.ru AS reward_millis, s.n AS group_n,
+           CASE WHEN s.n > 1 AND s.n * s.sumsq_u - s.sum_u * s.sum_u > 0
+                THEN CAST(FLOOR(CAST(s.n * b.ru - s.sum_u AS DOUBLE)
+                     / sqrt(CAST(s.n * s.sumsq_u - s.sum_u * s.sum_u AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS adv_micros
+    FROM b JOIN s USING (group_id)
+    """,
+)
+def reward_group_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style group-relative advantage over (user → sampled events):
+    exact-integer group moments, one sqrt+divide on exact inputs, micro-unit
+    quantized — the RL reward-normalization pass, partitioning-invariant."""
+    from ..operators.preference import reward_group_normalize
+
+    return reward_group_normalize(_events(spark, sf_dir))
+
+
+@query(
+    "dpo_pair_mining",
+    """
+    WITH s AS (
+      SELECT source AS group_id, doc_id,
+             CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) * 1000000 + 0.5) AS BIGINT) AS score_u
+      FROM documents
+    ),
+    top AS (
+      SELECT group_id, doc_id, score_u,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY score_u DESC, doc_id ASC) AS pair_rank
+      FROM s
+    ),
+    bot AS (
+      SELECT group_id, doc_id, score_u,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY score_u ASC, doc_id DESC) AS pair_rank
+      FROM s
+    )
+    SELECT t.group_id, CAST(t.pair_rank AS INTEGER) AS pair_rank,
+           t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           t.score_u AS chosen_score_u, b.score_u AS rejected_score_u,
+           t.score_u - b.score_u AS margin_u
+    FROM top t JOIN bot b USING (group_id, pair_rank)
+    WHERE t.pair_rank <= 5 AND t.score_u > b.score_u
+    """,
+)
+def dpo_pair_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO chosen/rejected pair construction per source (top-5 vs bottom-5
+    by distinct-token-fraction score, mirrored total orders, ties dropped);
+    grouped_topk pre-rank keeps hot sources off a single window task."""
+    from ..operators.preference import dpo_pairs
+
+    return dpo_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "char_entropy_quality",
+    """
+    WITH ch AS (
+      SELECT doc_id, substr(text, g.i, 1) AS c
+      FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+    ),
+    pc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n_c FROM ch GROUP BY 1, 2),
+    t AS (SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS n_chars,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+          FROM pc GROUP BY 1)
+    SELECT t.doc_id, t.n_chars, t.n_distinct_chars,
+           -CAST(SUM(n_c * CAST(FLOOR(log10(CAST(n_c AS DOUBLE)
+                / CAST(t.n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                 AS DOUBLE) / t.n_chars / 1000000.0 AS char_entropy10
+    FROM pc JOIN t USING (doc_id)
+    GROUP BY t.doc_id, t.n_chars, t.n_distinct_chars
+    """,
+)
+def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution entropy (gibberish / base64 / padding
+    screen) with the count-weighted integer-log discipline — raw text never
+    shuffles, payload is alphabet-bounded."""
+    from ..operators.text_analysis import char_entropy_scores
+
+    return char_entropy_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "mad_outlier_flags",
+    """
+    WITH b AS (
+      SELECT doc_id, source AS group_id, CAST(n_chars AS DOUBLE) AS x
+      FROM documents
+    ),
+    m AS (SELECT group_id, quantile_cont(x, 0.5) AS med FROM b GROUP BY 1),
+    d AS (SELECT b.doc_id, b.group_id, b.x, m.med, abs(b.x - m.med) AS dev
+          FROM b JOIN m USING (group_id)),
+    md AS (SELECT group_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.doc_id, d.group_id, CAST(d.x AS BIGINT) AS value,
+           d.med AS group_median, md.mad AS group_mad,
+           d.dev > 3.0 * md.mad AS is_outlier
+    FROM d JOIN md USING (group_id)
+    """,
+)
+def mad_outlier_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags on document length per source — the
+    anomaly screen a few huge documents cannot drag around; exact-percentile
+    interpolation is bit-identical across engines."""
+    from ..operators.quality import mad_outlier_flags
+
+    return mad_outlier_flags(_docs(spark, sf_dir))

@@ -38,12 +38,13 @@ def stream_tmp_root() -> str:
     return "/tmp/awlh_stream"
 
 
-_STREAM_TMP = stream_tmp_root()
-
-
 def _tmpdir(kind: str) -> str:
-    os.makedirs(_STREAM_TMP, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{kind}-", dir=_STREAM_TMP)
+    # resolved per call (not cached at import) so AWLH_STREAM_TMP set after
+    # module import is honored — e.g. pointing large-SF runs at disk instead
+    # of the RAM-backed /dev/shm default
+    root = stream_tmp_root()
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{kind}-", dir=root)
 
 
 def stage_stream_dir(*parquet_files: str) -> str:

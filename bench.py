@@ -95,6 +95,14 @@ EXTRA_QUERIES = [
     "funnel_conversion_stages",
     "cohort_retention_matrix",
     "collocation_pmi_topk",
+    # round-5 additions
+    "semantic_prune_pairs_scaled",
+    "reward_group_normalize",
+    "dpo_pair_mining",
+    "char_entropy_quality",
+    "mad_outlier_flags",
+    "agg_percentiles_approx",
+    "approx_distinct_sketch",
 ]
 
 

@@ -431,3 +431,137 @@ def test_grouped_map_centroids_partition_invariant(spark, sf_dir):
         assert base[k] == again[k]
     plan = label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_int8_quantize_honors_vec_col_name(spark):
+    """ADVICE r4: the recon/code F.expr strings must interpolate vec_col —
+    a renamed embedding column has to produce identical codes and MSE."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.similarity import int8_quantize
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ("embeddings",))["embeddings"]
+    base = {r.vec_id: r for r in int8_quantize(emb).collect()}
+    renamed = emb.withColumnRenamed("embedding", "vec data")  # needs backticks
+    again = {
+        r.vec_id: r for r in int8_quantize(renamed, vec_col="vec data").collect()
+    }
+    assert set(base) == set(again)
+    for k in base:
+        assert base[k].codes == again[k].codes
+        assert base[k].recon_mse_micros == again[k].recon_mse_micros
+
+
+def test_weak_label_votes_null_and_empty_text_vote_false(spark):
+    """ADVICE r4: zero-length / NULL text must yield FALSE labelers and
+    votes=0 (non-null), matching the oracle's COALESCE(..., FALSE)."""
+    from adventureworkslakehousepoc_spark.operators.quality import weak_label_votes
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the and of is a to in " + "word " * 30)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in weak_label_votes(docs).collect()}
+    # empty text: split('') = [''] in both engines → 1 distinct token of 1 →
+    # l_repetition True; every other labeler False, keep False, nothing null
+    r1 = rows[1]
+    assert (r1.l_length, r1.l_stopword, r1.l_repetition, r1.l_alpha) == (
+        False, False, True, False,
+    )
+    assert r1.votes == 1 and r1.keep is False
+    # NULL text: all ratios null → all labelers coalesce to False
+    r2 = rows[2]
+    assert (r2.l_length, r2.l_stopword, r2.l_repetition, r2.l_alpha) == (
+        False, False, False, False,
+    )
+    assert r2.votes == 0 and r2.keep is False
+    assert rows[3].votes >= 3 and rows[3].keep is True
+
+
+def test_stream_tmp_env_honored_after_import(monkeypatch, tmp_path):
+    """ADVICE r4: AWLH_STREAM_TMP set after module import must be honored by
+    _tmpdir (it used to be frozen in a module-level constant)."""
+    from adventureworkslakehousepoc_spark.streaming import runner
+
+    target = str(tmp_path / "late-env")
+    monkeypatch.setenv("AWLH_STREAM_TMP", target)
+    d = runner._tmpdir("probe")
+    assert d.startswith(target)
+
+
+def test_reward_normalize_partition_invariant_and_degenerate(spark):
+    """Advantages are exact-integer-derived → repartitioning cannot change
+    them; n==1 and zero-variance groups emit advantage 0; per-group
+    advantages sum to ~0 (z-score property, up to quantization)."""
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        reward_group_normalize,
+    )
+
+    rows = [
+        (1, 101, 1.0), (1, 102, 2.0), (1, 103, 3.0),   # symmetric group
+        (2, 201, 7.25),                                  # singleton
+        (3, 301, 5.0), (3, 302, 5.0),                    # zero variance
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+    out = {r.sample_id: r for r in reward_group_normalize(df).collect()}
+    assert out[201].adv_micros == 0 and out[201].group_n == 1
+    assert out[301].adv_micros == 0 and out[302].adv_micros == 0
+    # symmetric group: z-scores are -sqrt(3/2), 0, +sqrt(3/2)
+    assert out[102].adv_micros == 0
+    assert out[101].adv_micros == -out[103].adv_micros
+    assert abs(out[103].adv_micros - 1224745) <= 1  # sqrt(1.5) in micros
+    again = {
+        r.sample_id: r
+        for r in reward_group_normalize(df.repartition(7, "event_id")).collect()
+    }
+    assert out.keys() == again.keys()
+    for k in out:
+        assert out[k] == again[k]
+
+
+def test_dpo_pairs_disjoint_and_ordered(spark, sf_dir):
+    """Chosen and rejected sides never share a document, margins are
+    strictly positive, and ranks stay within pairs_per_group."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.preference import dpo_pairs
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rows = dpo_pairs(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.chosen_id != r.rejected_id
+        assert r.margin_u > 0
+        assert 1 <= r.pair_rank <= 5
+    chosen = {(r.group_id, r.chosen_id) for r in rows}
+    rejected = {(r.group_id, r.rejected_id) for r in rows}
+    assert not chosen & rejected
+
+
+def test_char_entropy_uniform_and_constant(spark):
+    """A string of one repeated char has entropy 0; a string with k equally
+    frequent chars has entropy log10(k)."""
+    import math
+
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        char_entropy_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdabcdabcd")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in char_entropy_scores(docs).collect()}
+    assert out[1].char_entropy10 == 0.0
+    assert out[1].n_distinct_chars == 1
+    assert abs(out[2].char_entropy10 - math.log10(4)) < 1e-5
+    assert out[2].n_chars == 12
+
+
+def test_mad_outliers_flag_only_extremes(spark):
+    """One wild value among tight ones is flagged; the tight ones are not;
+    and the threshold uses the robust MAD, not the mean."""
+    from adventureworkslakehousepoc_spark.operators.quality import mad_outlier_flags
+
+    rows = [(i, "s", 100 + i) for i in range(9)] + [(99, "s", 10_000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r.doc_id: r for r in mad_outlier_flags(docs).collect()}
+    assert out[99].is_outlier is True
+    assert all(not out[i].is_outlier for i in range(9))

@@ -219,3 +219,72 @@ def test_three_part_namespace_resolves_via_real_catalog(spark, sf_dir):
     ).collect()[0].n
     assert n == direct.count()
     assert spark.catalog.tableExists("dev_bronze_stg_sales.stg_customer")
+
+
+def test_timestamp_encoding_drift_guard(spark, tmp_path):
+    """Regression tripwire for the round-3 NTZ outage: the driver may
+    regenerate `events` with its ts column in any of three parquet physical
+    encodings — TIMESTAMP(NANOS) (read as bigint under nanosAsLong),
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as TIMESTAMP_NTZ), or
+    TIMESTAMP(MICROS) isAdjustedToUTC=true (reads as TIMESTAMP). load_tables
+    (catalog.py) must normalize ALL THREE to TimestampType with identical
+    values; if the next regeneration changes encoding, this fails in one
+    obvious place instead of zeroing half the correctness window."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    stamps = [
+        dt.datetime(2024, 5, 1, 12, 0, 0),
+        dt.datetime(2024, 5, 1, 12, 0, 0, 250000),
+        dt.datetime(2024, 5, 2, 23, 59, 59, 999999),
+    ]
+    ids = list(range(len(stamps)))
+    encodings = {
+        "nanos": pa.table(
+            {"event_id": ids, "ts": pa.array(stamps, type=pa.timestamp("ns"))}
+        ),
+        "us_ntz": pa.table(
+            {"event_id": ids, "ts": pa.array(stamps, type=pa.timestamp("us"))}
+        ),
+        "us_utc": pa.table(
+            {"event_id": ids, "ts": pa.array(stamps, type=pa.timestamp("us", tz="UTC"))}
+        ),
+    }
+    seen = {}
+    for tag, tbl in encodings.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet", store_schema=False)
+        df = load_tables(spark, str(d), ("events",))["events"]
+        (ts_field,) = [f for f in df.schema.fields if f.name == "ts"]
+        assert isinstance(ts_field.dataType, TimestampType), (
+            f"{tag}: ts loaded as {ts_field.dataType}, want TimestampType"
+        )
+        seen[tag] = {r.event_id: r.ts for r in df.collect()}
+    assert seen["nanos"] == seen["us_ntz"] == seen["us_utc"], (
+        f"value drift across encodings: {seen}"
+    )
+
+
+def test_round5_driver_window_composition():
+    """The driver verifies a 50-query registry prefix. Round 4 lost 12 rows
+    by letting late additions overflow the window; this pins the round-5
+    window to EXACTLY the planned set so any new registration forces a
+    deliberate re-plan of _R05_FRONT / _R05_REFRESH_R1."""
+    from adventureworkslakehousepoc_spark import queries as q
+
+    assert len(q._R05_FRONT) + len(q._R05_REFRESH_R1) == 50
+    assert not set(q._R05_FRONT) & set(q._R05_REFRESH_R1)
+    ordered = list(q.all_queries())
+    window = ordered[:50]
+    planned = list(q._R05_FRONT) + list(q._R05_REFRESH_R1)
+    assert window == planned, (
+        "driver window drifted from plan; unplanned entries: "
+        f"{set(window) - set(planned)}; pushed out: {set(planned) - set(window)}"
+    )
+    # every windowed query must carry an oracle (full hash gate, not rows-only)
+    oracles = q.all_oracles()
+    assert [k for k in window if k not in oracles] == []
