@@ -554,3 +554,89 @@ def char_entropy_scores(
             / F.lit(1000000.0)
         ).alias("char_entropy10"),
     )
+
+
+def bpe_merge_steps(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding merge induction — the tokenizer-TRAINING pass:
+    learn the first ``n_merges`` BPE merge rules from the corpus. Returns one
+    row per learned rule: (step, merge_left, merge_right, merged,
+    pair_count).
+
+    Like every real BPE trainer, the iteration runs on the WORD-FREQUENCY
+    table, not the corpus: one corpus-scale count collapses text to
+    (distinct word, freq), and each merge step is then vocabulary-scale —
+    a weighted adjacent-pair count (map-side combine), a top-1 rule pick
+    (TakeOrderedAndProject), and a broadcast of the 1-row rule into a
+    higher-order-function fold that applies it leftmost-greedy to each
+    word's token sequence. No driver-side collect anywhere; at 100 TB the
+    per-step cost is O(|vocab|), independent of corpus size.
+
+    The greedy application is a string fold (acc = emitted tokens joined by
+    spaces): if the accumulator's last token equals the rule's left and the
+    next token equals its right, the pair fuses into ``left~right``;
+    DuckDB's ``list_reduce`` replays the identical fold, so the whole
+    iterative algorithm is oracle-checkable (same trick as the k-means CTE
+    chain). Ties on pair count break lexicographically; the '~' joiner makes
+    merged tokens self-describing (documents containing a literal '~' would
+    alias, acceptable for rule mining)."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("toks"))
+        # materialize the vocab once: every merge step re-reads it, and the
+        # per-step fold output is checkpointed below so lineage (and thus
+        # recomputation) never chains across iterations — the production
+        # analog is the trainer's in-memory word-count dictionary
+        .localCheckpoint()
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))"
+    )
+    fold_expr = F.expr(
+        "split(aggregate(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "element_at(toks, 1), "
+        "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = l AND x = r "
+        "THEN concat(regexp_replace(acc, '[^ ]+$', ''), m) "
+        "ELSE concat(acc, ' ', x) END), ' ')"
+    )
+    rules = []
+    seqs = words
+    for step in range(1, n_merges + 1):
+        pairs = (
+            seqs.filter(F.size("toks") >= 2)
+            .select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        rule = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .select("l", "r", F.concat_ws("~", "l", "r").alias("m"), "c")
+            # 1-row materialization: the rule is referenced twice (output
+            # union + next fold) and would otherwise re-run the pair count
+            .localCheckpoint()
+        )
+        rules.append(
+            rule.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("m").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if step < n_merges:
+            seqs = (
+                seqs.crossJoin(F.broadcast(rule))
+                .select("word", "freq", fold_expr.alias("toks"))
+                .localCheckpoint()
+            )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

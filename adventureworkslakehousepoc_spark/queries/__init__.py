@@ -58,6 +58,7 @@ _R05_FRONT = (
     "dpo_pair_mining",
     "char_entropy_quality",
     "mad_outlier_flags",
+    "bpe_merge_induction",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -97,7 +98,6 @@ _R05_REFRESH_R1 = (
     "raw_metrics_timeseries",
     "flagship_revenue_by_month_segment",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -2212,3 +2212,50 @@ def mad_outlier_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import mad_outlier_flags
 
     return mad_outlier_flags(_docs(spark, sf_dir))
+
+
+def _bpe_oracle_cte(n_merges: int = 4) -> str:
+    """Iterative-CTE replay of BPE merge induction (the k-means-CTE trick):
+    per step a weighted pair count, a top-1 rule, and a ``list_reduce``
+    fold identical to the Spark higher-order-function fold."""
+    parts = [
+        "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE length(word) > 0 GROUP BY 1)",
+        "t0 AS (SELECT word, freq, string_split(word, '') AS toks FROM w0)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT toks[g.j] AS ml, toks[g.j + 1] AS mr, "
+            f"CAST(SUM(freq) AS BIGINT) AS c "
+            f"FROM t{i - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(j) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT ml, mr, ml || '~' || mr AS m, c FROM p{i} "
+            f"ORDER BY c DESC, ml, mr LIMIT 1)"
+        )
+        if i < n_merges:
+            parts.append(
+                f"t{i} AS (SELECT word, freq, string_split(list_reduce(toks, "
+                f"(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$') = r{i}.ml "
+                f"AND x = r{i}.mr THEN regexp_replace(acc, '[^ ]+$', '') || r{i}.m "
+                f"ELSE acc || ' ' || x END), ' ') AS toks FROM t{i - 1}, r{i})"
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, ml AS merge_left, mr AS merge_right, "
+        f"m AS merged, c AS pair_count FROM r{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@query("bpe_merge_induction", _bpe_oracle_cte(n_merges=4))
+def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merge rules learned from the documents corpus — the
+    tokenizer-training pass, iterating on the vocabulary-scale word-frequency
+    table with a broadcast 1-row rule per step; the oracle replays the whole
+    iterative induction."""
+    from ..operators.text_analysis import bpe_merge_steps
+
+    return bpe_merge_steps(_docs(spark, sf_dir), n_merges=4)

@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "mad_outlier_flags",
     "agg_percentiles_approx",
     "approx_distinct_sketch",
+    "bpe_merge_induction",
 ]
 
 

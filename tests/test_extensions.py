@@ -565,3 +565,21 @@ def test_mad_outliers_flag_only_extremes(spark):
     out = {r.doc_id: r for r in mad_outlier_flags(docs).collect()}
     assert out[99].is_outlier is True
     assert all(not out[i].is_outlier for i in range(9))
+
+
+def test_bpe_merge_induction_hand_computed(spark):
+    """Tiny corpus where the merge sequence is checkable by hand: 'low' x4
+    and 'lower' x2 → first merge (l,o) count 6, then (l~o,w) count 6; step 3
+    ties (l~o~w,e) with (e,r) at count 2 and the lexicographic tie-break
+    picks (e,r)."""
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        bpe_merge_steps,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low lower lower")], ["doc_id", "text"]
+    )
+    rules = {r.step: r for r in bpe_merge_steps(docs, n_merges=3).collect()}
+    assert (rules[1].merge_left, rules[1].merge_right, rules[1].pair_count) == ("l", "o", 6)
+    assert (rules[2].merge_left, rules[2].merge_right, rules[2].pair_count) == ("l~o", "w", 6)
+    assert rules[3].merged == "e~r" and rules[3].pair_count == 2
