@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "benchmark_overlap",
     "span_duplicate_stats",
+    "span_dedup_rewrite",
 ]
 
 
@@ -495,4 +496,68 @@ def span_duplicate_stats(
             "dup_ratio_micros",
             F.floor(F.col("n_dup_spans") * 1000000 / F.col("n_spans")).cast("bigint"),
         )
+    )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame, n_words: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document exact-substring dedup with first-occurrence retention —
+    the corpus REWRITE that ``span_duplicate_stats`` only reports on: every
+    fixed ``n_words``-word span that occurs more than once corpus-wide is
+    removed everywhere except its globally-first instance (ordered by
+    (doc_id, span index)), and each document is re-assembled from its
+    surviving spans. Per-doc output: ``(doc_id, n_spans, n_kept, kept_words,
+    cleaned_hash)`` where ``cleaned_hash`` is the md5 of the rewritten text —
+    hash-verifiable without shipping the rewritten corpus to the driver.
+
+    Scale: the frequency/ownership path shuffles only ``(doc_id, idx,
+    16-byte digest)`` triples — two digest-keyed shuffles (keeper election +
+    instance⋈keeper) exactly like ``span_duplicate_stats``. The single
+    text-bearing shuffle is the final doc_id-keyed join that every rewrite
+    must pay to co-locate the keep-list with the document it rewrites; its
+    left side is one row per doc. First-occurrence semantics (not
+    min-digest-wins) matches the reference treatment in suffix-array
+    substring dedup: exactly one instance of every distinct span survives,
+    so re-running the operator on its own output is a fixed point.
+    """
+    words = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id"
+    ).select("doc_id", F.split(F.col("t"), " ").alias("ws"))
+    with_spans = words.withColumn(
+        "n_spans", F.floor(F.size("ws") / n_words).cast("int")
+    ).filter(F.col("n_spans") >= 1)
+    spans = with_spans.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_spans - 1), "
+                f"i -> md5(array_join(slice(ws, i*{n_words}+1, {n_words}), ' ')))"
+            )
+        ).alias("idx", "h"),
+    )
+    # keeper election: lexicographic struct-min = first occurrence in the
+    # global (doc_id, idx) order; one partial-aggregated shuffle on the digest
+    keeper = spans.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    kept = (
+        spans.join(keeper, "h")
+        .filter((F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idxs"))
+    )
+    rebuilt = with_spans.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("keep_idxs", F.array().cast("array<int>")).alias("ki"),
+        "ws",
+    )
+    cleaned = F.expr(
+        f"array_join(transform(ki, i -> array_join(slice(ws, i*{n_words}+1, {n_words}), ' ')), ' ')"
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_spans",
+        F.size("ki").alias("n_kept"),
+        (F.size("ki") * n_words).cast("bigint").alias("kept_words"),
+        F.md5(cleaned).alias("cleaned_hash"),
     )

@@ -59,6 +59,9 @@ _R05_FRONT = (
     "char_entropy_quality",
     "mad_outlier_flags",
     "bpe_merge_induction",
+    "dedup_span_rewrite",
+    "k_anonymity_audit",
+    "time_decay_user_scores",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -95,9 +98,6 @@ _R05_REFRESH_R1 = (
     "dim_product",
     "fact_sales",
     "fact_weather",
-    "raw_metrics_timeseries",
-    "flagship_revenue_by_month_segment",
-    "q1_pricing_summary",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -2259,3 +2259,111 @@ def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import bpe_merge_steps
 
     return bpe_merge_steps(_docs(spark, sf_dir), n_merges=4)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: corpus rewrite dedup, privacy audit, temporal weighting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_span_rewrite",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(floor(len(string_split(text, ' ')) / 20.0) AS INT) AS n_spans
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, g.i AS idx,
+             md5(array_to_string(list_slice(ws, g.i * 20 + 1, g.i * 20 + 20), ' ')) AS h
+      FROM w, unnest(generate_series(0, n_spans - 1)) AS g(i)
+      WHERE n_spans >= 1
+    ),
+    keep AS (
+      SELECT doc_id, idx FROM (
+        SELECT doc_id, idx,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        FROM sp)
+      WHERE rn = 1
+    ),
+    ka AS (SELECT doc_id, list_sort(list(idx)) AS keep_idxs FROM keep GROUP BY 1)
+    SELECT w.doc_id, w.n_spans,
+           CAST(COALESCE(len(ka.keep_idxs), 0) AS INT) AS n_kept,
+           CAST(COALESCE(len(ka.keep_idxs), 0) * 20 AS BIGINT) AS kept_words,
+           md5(COALESCE(array_to_string(list_transform(COALESCE(ka.keep_idxs, []),
+               i -> array_to_string(list_slice(w.ws, i * 20 + 1, i * 20 + 20), ' ')), ' '), ''))
+             AS cleaned_hash
+    FROM w LEFT JOIN ka USING (doc_id)
+    WHERE w.n_spans >= 1
+    """,
+)
+def dedup_span_rewrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring corpus REWRITE: duplicated 20-word spans removed
+    everywhere but their first occurrence, docs re-assembled, result
+    hash-verified — the transform step downstream of ``dedup_span_exact``'s
+    report; digests-only shuffles on the frequency path."""
+    from ..operators.dedup import span_dedup_rewrite
+
+    return span_dedup_rewrite(_docs(spark, sf_dir))
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c_custkey % 97) AS BIGINT) AS n_sensitive,
+           COUNT(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer quasi-identifier
+    tuple (nation, segment, $1000 balance band): groups smaller than k=5 are
+    re-identifiable and flagged ``at_risk``; ``n_sensitive`` counts distinct
+    values of a stand-in sensitive attribute per group (l-diversity). One
+    QI-keyed partial-aggregated shuffle."""
+    from ..catalog import load_tables
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return k_anonymity_audit(
+        cust.withColumn(
+            "acctbal_band", F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+        ),
+        ["c_nationkey", "c_mktsegment", "acctbal_band"],
+        k=5,
+        sensitive=(F.col("c_custkey") % 97),
+    )
+
+
+@query(
+    "time_decay_user_scores",
+    """
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+    aged AS (
+      SELECT user_id,
+             date_diff('day', CAST(ts AS DATE), ref.ref_day) AS age_days,
+             value AS v
+      FROM events, ref
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(v * 1000000.0
+               / power(2.0, age_days // 7) + 0.5)
+               AS BIGINT)) AS BIGINT) AS decayed_value_micros,
+           CAST(MIN(age_days) AS INT) AS newest_age_days
+    FROM aged GROUP BY 1
+    """,
+)
+def time_decay_user_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed per-user engagement (half-life 7 days, whole-step
+    binary decay so the factor is an exact IEEE power of two; per-row
+    micro-quantization before the order-insensitive integer sum)."""
+    from ..operators.temporal import time_decay_scores
+
+    return time_decay_scores(_events(spark, sf_dir))

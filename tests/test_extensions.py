@@ -583,3 +583,59 @@ def test_bpe_merge_induction_hand_computed(spark):
     assert (rules[1].merge_left, rules[1].merge_right, rules[1].pair_count) == ("l", "o", 6)
     assert (rules[2].merge_left, rules[2].merge_right, rules[2].pair_count) == ("l~o", "w", 6)
     assert rules[3].merged == "e~r" and rules[3].pair_count == 2
+
+
+def test_span_rewrite_is_idempotent_and_conserves_spans(spark):
+    """Rewriting keeps exactly one instance of every distinct span
+    (first-occurrence), so Σ n_kept == #distinct spans, and docs that are
+    exact duplicates of an earlier doc keep nothing."""
+    from adventureworkslakehousepoc_spark.operators.dedup import span_dedup_rewrite
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(40))),          # spans A0 A1
+        (2, " ".join(f"a{i}" for i in range(40))),          # dup of doc 1
+        (3, " ".join(f"a{i}" for i in range(20, 60))),      # A1 + fresh B
+        (4, " ".join(f"c{i}" for i in range(25))),          # unique C
+        (5, "short doc"),                                   # no full span
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup_rewrite(docs).collect()}
+    assert 5 not in out                      # < 20 words → no row
+    assert out[1].n_kept == 2                # first occurrence keeps all
+    assert out[2].n_kept == 0                # exact dup keeps nothing
+    assert out[3].n_kept == 1                # A1 already owned by doc 1
+    assert out[4].n_kept == 1
+    assert sum(r.n_kept for r in out.values()) == 4  # 4 distinct spans
+    # md5('') marks a fully-deduplicated doc
+    assert out[2].cleaned_hash == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from adventureworkslakehousepoc_spark.operators.privacy import k_anonymity_audit
+
+    rows = [(i, "US", "A", i % 3) for i in range(10)] + [(99, "FR", "B", 7)]
+    df = spark.createDataFrame(rows, ["id", "country", "seg", "sens"])
+    out = {(r.country, r.seg): r for r in
+           k_anonymity_audit(df, ["country", "seg"], k=5, sensitive="sens").collect()}
+    assert out[("US", "A")].group_size == 10 and not out[("US", "A")].at_risk
+    assert out[("US", "A")].n_sensitive == 3
+    assert out[("FR", "B")].group_size == 1 and out[("FR", "B")].at_risk
+
+
+def test_time_decay_halves_per_step(spark):
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.temporal import time_decay_scores
+
+    base = dt.datetime(2024, 1, 29, 12, 0, 0)
+    rows = [
+        (1, base, 10.0),                       # age 0  → 10.0
+        (1, base - dt.timedelta(days=7), 10.0),  # 1 half-life → 5.0
+        (1, base - dt.timedelta(days=14), 10.0),  # 2 → 2.5
+        (2, base - dt.timedelta(days=6), 8.0),   # same step 0 → 8.0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.user_id: r for r in time_decay_scores(df).collect()}
+    assert out[1].decayed_value_micros == 17_500_000
+    assert out[1].n_events == 3 and out[1].newest_age_days == 0
+    assert out[2].decayed_value_micros == 8_000_000
