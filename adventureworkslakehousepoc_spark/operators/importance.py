@@ -1,0 +1,152 @@
+"""Distribution-matching operators for corpus curation: DSIR importance
+weights and n-gram language-model perplexity scores.
+
+Two standard screens a pretraining pipeline runs between dedup and sampling:
+
+- **DSIR** (data selection with importance resampling, Xie et al. 2023):
+  score every document by how much its hashed-n-gram feature distribution
+  looks like a small TARGET domain versus the corpus at large —
+  ``Σ_tokens log P_target(bucket(w)) − log P_corpus(bucket(w))``. Documents
+  with positive scores lean target-like; resampling by these weights shifts
+  the corpus toward the target distribution without a trained classifier.
+- **Bigram LM scoring** (the KenLM-filter shape): train an add-one-smoothed
+  bigram model on the corpus itself and score each document's average
+  negative log-likelihood; outlier-perplexity docs are gibberish or
+  boilerplate.
+
+Cross-engine exactness: per-bucket / per-bigram log probabilities are
+quantized ONCE to integer micro-units (log10 of a ratio of exact counts),
+then documents integer-sum those micro-units — order-insensitive, so a
+DuckDB oracle hash-matches.
+
+Scale posture: the learned tables are vocabulary-bounded (256 hash buckets
+for DSIR; |bigram types| for the LM), built with one partial-aggregated
+shuffle each. Scoring joins token/bigram instances against those tables on
+their key — the DSIR table broadcasts (256 rows); the bigram table join
+co-partitions on the bigram key. Raw text never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_importance_weights", "bigram_lm_scores"]
+
+_LOG_U = 1000000
+
+
+def _log10_u(num: Column, den: Column) -> Column:
+    """floor(log10(num/den) · 1e6 + 0.5) as bigint — the quantize-once
+    discipline shared with the unigram-LM / PMI operators."""
+    return F.floor(
+        F.log10(num.cast("double") / den.cast("double")) * _LOG_U + F.lit(0.5)
+    ).cast("bigint")
+
+
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    """md5-derived bucket in [0, n_buckets): stable across engines
+    (first 4 hex chars → int, mod)."""
+    return (F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % n_buckets)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed-unigram DSIR: ``target_pred`` marks the in-domain documents
+    (e.g. ``F.col('lang') == 'en'``). Every token maps to one of
+    ``n_buckets`` md5 buckets; the per-bucket log-ratio
+    ``log10((t_b+1)/(T+B)) − log10((a_b+1)/(A+B))`` (add-one smoothed) is
+    quantized to micro-units, and a document's weight is the exact integer
+    sum of its tokens' bucket ratios.
+
+    Returns ``(doc_id, n_tokens, dsir_score_micros, lean_target)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    toks = toks.withColumn("b", _hash_bucket(F.col("w"), n_buckets))
+    per_bucket = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("a_b"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t_b"),
+    )
+    totals = per_bucket.agg(
+        F.sum("a_b").alias("A"), F.sum("t_b").alias("T")
+    )
+    ratios = (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                _log10_u(F.col("t_b") + 1, F.col("T") + n_buckets)
+                - _log10_u(F.col("a_b") + 1, F.col("A") + n_buckets)
+            ).alias("ratio_u"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("ratio_u").cast("bigint").alias("dsir_score_micros"),
+        )
+        .withColumn("lean_target", F.col("dsir_score_micros") > 0)
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on the input corpus, scoring the
+    same corpus: ``P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`` with ``V`` the
+    distinct-token vocabulary size and ``c(w1·)`` the count of bigram
+    instances led by ``w1``. Per-doc output ``(doc_id, n_bigrams,
+    nll_sum_micros, avg_nll_micros)`` — high average NLL = improbable
+    token transitions = gibberish candidate.
+
+    Docs with fewer than 2 tokens produce no row (no bigrams to score).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    big = words.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = words.select(F.explode("ws").alias("w")).filter(
+        F.length("w") > 0
+    ).agg(F.count_distinct("w").alias("V"))
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (-_log10_u(F.col("c2") + 1, F.col("c1") + F.col("V"))).alias("nll_u"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll_u").cast("bigint").alias("nll_sum_micros"),
+        )
+        .withColumn(
+            "avg_nll_micros",
+            F.expr("nll_sum_micros div n_bigrams").cast("bigint"),
+        )
+    )

@@ -62,6 +62,8 @@ _R05_FRONT = (
     "dedup_span_rewrite",
     "k_anonymity_audit",
     "time_decay_user_scores",
+    "dsir_importance_weights",
+    "bigram_lm_scores",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -96,8 +98,6 @@ _R05_REFRESH_R1 = (
     "dim_customer",
     "dim_geo",
     "dim_product",
-    "fact_sales",
-    "fact_weather",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -2367,3 +2367,85 @@ def time_decay_user_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import time_decay_scores
 
     return time_decay_scores(_events(spark, sf_dir))
+
+
+@query(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, is_target,
+             CAST(CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 256 AS INT) AS b
+      FROM (
+        SELECT doc_id, lang = 'en' AS is_target,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      )
+      WHERE length(w) > 0
+    ),
+    per_bucket AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS a_b,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+      FROM toks GROUP BY 1
+    ),
+    totals AS (SELECT SUM(a_b) AS A, SUM(t_b) AS T FROM per_bucket),
+    ratios AS (
+      SELECT b,
+             CAST(FLOOR(log10(CAST(t_b + 1 AS DOUBLE) / CAST(T + 256 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(log10(CAST(a_b + 1 AS DOUBLE) / CAST(A + 256 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS ratio_u
+      FROM per_bucket, totals
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratio_u) AS BIGINT) AS dsir_score_micros,
+           CAST(SUM(ratio_u) AS BIGINT) > 0 AS lean_target
+    FROM toks JOIN ratios USING (b)
+    GROUP BY 1
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (hashed-unigram importance resampling weights) with English as
+    the target domain: 256-bucket md5 features, add-one-smoothed micro-log
+    ratios broadcast to the token stream, exact integer doc sums."""
+    from ..operators.importance import dsir_importance_weights
+
+    return dsir_importance_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+@query(
+    "bigram_lm_scores",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM words, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS V
+      FROM (SELECT unnest(ws) AS w FROM words)
+      WHERE length(w) > 0
+    ),
+    model AS (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM c2 JOIN c1 USING (w1), v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_u) AS BIGINT) AS nll_sum_micros,
+           CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS avg_nll_micros
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY 1
+    """,
+)
+def bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM scoring every document's average
+    negative log-likelihood (the KenLM-style perplexity screen); the bigram
+    table is vocabulary-bounded and the scoring join co-partitions on the
+    bigram key."""
+    from ..operators.importance import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))

@@ -639,3 +639,40 @@ def test_time_decay_halves_per_step(spark):
     assert out[1].decayed_value_micros == 17_500_000
     assert out[1].n_events == 3 and out[1].newest_age_days == 0
     assert out[2].decayed_value_micros == 8_000_000
+
+
+def test_dsir_weights_lean_toward_target_language(spark):
+    """Docs made of target-only tokens must outscore docs of non-target
+    tokens under the hashed-ngram importance ratio."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.operators.importance import (
+        dsir_importance_weights,
+    )
+
+    rows = (
+        [(i, "the and of to in with for on", "en") for i in range(8)]
+        + [(100 + i, "der und von zu im mit für auf", "de") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in
+           dsir_importance_weights(docs, F.col("lang") == "en").collect()}
+    assert all(out[i].lean_target for i in range(8))
+    assert all(not out[100 + i].lean_target for i in range(8))
+    assert out[0].dsir_score_micros > 0 > out[100].dsir_score_micros
+
+
+def test_bigram_lm_common_transitions_score_lower(spark):
+    """A document of corpus-frequent bigrams must have lower average NLL
+    than one full of transitions seen only once."""
+    from adventureworkslakehousepoc_spark.operators.importance import bigram_lm_scores
+
+    common = [(i, "a b a b a b a b") for i in range(9)]
+    rare = [(50, "q z x v k j w m")]
+    docs = spark.createDataFrame(common + rare, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert out[0].avg_nll_micros < out[50].avg_nll_micros
+    assert out[50].n_bigrams == 7
+    # single-token / empty docs produce no row
+    one = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    assert bigram_lm_scores(one).count() == 0
