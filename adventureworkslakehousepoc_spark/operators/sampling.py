@@ -25,6 +25,7 @@ __all__ = [
     "stratified_hash_sample",
     "mixture_resample_summary",
     "shuffle_assignment",
+    "weighted_systematic_sample",
 ]
 
 _HEX = "0123456789abcdef"
@@ -249,4 +250,70 @@ def train_eval_split(
         docs.select(F.col(group_col).alias("grp"), split.alias("split"))
         .groupBy(F.col("grp").alias(group_col), "split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    n_picks: int = 100,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling (systematic / 'low-variance'
+    resampling): lay every row's weight end-to-end along [0, W) in ``id_col``
+    order, then take ``n_picks`` evenly spaced probes at the midpoints
+    ``(2j+1)·W / (2·n_picks)``. A row is selected once per probe landing in
+    its interval, so selection probability is exactly proportional to weight,
+    heavy rows can be selected multiple times (``times_selected``), and the
+    result is a pure function of the data — no RNG, identical in any engine.
+
+    All arithmetic is exact bigint: a probe count up to position ``x`` is
+    ``f(x) = ((2n·x div W) + 1) div 2`` and a row's multiplicity is
+    ``f(cum_end) − f(cum_start)`` — no float boundaries to disagree on.
+
+    Scale: the global prefix sum is two-phase — rows range-bucket by id
+    (monotone buckets, so per-bucket prefix sums + broadcast bucket offsets
+    compose to the exact global running sum), the per-bucket window sorts
+    |rows|/``n_buckets`` rows per task, and the offset table is a bounded
+    ``n_buckets``-row broadcast non-equi self-join. Nothing funnels to a
+    single partition (same idiom as ``shuffle_assignment``).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(weight_col).cast("bigint").alias("w")
+    )
+    maxid = base.agg((F.max("doc_id") + 1).alias("n_ids"))
+    bucketed = base.crossJoin(F.broadcast(maxid)).withColumn(
+        "bucket", F.expr(f"(doc_id * {n_buckets}) div n_ids").cast("int")
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = bucketed.withColumn("ce_b", F.sum("w").over(wb))
+    sizes = bucketed.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    a, b = sizes.alias("a"), sizes.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.bw"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    total = sizes.agg(F.sum("bw").alias("w_total"))
+    two_n = 2 * n_picks
+    picks = F.expr(
+        f"((({two_n} * (off + ce_b)) div w_total) + 1) div 2"
+        f" - ((({two_n} * (off + ce_b - w)) div w_total) + 1) div 2"
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn("times_selected", picks.cast("int"))
+        .filter(F.col("times_selected") > 0)
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            (F.col("off") + F.col("ce_b") - F.col("w")).cast("bigint").alias("cum_start"),
+            "times_selected",
+        )
     )

@@ -2449,3 +2449,31 @@ def bigram_lm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.importance import bigram_lm_scores
 
     return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "weighted_systematic_sample",
+    """
+    WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             SUM(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      FROM b
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM b)
+    SELECT doc_id, w AS weight, CAST(ce - w AS BIGINT) AS cum_start,
+           CAST(((200 * ce) // wt + 1) // 2
+                - ((200 * (ce - w)) // wt + 1) // 2 AS INT) AS times_selected
+    FROM c, t
+    WHERE ((200 * ce) // wt + 1) // 2 - ((200 * (ce - w)) // wt + 1) // 2 > 0
+    """,
+)
+def weighted_systematic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted systematic resample of the corpus (100 probes at
+    exact-integer midpoints): the deterministic weighted-sampling pass of a
+    mixture builder, computed with bucketed two-phase prefix sums — the
+    oracle's single global window is exactly what the operator avoids."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    return weighted_systematic_sample(_docs(spark, sf_dir), "n_chars")

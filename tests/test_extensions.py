@@ -676,3 +676,23 @@ def test_bigram_lm_common_transitions_score_lower(spark):
     # single-token / empty docs produce no row
     one = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
     assert bigram_lm_scores(one).count() == 0
+
+
+def test_weighted_systematic_sample_exact_and_partition_invariant(spark):
+    """Total multiplicity == n_picks exactly; doubling a row's weight cannot
+    reduce its multiplicity; result identical under any input partitioning."""
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = weighted_systematic_sample(df, "n_chars", n_picks=50).collect()
+    assert sum(r.times_selected for r in out) == 50
+    one = weighted_systematic_sample(df.repartition(1), "n_chars", n_picks=50)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, one.collect()))
+    # a row heavier than W/n must be picked at least once
+    heavy = spark.createDataFrame(rows + [(999, 100000)], ["doc_id", "n_chars"])
+    hv = {r.doc_id: r.times_selected
+          for r in weighted_systematic_sample(heavy, "n_chars", n_picks=50).collect()}
+    assert hv[999] >= 40  # 100000 / (100000 + ~11000) of 50 probes
