@@ -2477,3 +2477,67 @@ def weighted_systematic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_systematic_sample
 
     return weighted_systematic_sample(_docs(spark, sf_dir), "n_chars")
+
+
+@query(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE names0 AS (
+      SELECT DISTINCT p_name AS s FROM part
+    ),
+    blocked AS (SELECT s, string_split(s, ' ')[1] AS blk FROM names0),
+    pairs AS (
+      SELECT a.s AS name_a, b.s AS name_b
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.s < b.s AND levenshtein(a.s, b.s) <= 4
+    ),
+    edges AS (
+      SELECT name_a AS u, name_b AS v FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    reach(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS node, MIN(label) AS component FROM reach GROUP BY u),
+    ent AS (
+      SELECT names0.s AS name, COALESCE(comp.component, names0.s) AS entity_id
+      FROM names0 LEFT JOIN comp ON names0.s = comp.node
+    )
+    SELECT ent.entity_id,
+           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(p_partkey) AS canonical_partkey
+    FROM part JOIN ent ON part.p_name = ent.name
+    GROUP BY 1
+    """,
+)
+def entity_resolution_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution on the part-name domain: first-token
+    blocking → Levenshtein≤4 candidate pairs → min-label connected
+    components → canonical entity id per name cluster → part counts rolled
+    up to entities. The quadratic term is bounded per block over the
+    DISTINCT name set; the CC loop runs on the (tiny) pair list; the oracle
+    replays the whole chain including the iterative closure."""
+    from ..catalog import load_tables
+    from ..operators.fuzzy import fuzzy_match_pairs
+    from ..operators.graph import connected_components
+
+    parts = load_tables(spark, sf_dir, ("part",))["part"]
+    pairs = fuzzy_match_pairs(parts, "p_name", max_distance=4).persist()
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    names = parts.select(F.col("p_name").alias("name")).distinct()
+    ent = names.join(comp, names.name == comp.node, "left").select(
+        "name", F.coalesce("component", "name").alias("entity_id")
+    )
+    return (
+        parts.join(ent, parts.p_name == ent.name)
+        .groupBy("entity_id")
+        .agg(
+            F.count_distinct("p_name").cast("bigint").alias("n_names"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("p_partkey").alias("canonical_partkey"),
+        )
+    )
