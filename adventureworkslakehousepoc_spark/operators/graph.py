@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -75,3 +75,52 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected edge list — ranks the hub
+    documents of a near-duplicate graph (high rank = template/boilerplate
+    family center worth manual review).
+
+    All arithmetic is bigint micro-units: ranks start at 1 000 000, each
+    round a node receives ``Σ pr(v) div deg(v)`` from its neighbors and
+    updates to ``(100−d)·10⁴ + (d·Σ) div 100`` — no floats anywhere, so the
+    fixed-iteration run is bit-reproducible in any engine and an unrolled
+    SQL CTE can replay it.
+
+    Scale: every round is one join + one partial-aggregated groupBy on the
+    |edges| pair list (the near-dup graph is tiny next to the corpus); the
+    degree table is computed once. Fixed iteration count — convergence on a
+    bounded-diameter dedup graph is fast and a deterministic iteration count
+    keeps the oracle exact.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg")).persist()
+    pr = deg.select(F.col("v").alias("node"), F.lit(1000000).cast("bigint").alias("pr"))
+    base = (100 - damping_pct) * 10000
+    for _ in range(iterations):
+        inbound = (
+            sym.join(pr, sym.v == pr.node)
+            .join(deg, "v")
+            .select("u", F.expr("pr div deg").alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = inbound.select(
+            F.col("u").alias("node"),
+            (F.lit(base) + F.expr(f"({damping_pct} * s) div 100")).cast("bigint").alias("pr"),
+        ).persist()
+    return pr.join(deg, pr.node == deg.v).select(
+        "node", F.col("pr").alias("pagerank_micros"), F.col("deg").alias("degree")
+    )

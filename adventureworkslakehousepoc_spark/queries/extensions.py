@@ -2541,3 +2541,39 @@ def entity_resolution_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").alias("canonical_partkey"),
         )
     )
+
+
+def _pagerank_oracle_cte(iters: int = 5) -> str:
+    """Unrolled integer-PageRank replay over the MinHash near-dup pair set
+    (same pair CTE as ``dedup_clusters``): one CTE per iteration, all-bigint
+    arithmetic identical to ``operators.graph.pagerank``."""
+    parts = [
+        f"pairs AS ({ORACLE_MINHASH})",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs)",
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1)",
+        "pr0 AS (SELECT v AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pr{i} AS (SELECT e.u AS node, "
+            f"CAST(150000 + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr "
+            f"FROM edges e JOIN pr{i - 1} p ON e.v = p.node "
+            f"JOIN deg d ON d.v = e.v GROUP BY e.u)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT pr{iters}.node, pr{iters}.pr AS pagerank_micros, "
+        f"deg.deg AS degree FROM pr{iters} JOIN deg ON pr{iters}.node = deg.v"
+    )
+
+
+@query("pagerank_dup_graph", _pagerank_oracle_cte(iters=5))
+def pagerank_dup_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (5 rounds, d=0.85) over the MinHash near-dup
+    graph: surfaces the hub documents of boilerplate families. The oracle
+    unrolls all five all-bigint iterations over the same pair CTE."""
+    from ..operators.graph import pagerank
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
+    return pagerank(pairs)

@@ -696,3 +696,18 @@ def test_weighted_systematic_sample_exact_and_partition_invariant(spark):
     hv = {r.doc_id: r.times_selected
           for r in weighted_systematic_sample(heavy, "n_chars", n_picks=50).collect()}
     assert hv[999] >= 40  # 100000 / (100000 + ~11000) of 50 probes
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """On a star graph the center must outrank every leaf; ranks are exact
+    integers and partition-invariant."""
+    from adventureworkslakehousepoc_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 9)]
+    edges = spark.createDataFrame(star, ["doc_a", "doc_b"])
+    pr = {r.node: r for r in pagerank(edges).collect()}
+    assert pr[0].degree == 8
+    assert all(pr[0].pagerank_micros > pr[i].pagerank_micros for i in range(1, 9))
+    again = {r.node: r.pagerank_micros
+             for r in pagerank(edges.repartition(7)).collect()}
+    assert again == {k: v.pagerank_micros for k, v in pr.items()}
