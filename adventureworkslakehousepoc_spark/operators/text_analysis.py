@@ -556,6 +556,23 @@ def char_entropy_scores(
     )
 
 
+def _bpe_pair_expr() -> Column:
+    return F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))"
+    )
+
+
+def _bpe_fold_expr() -> Column:
+    return F.expr(
+        "split(aggregate(slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "element_at(toks, 1), "
+        "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = l AND x = r "
+        "THEN concat(regexp_replace(acc, '[^ ]+$', ''), m) "
+        "ELSE concat(acc, ' ', x) END), ' ')"
+    )
+
+
 def bpe_merge_steps(
     docs: DataFrame, n_merges: int = 4, text_col: str = "text"
 ) -> DataFrame:
@@ -593,17 +610,14 @@ def bpe_merge_steps(
         # analog is the trainer's in-memory word-count dictionary
         .localCheckpoint()
     )
-    pair_expr = F.expr(
-        "transform(sequence(1, size(toks) - 1), "
-        "j -> struct(element_at(toks, j) AS l, element_at(toks, j + 1) AS r))"
-    )
-    fold_expr = F.expr(
-        "split(aggregate(slice(toks, 2, greatest(size(toks) - 1, 0)), "
-        "element_at(toks, 1), "
-        "(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = l AND x = r "
-        "THEN concat(regexp_replace(acc, '[^ ]+$', ''), m) "
-        "ELSE concat(acc, ' ', x) END), ' ')"
-    )
+    out, _ = _bpe_learn(words, _bpe_pair_expr(), _bpe_fold_expr(), n_merges, apply_last=False)
+    return out
+
+
+def _bpe_learn(words, pair_expr, fold_expr, n_merges: int, apply_last: bool):
+    """Shared BPE training loop: returns (rules_df, encoded_vocab_df).
+    ``apply_last`` controls whether the final rule is folded into the
+    vocabulary (the trainer's output doesn't need it; the encoder does)."""
     rules = []
     seqs = words
     for step in range(1, n_merges + 1):
@@ -630,7 +644,7 @@ def bpe_merge_steps(
                 F.col("c").alias("pair_count"),
             )
         )
-        if step < n_merges:
+        if step < n_merges or apply_last:
             seqs = (
                 seqs.crossJoin(F.broadcast(rule))
                 .select("word", "freq", fold_expr.alias("toks"))
@@ -639,4 +653,47 @@ def bpe_merge_steps(
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
-    return out
+    return out, seqs
+
+
+def bpe_encode_lengths(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE tokenizer APPLICATION — the encode pass paired with
+    ``bpe_merge_steps``'s training pass: learn ``n_merges`` rules from the
+    corpus, encode every word with all of them, and report per-document
+    token accounting: ``(doc_id, n_words, chars_total, bpe_tokens,
+    compression_ratio_micros)`` where the ratio is chars-per-BPE-token in
+    integer micro-units (higher = merges fired more; base64/gibberish
+    documents compress worst and stick out).
+
+    Scale: encoding is a join of the corpus word stream against the
+    vocabulary-scale encoded-word table on the word key — the corpus never
+    re-folds per document; each word is encoded ONCE in the vocab table no
+    matter how many billions of times it occurs."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("toks"))
+        .localCheckpoint()
+    )
+    _, seqs = _bpe_learn(words, _bpe_pair_expr(), _bpe_fold_expr(), n_merges, apply_last=True)
+    enc = seqs.select("word", F.size("toks").cast("bigint").alias("n_toks"))
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("chars_total"),
+            F.sum("n_toks").cast("bigint").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "compression_ratio_micros",
+            F.expr("(chars_total * 1000000) div bpe_tokens").cast("bigint"),
+        )
+    )

@@ -208,23 +208,27 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= F.lit(3 * 0.02) * F.col(exact)
     )
-    return (
-        li.groupBy(F.col("l_returnflag").alias("return_flag"))
-        .agg(
-            F.countDistinct("l_orderkey").alias("n_orders_exact"),
-            F.countDistinct("l_partkey").alias("n_parts_exact"),
-            F.count(F.lit(1)).alias("n_lines"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
-        )
-        .select(
-            "return_flag",
-            "n_orders_exact",
-            "n_parts_exact",
-            "n_lines",
-            within("_approx_orders", "n_orders_exact").alias("orders_within_3rsd"),
-            within("_approx_parts", "n_parts_exact").alias("parts_within_3rsd"),
-        )
+    # exact distincts and HLL sketches in SEPARATE aggregations joined on the
+    # tiny group key: combining COUNT(DISTINCT x), COUNT(DISTINCT y) and
+    # approx_count_distinct in one agg makes Catalyst plan the HLL buffers
+    # through the multi-distinct Expand (every lane carries the sketch) —
+    # measured 25 s vs 1.6 s for the split form at sf0.1 on local[32]
+    exact = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    approx = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+    )
+    return exact.join(F.broadcast(approx), "return_flag").select(
+        "return_flag",
+        "n_orders_exact",
+        "n_parts_exact",
+        "n_lines",
+        within("_approx_orders", "n_orders_exact").alias("orders_within_3rsd"),
+        within("_approx_parts", "n_parts_exact").alias("parts_within_3rsd"),
     )
 
 

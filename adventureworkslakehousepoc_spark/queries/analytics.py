@@ -575,17 +575,27 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the exact anchor and emits literal TRUE. All aggregates run
     in ONE grouped pass (single shuffle, one scan)."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    aggs = [F.expr("percentile(l_quantity, 0.50)").alias("p50_qty")]
-    for tag, p in (("p25", 0.25), ("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
-        aggs += [
-            F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)").alias(f"_{tag}_apx"),
-            F.expr(f"percentile(l_extendedprice, {p - 0.005})").alias(f"_{tag}_lo"),
-            F.expr(f"percentile(l_extendedprice, {p + 0.005})").alias(f"_{tag}_hi"),
-        ]
-    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(*aggs)
+    tags = ("p25", "p50", "p90", "p99")
+    ps = (0.25, 0.50, 0.90, 0.99)
+    # ONE exact-percentile buffer for all 8 band edges (array of fractions —
+    # the values sort once per group, not once per requested fraction; the
+    # 9-buffer form cost 7.2 s vs ~1 s at sf0.1) and ONE sketch evaluation
+    # for all 4 approx quantiles.
+    bands = ", ".join(f"{p - 0.005}, {p + 0.005}" for p in ps)
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.expr("percentile(l_quantity, 0.50)").alias("p50_qty"),
+        F.expr(f"percentile(l_extendedprice, array({bands}))").alias("_bands"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array("
+            + ", ".join(str(p) for p in ps)
+            + "), 10000)"
+        ).alias("_apx"),
+    )
     ok = [
-        F.col(f"_{t}_apx").between(F.col(f"_{t}_lo"), F.col(f"_{t}_hi")).alias(f"{t}_ok")
-        for t in ("p25", "p50", "p90", "p99")
+        F.expr(f"element_at(_apx, {i + 1}) "
+               f"BETWEEN element_at(_bands, {2 * i + 1}) "
+               f"AND element_at(_bands, {2 * i + 2})").alias(f"{t}_ok")
+        for i, t in enumerate(tags)
     ]
     return out.select("returnflag", "p50_qty", *ok)
 

@@ -2577,3 +2577,57 @@ def pagerank_dup_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
     return pagerank(pairs)
+
+
+def _bpe_apply_oracle_cte(n_merges: int = 4) -> str:
+    """Encode-pass replay: the induction CTEs extended with the LAST rule's
+    fold (t4), then the corpus word stream joined against the encoded
+    vocabulary for per-doc token accounting."""
+    parts = [
+        "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+        "WHERE length(word) > 0 GROUP BY 1)",
+        "t0 AS (SELECT word, freq, string_split(word, '') AS toks FROM w0)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT toks[g.j] AS ml, toks[g.j + 1] AS mr, "
+            f"CAST(SUM(freq) AS BIGINT) AS c "
+            f"FROM t{i - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(j) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT ml, mr, ml || '~' || mr AS m, c FROM p{i} "
+            f"ORDER BY c DESC, ml, mr LIMIT 1)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT word, freq, string_split(list_reduce(toks, "
+            f"(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]+$') = r{i}.ml "
+            f"AND x = r{i}.mr THEN regexp_replace(acc, '[^ ]+$', '') || r{i}.m "
+            f"ELSE acc || ' ' || x END), ' ') AS toks FROM t{i - 1}, r{i})"
+        )
+    sel = (
+        f"enc AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_toks FROM t{n_merges}),\n"
+        "    dw AS (SELECT doc_id, w.word FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS word FROM documents) w "
+        "WHERE length(w.word) > 0)\n"
+        "    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(length(word)) AS BIGINT) AS chars_total, "
+        "CAST(SUM(n_toks) AS BIGINT) AS bpe_tokens, "
+        "CAST((SUM(length(word)) * 1000000) // SUM(n_toks) AS BIGINT) "
+        "AS compression_ratio_micros "
+        "FROM dw JOIN enc USING (word) GROUP BY 1"
+    )
+    return "WITH " + ",\n    ".join(parts) + ",\n    " + sel
+
+
+@query("bpe_apply_encode", _bpe_apply_oracle_cte(n_merges=4))
+def bpe_apply_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE pass: apply the 4 corpus-learned BPE merges to every
+    document and account chars vs BPE tokens (compression ratio in integer
+    micro-units). Each distinct word is encoded once in the vocab table; the
+    corpus joins against it on the word key — the oracle replays the entire
+    train-then-encode chain."""
+    from ..operators.text_analysis import bpe_encode_lengths
+
+    return bpe_encode_lengths(_docs(spark, sf_dir), n_merges=4)
