@@ -68,6 +68,7 @@ _R05_FRONT = (
     "entity_resolution_parts",
     "pagerank_dup_graph",
     "bpe_apply_encode",
+    "training_corpus_pipeline_v4",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -97,7 +98,6 @@ _R05_REFRESH_R1 = (
     "s6_csv_explicit_schema",
     "s6_csv_malformed_quarantine",
     "s7_fixed_width_parse",
-    "s7_inventory_file",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -2631,3 +2631,139 @@ def bpe_apply_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import bpe_encode_lengths
 
     return bpe_encode_lengths(_docs(spark, sf_dir), n_merges=4)
+
+
+_V4_SQL = """
+    WITH reps AS (
+      SELECT md5(text) AS ch, MIN(doc_id) AS kept_id FROM documents GROUP BY 1
+    ),
+    s1 AS (SELECT d.* FROM documents d JOIN reps r ON d.doc_id = r.kept_id),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(floor(len(string_split(text, ' ')) / 20.0) AS INT) AS n_spans
+      FROM s1
+    ),
+    sp AS (
+      SELECT doc_id, g.i AS idx,
+             md5(array_to_string(list_slice(ws, g.i * 20 + 1, g.i * 20 + 20), ' ')) AS h
+      FROM w, unnest(generate_series(0, n_spans - 1)) AS g(i)
+      WHERE n_spans >= 1
+    ),
+    keep AS (
+      SELECT doc_id, idx FROM (
+        SELECT doc_id, idx, row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        FROM sp) WHERE rn = 1
+    ),
+    ka AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept FROM keep GROUP BY 1),
+    spanned AS (
+      SELECT w.doc_id, COALESCE(ka.n_kept, 0) AS n_kept
+      FROM w LEFT JOIN ka USING (doc_id) WHERE w.n_spans >= 1
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1 LEFT JOIN spanned z ON s1.doc_id = z.doc_id
+      WHERE z.doc_id IS NULL OR z.n_kept > 0
+    ),
+    toks AS (
+      SELECT doc_id, is_target,
+             CAST(CAST(concat('0x', substr(md5(tw), 1, 4)) AS BIGINT) % 256 AS INT) AS b
+      FROM (SELECT doc_id, lang = 'en' AS is_target,
+                   unnest(string_split(text, ' ')) AS tw FROM s2)
+      WHERE length(tw) > 0
+    ),
+    pb AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS a_b,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+      FROM toks GROUP BY 1
+    ),
+    tt AS (SELECT SUM(a_b) AS A, SUM(t_b) AS T FROM pb),
+    ratios AS (
+      SELECT b,
+             CAST(FLOOR(log10(CAST(t_b + 1 AS DOUBLE) / CAST(T + 256 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT)
+             - CAST(FLOOR(log10(CAST(a_b + 1 AS DOUBLE) / CAST(A + 256 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS ratio_u
+      FROM pb, tt
+    ),
+    dsir AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(ratio_u) AS BIGINT) AS score_u
+      FROM toks JOIN ratios USING (b) GROUP BY 1
+    ),
+    words2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+    big AS (
+      SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM words2, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT vw) AS BIGINT) AS V
+      FROM (SELECT unnest(ws) AS vw FROM words2) WHERE length(vw) > 0
+    ),
+    model AS (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM c2 JOIN c1 USING (w1), v
+    ),
+    lm AS (
+      SELECT doc_id, CAST(SUM(nll_u) AS BIGINT) // COUNT(*) AS avg_nll
+      FROM big JOIN model USING (w1, w2) GROUP BY doc_id
+    ),
+    thr AS (SELECT SUM(avg_nll) // COUNT(*) AS thr FROM lm),
+    kept2 AS (SELECT doc_id FROM lm, thr WHERE avg_nll <= thr)
+    SELECT s2.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(SUM(d.score_u) AS BIGINT) AS dsir_total_micros,
+           CAST(SUM(CASE WHEN d.score_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lean_target
+    FROM s2 JOIN kept2 USING (doc_id) JOIN dsir d USING (doc_id)
+    GROUP BY 1
+"""
+
+
+@query("training_corpus_pipeline_v4", _V4_SQL)
+def training_corpus_pipeline_v4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 corpus pipeline: exact dedup → span-rewrite boilerplate gate
+    (docs whose every 20-word span is owned elsewhere drop; short docs
+    bypass) → DSIR importance weights (target = English) → bigram-LM
+    quality gate (keep docs at or below the corpus-mean average NLL) →
+    per-language accounting. Every stage is the already-oracle-checked
+    operator; ONE DuckDB oracle replays the full chain, self-referential
+    corpus statistics included."""
+    from ..operators.dedup import exact_duplicate_groups, span_dedup_rewrite
+    from ..operators.importance import bigram_lm_scores, dsir_importance_weights
+
+    docs = _docs(spark, sf_dir)
+    reps = exact_duplicate_groups(docs).select(
+        F.col("representative_id").alias("doc_id")
+    )
+    s1 = docs.join(reps, "doc_id").persist()
+    span = span_dedup_rewrite(s1).select("doc_id", "n_kept")
+    s2 = (
+        s1.join(span, "doc_id", "left")
+        .filter(F.col("n_kept").isNull() | (F.col("n_kept") > 0))
+        .drop("n_kept")
+        .persist()
+    )
+    dsir = dsir_importance_weights(s2, F.col("lang") == "en")
+    lm = bigram_lm_scores(s2)
+    thr = lm.agg(F.expr("sum(avg_nll_micros) div count(1)").alias("thr"))
+    kept = (
+        lm.crossJoin(F.broadcast(thr))
+        .filter(F.col("avg_nll_micros") <= F.col("thr"))
+        .select("doc_id")
+    )
+    return (
+        s2.join(kept, "doc_id")
+        .join(dsir, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+            F.sum("dsir_score_micros").cast("bigint").alias("dsir_total_micros"),
+            F.sum(F.when(F.col("dsir_score_micros") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lean_target"),
+        )
+    )

@@ -104,6 +104,16 @@ EXTRA_QUERIES = [
     "agg_percentiles_approx",
     "approx_distinct_sketch",
     "bpe_merge_induction",
+    "dedup_span_rewrite",
+    "k_anonymity_audit",
+    "time_decay_user_scores",
+    "dsir_importance_weights",
+    "bigram_lm_scores",
+    "weighted_systematic_sample",
+    "entity_resolution_parts",
+    "pagerank_dup_graph",
+    "bpe_apply_encode",
+    "training_corpus_pipeline_v4",
 ]
 
 
