@@ -69,6 +69,8 @@ _R05_FRONT = (
     "pagerank_dup_graph",
     "bpe_apply_encode",
     "training_corpus_pipeline_v4",
+    "dim_date_generated",
+    "contribution_share_by_region",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -96,8 +98,6 @@ _R05_REFRESH_R1 = (
     "f_date_functions",
     "s5_s7_stations_text_file",
     "s6_csv_explicit_schema",
-    "s6_csv_malformed_quarantine",
-    "s7_fixed_width_parse",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

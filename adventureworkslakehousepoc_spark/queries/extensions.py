@@ -2767,3 +2767,105 @@ def training_corpus_pipeline_v4_q(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_lean_target"),
         )
     )
+
+
+@query(
+    "dim_date_generated",
+    """
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    days AS (
+      SELECT CAST(g.d AS DATE) AS date_key
+      FROM span, unnest(generate_series(span.lo, span.hi, INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT date_key,
+           CAST(year(date_key) AS INT) AS year,
+           CAST(quarter(date_key) AS INT) AS quarter,
+           CAST(month(date_key) AS INT) AS month,
+           CAST(isodow(date_key) AS INT) AS iso_dow,
+           isodow(date_key) >= 6 AS is_weekend,
+           CAST(date_trunc('month', date_key) AS DATE) AS month_start,
+           date_key = last_day(date_key) AS is_month_end
+    FROM days
+    """,
+)
+def dim_date_generated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the orders fact's date range —
+    the silver-layer dim_date every star schema carries. Built distributed
+    (1-row min/max broadcast → ``sequence`` explode), no driver-side
+    calendar loop; at any scale this is |days| rows from one 1-row agg."""
+    from ..catalog import load_tables
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    span = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    days = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("date_key")
+    )
+    dow = F.dayofweek("date_key")  # Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    iso_dow = F.when(dow == 1, 7).otherwise(dow - 1)
+    return days.select(
+        "date_key",
+        F.year("date_key").cast("int").alias("year"),
+        F.quarter("date_key").cast("int").alias("quarter"),
+        F.month("date_key").cast("int").alias("month"),
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.trunc("date_key", "month").alias("month_start"),
+        (F.col("date_key") == F.last_day("date_key")).alias("is_month_end"),
+    )
+
+
+@query(
+    "contribution_share_by_region",
+    """
+    WITH nat AS (
+      SELECT n.n_regionkey AS region_key, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region_key, SUM(revenue) AS region_revenue FROM nat GROUP BY 1)
+    SELECT r.r_name AS region, nat.nation, nat.revenue,
+           CAST(FLOOR(nat.revenue / reg.region_revenue * 1000000 + 0.5) AS BIGINT)
+             AS share_micros,
+           rank() OVER (PARTITION BY nat.region_key
+                        ORDER BY nat.revenue DESC, nat.nation) AS rank_in_region
+    FROM nat JOIN reg USING (region_key) JOIN region r ON nat.region_key = r.r_regionkey
+    """,
+)
+def contribution_share_by_region_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution analysis: each nation's share of its
+    region's order revenue plus in-region rank. The fact aggregates FIRST
+    (partial-combined shuffle on the 25-nation key); the window then runs
+    over ≤25 pre-aggregated rows per region — the aggregate-then-window
+    shape that keeps OLAP share queries scale-free."""
+    from pyspark.sql import Window
+
+    from ..catalog import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    nat = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("region_key"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    reg = nat.groupBy("region_key").agg(F.sum("revenue").alias("region_revenue"))
+    w = Window.partitionBy("region_key").orderBy(F.desc("revenue"), F.asc("nation"))
+    return (
+        nat.join(F.broadcast(reg), "region_key")
+        .join(F.broadcast(t["region"]), F.col("region_key") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            "revenue",
+            F.floor(F.col("revenue") / F.col("region_revenue") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_micros"),
+            F.rank().over(w).alias("rank_in_region"),
+        )
+    )

@@ -114,6 +114,8 @@ EXTRA_QUERIES = [
     "pagerank_dup_graph",
     "bpe_apply_encode",
     "training_corpus_pipeline_v4",
+    "dim_date_generated",
+    "contribution_share_by_region",
 ]
 
 

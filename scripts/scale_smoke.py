@@ -115,6 +115,18 @@ def main() -> None:
         "embedding_int8_quantize",
         "funnel_conversion_stages",
         "cohort_retention_matrix",
+        # round-5 operators
+        "approx_distinct_sketch",
+        "dedup_span_rewrite",
+        "dsir_importance_weights",
+        "bigram_lm_scores",
+        "weighted_systematic_sample",
+        "entity_resolution_parts",
+        "pagerank_dup_graph",
+        "bpe_apply_encode",
+        "k_anonymity_audit",
+        "time_decay_user_scores",
+        "training_corpus_pipeline_v4",
     ]
     timings = {}
     for name in names:
