@@ -90,24 +90,43 @@ def stream_table(
     return df
 
 
-def run_available_now(df: DataFrame, name: str | None = None) -> DataFrame:
+def run_available_now(
+    df: DataFrame, name: str | None = None, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow + flush
     batch) into a parquet sink with a fresh checkpoint; return the
     materialized result as a batch DataFrame. The streaming equivalent of the
-    reference's one pipeline update (entry point A, SURVEY.md §3.1)."""
+    reference's one pipeline update (entry point A, SURVEY.md §3.1).
+
+    ``state_partitions`` sizes the stateful operators' store count — a
+    first-class knob, NOT inherited from the batch shuffle setting: state
+    partitioning is fixed at the first checkpoint and must be sized to the
+    key volume of THIS stream. Default: $AWLH_STREAM_SHUFFLE_PARTITIONS,
+    else 8 (right for the bounded local testdata, where 32 stores cost ~3 s
+    of pure per-store open/commit overhead per run — measured 4.4 s → 1.5 s
+    for ``st_windowed_agg`` at sf0.1). A 100 TB deployment sets hundreds.
+    The session conf is set only while this (synchronous) run plans and
+    executes, then restored."""
     spark = df.sparkSession
+    if state_partitions is None:
+        state_partitions = int(os.environ.get("AWLH_STREAM_SHUFFLE_PARTITIONS", "8"))
     run_id = name or uuid.uuid4().hex[:8]
     out = _tmpdir(f"out-{run_id}")
     ckpt = _tmpdir(f"ckpt-{run_id}")
-    q = (
-        df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("checkpointLocation", ckpt)
-        .option("path", out)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(f"stream {run_id} did not terminate")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"stream {run_id} did not terminate")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(df.schema).parquet(out)
