@@ -223,3 +223,54 @@ def test_mixture_budget_matches_python_reference(spark, rows, budget):
         rate = (min(planned, t) * 1_000_000) // t
         expect[s] = (t, w[s], planned, rate)
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+    n_picks=st.integers(min_value=1, max_value=40),
+)
+def test_weighted_sample_multiplicity_conserved(spark, weights, n_picks):
+    """Σ times_selected == n_picks for ANY weight vector and pick count —
+    the exact-integer midpoint-probe invariant."""
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    df = spark.createDataFrame(list(enumerate(weights)), ["doc_id", "w"])
+    out = weighted_systematic_sample(df, "w", n_picks=n_picks).collect()
+    assert sum(r.times_selected for r in out) == n_picks
+    # no row may be picked more than ceil(weight * n / W) + 1 times
+    W = sum(weights)
+    for r in out:
+        assert r.times_selected <= (r.weight * n_picks) // W + 1
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=50).map(
+            lambda ws: " ".join(f"w{c}" for c in ws)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_rewrite_conserves_distinct_spans(spark, docs):
+    """Span-rewrite invariant on arbitrary corpora: exactly one instance of
+    every distinct span survives (Σ n_kept == #distinct span texts), and
+    re-running the rewrite on an already-rewritten corpus changes nothing
+    (fixed point)."""
+    from adventureworkslakehousepoc_spark.operators.dedup import span_dedup_rewrite
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_dedup_rewrite(sdf, n_words=5).collect()
+    distinct_spans = set()
+    for i, t in rows:
+        ws = t.split(" ")
+        for j in range(len(ws) // 5):
+            distinct_spans.add(" ".join(ws[j * 5 : j * 5 + 5]))
+    assert sum(r.n_kept for r in out) == len(distinct_spans)
