@@ -142,3 +142,75 @@ def mad_outlier_flags(
             (F.col("dev") > F.lit(k_mad) * F.col("mad")).alias("is_outlier"),
         )
     )
+
+
+def psi_value_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    current_days: int = 7,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per key: the distribution of ``value_col``
+    in the trailing ``current_days`` window vs everything before it, over
+    ``n_bins`` equal-width bins spanning the global [min, max]. The standard
+    ML-serving drift monitor (PSI < 0.1 stable, > 0.2 action), complementing
+    the vocabulary-level KL monitor (``source_drift_scores``) with a numeric
+    feature view.
+
+    Per-bin terms ``(p−q)·log10(p/q)`` (add-one smoothed, always ≥ 0) are
+    quantized to integer micro-units before the per-key sum, so the score is
+    engine-exact. Global min/max/max-ts ride a 1-row broadcast; everything
+    else is two small keyed aggregations — no windows, no driver state.
+    """
+    stats = events.agg(
+        F.max(ts_col).alias("ts_hi"),
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+    binned = events.crossJoin(F.broadcast(stats)).select(
+        F.col(key_col).alias("k"),
+        F.least(
+            F.floor(
+                (F.col(value_col).cast("double") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * n_bins
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        (
+            F.col(ts_col)
+            >= F.col("ts_hi") - F.expr(f"interval {int(current_days)} days")
+        ).alias("is_cur"),
+    )
+    per_bin = binned.groupBy("k", "bin").agg(
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("bigint").alias("c_cur"),
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("bigint").alias("c_ref"),
+    )
+    totals = per_bin.groupBy("k").agg(
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+    )
+    p = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + n_bins).cast("double")
+    q = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + n_bins).cast("double")
+    term_u = F.floor((p - q) * F.log10(p / q) * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        per_bin.join(totals, "k")
+        .withColumn("t_u", term_u)
+        .groupBy("k")
+        .agg(
+            F.min("n_ref").cast("bigint").alias("n_ref"),
+            F.min("n_cur").cast("bigint").alias("n_cur"),
+            F.sum("t_u").cast("bigint").alias("psi_micros"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_ref",
+            "n_cur",
+            "psi_micros",
+            (F.col("psi_micros") > 200000).alias("drifted"),
+        )
+    )

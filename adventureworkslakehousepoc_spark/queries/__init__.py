@@ -71,6 +71,7 @@ _R05_FRONT = (
     "training_corpus_pipeline_v4",
     "dim_date_generated",
     "contribution_share_by_region",
+    "psi_value_drift",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -97,7 +98,6 @@ _R05_REFRESH_R1 = (
     "f_conditional_functions",
     "f_date_functions",
     "s5_s7_stations_text_file",
-    "s6_csv_explicit_schema",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

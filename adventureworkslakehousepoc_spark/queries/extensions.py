@@ -2869,3 +2869,55 @@ def contribution_share_by_region_q(spark: SparkSession, sf_dir: str) -> DataFram
             F.rank().over(w).alias("rank_in_region"),
         )
     )
+
+
+@query(
+    "psi_value_drift",
+    """
+    WITH stats AS (
+      SELECT MAX(ts) AS ts_hi,
+             MIN(CAST(value AS DOUBLE)) AS lo,
+             MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type AS k,
+             CAST(LEAST(FLOOR((CAST(value AS DOUBLE) - stats.lo)
+                  / (stats.hi - stats.lo) * 10), 9) AS INT) AS bin,
+             ts >= stats.ts_hi - INTERVAL 7 DAY AS is_cur
+      FROM events, stats
+    ),
+    per_bin AS (
+      SELECT k, bin,
+             CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+             CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+      FROM binned GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT k, CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+             CAST(SUM(c_ref) AS BIGINT) AS n_ref
+      FROM per_bin GROUP BY 1
+    ),
+    terms AS (
+      SELECT per_bin.k, totals.n_ref, totals.n_cur,
+             CAST(FLOOR(
+               (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)
+                - CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE))
+               * log10((CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))
+                       / (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS t_u
+      FROM per_bin JOIN totals USING (k)
+    )
+    SELECT k AS event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+           CAST(SUM(t_u) AS BIGINT) AS psi_micros,
+           CAST(SUM(t_u) AS BIGINT) > 200000 AS drifted
+    FROM terms GROUP BY 1
+    """,
+)
+def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor: trailing-7-day value distribution vs history per
+    event type over 10 equal-width bins; micro-quantized per-bin terms,
+    1-row stats broadcast, two small keyed aggregations."""
+    from ..operators.quality import psi_value_drift
+
+    return psi_value_drift(_events(spark, sf_dir))

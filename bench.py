@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "training_corpus_pipeline_v4",
     "dim_date_generated",
     "contribution_share_by_region",
+    "psi_value_drift",
 ]
 
 
