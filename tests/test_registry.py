@@ -288,3 +288,24 @@ def test_round5_driver_window_composition():
     # every windowed query must carry an oracle (full hash gate, not rows-only)
     oracles = q.all_oracles()
     assert [k for k in window if k not in oracles] == []
+
+
+def test_driver_window_schemas_are_scalar_only(spark):
+    """The driver's rows-only canonicalizer sorts pandas tuples — an array/
+    map/struct/binary output column crashes it (`TypeError: unhashable
+    type`), which is how round 4 lost the `agg_percentiles_approx` row.
+    Every windowed query must therefore emit scalar columns only."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    offenders = {}
+    for name in list(qs)[:50]:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        nonscalar = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct", "binary"))
+        }
+        if nonscalar:
+            offenders[name] = nonscalar
+    assert not offenders, offenders
