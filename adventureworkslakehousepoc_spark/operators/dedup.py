@@ -537,13 +537,14 @@ def span_dedup_rewrite(
         ).alias("idx", "h"),
     )
     # keeper election: lexicographic struct-min = first occurrence in the
-    # global (doc_id, idx) order; one partial-aggregated shuffle on the digest
-    keeper = spans.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    # global (doc_id, idx) order; one partial-aggregated shuffle on the
+    # digest. The min-struct IS the surviving instance, so no join back to
+    # the span stream is needed — regroup the keeper table by its doc
     kept = (
-        spans.join(keeper, "h")
-        .filter((F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx")))
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idxs"))
+        spans.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+        .groupBy(F.col("k.doc_id").alias("doc_id"))
+        .agg(F.sort_array(F.collect_list("k.idx")).alias("keep_idxs"))
     )
     rebuilt = with_spans.join(kept, "doc_id", "left").select(
         "doc_id",
