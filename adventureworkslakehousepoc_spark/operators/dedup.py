@@ -34,6 +34,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "prefix_filter_jaccard_pairs",
     "benchmark_overlap",
     "span_duplicate_stats",
     "span_dedup_rewrite",
@@ -562,3 +563,57 @@ def span_dedup_rewrite(
         (F.size("ki") * n_words).cast("bigint").alias("kept_words"),
         F.md5(cleaned).alias("cleaned_hash"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+    family): all document pairs with shingle-set Jaccard ≥ t_num/t_den —
+    same answer as the naive all-pairs join, but candidates come only from
+    collisions on each document's PREFIX: its ``|S| − ⌈t·|S|⌉ + 1`` globally
+    rarest shingles (rarest-first total order on (corpus frequency,
+    shingle)). Two documents with Jaccard ≥ t MUST share a prefix token
+    under any consistent global order — the prefix-filter theorem — so
+    unlike MinHash+LSH this join has ZERO false negatives, at the cost of
+    exactness-driven candidate counts.
+
+    Scale: the frequency table is vocabulary-bounded; the per-doc rarity
+    rank is a window over one document's shingles (bounded by doc length);
+    the candidate join touches only rare-token collision lists, which is
+    exactly what makes prefix filtering the exact-join workhorse. The
+    threshold is a rational (``t_num/t_den``) so prefix lengths are exact
+    integer arithmetic in every engine. Verification is the exact Jaccard
+    over candidate pairs only."""
+    from pyspark.sql import Window
+
+    threshold = t_num / t_den
+    sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    ranked = (
+        sh.join(freq, "sh")
+        .withColumn("r", F.row_number().over(wd))
+        .join(sizes, "doc_id")
+        # p = n − ceil(t·n) + 1, with ceil(n·num/den) = (n·num + den − 1) div den
+        .filter(
+            F.col("r")
+            <= F.col("n_sh")
+            - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cands = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cands, sh, threshold)

@@ -2921,3 +2921,37 @@ def psi_value_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import psi_value_drift
 
     return psi_value_drift(_events(spark, sf_dir))
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2] AS sh
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+      WHERE len(ws) >= 3
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard
+    FROM inter
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5
+    """,
+)
+def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity join (Jaccard ≥ 0.5 on 3-gram
+    shingles). The ORACLE is the naive all-pairs quadratic join — the
+    operator must reproduce it exactly from rare-prefix collisions only,
+    proving the zero-false-negative guarantee LSH can't give."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(_docs(spark, sf_dir))

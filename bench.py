@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "dim_date_generated",
     "contribution_share_by_region",
     "psi_value_drift",
+    "dedup_prefix_filter_jaccard",
 ]
 
 

@@ -711,3 +711,35 @@ def test_pagerank_hub_outranks_leaves(spark):
     again = {r.node: r.pagerank_micros
              for r in pagerank(edges.repartition(7)).collect()}
     assert again == {k: v.pagerank_micros for k, v in pr.items()}
+
+
+def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the naive all-pairs
+    result (zero false negatives — the prefix-filter theorem), and its
+    candidate count must be well below the full quadratic pair space."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+           for r in prefix_filter_jaccard_pairs(docs).collect()}
+    sh = word_shingles(docs, n=3).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    naive = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b",
+                (F.col("ni").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("ni"))).alias("j"))
+        .filter(F.col("j") >= 0.5)
+    )
+    want = {(r.doc_a, r.doc_b): round(r.j, 9) for r in naive.collect()}
+    assert got == want and len(got) > 0
