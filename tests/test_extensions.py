@@ -743,3 +743,29 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     )
     want = {(r.doc_a, r.doc_b): round(r.j, 9) for r in naive.collect()}
     assert got == want and len(got) > 0
+
+
+def test_psi_zero_for_identical_distributions_and_flags_shift(spark):
+    """PSI must be ~0 when current and reference windows share a value
+    distribution, and large when the current window shifts regime."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.quality import psi_value_drift
+
+    base = dt.datetime(2024, 3, 1)
+    stable, shifted = [], []
+    for i in range(400):
+        # same repeating value cycle in both windows → identical histograms
+        day_offset = i % 20  # 0..19 days back: half inside the 7-day window
+        v = float((i // 20) % 10)  # independent of day_offset
+        stable.append((i, base - dt.timedelta(days=day_offset), "stable", v, ""))
+        # 'shifted' events: history near 0..4, current window near 5..9
+        sv = float((i // 20) % 5) if day_offset > 7 else float(5 + (i // 20) % 5)
+        shifted.append((10000 + i, base - dt.timedelta(days=day_offset), "shifted", sv, ""))
+    df = spark.createDataFrame(
+        stable + shifted, ["event_id", "ts", "event_type", "value", "props"]
+    )
+    out = {r.event_type: r for r in psi_value_drift(df).collect()}
+    assert not out["stable"].drifted
+    assert out["shifted"].drifted
+    assert out["shifted"].psi_micros > 5 * max(out["stable"].psi_micros, 1)
