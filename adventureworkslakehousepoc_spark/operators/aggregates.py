@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_avg", "pivot_agg"]
+__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles"]
 
 
 def grouped_avg(
@@ -46,3 +46,88 @@ def pivot_agg(
     SQL-oracle equivalent: one conditional aggregate per listed value
     (``AVG(CASE WHEN variable = 'TAVG' THEN v END)``)."""
     return df.groupBy(*keys).pivot(pivot_col, list(values)).agg(agg)
+
+
+def distributed_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fractions: Sequence[tuple[int, int]] = ((25, 100), (50, 100), (90, 100), (99, 100)),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT per-group quantiles without the single-buffer anti-pattern:
+    ``percentile()`` holds every group value in one aggregation buffer (the
+    documented OOM at scale); this computes the same exact order statistics
+    by distributed rank selection — equal-width value buckets from a 1-row
+    min/max broadcast, per-(group, bucket) counts, broadcast exclusive
+    bucket offsets (bounded |groups|·``n_buckets`` rows), then a row_number
+    ONLY within each (group, bucket) partition. ``global_rank = offset +
+    rank_in_bucket`` reproduces the rank a full per-group sort would assign,
+    and the quantile is the row whose rank hits ``⌈p·n⌉`` (computed in exact
+    integer arithmetic from rational fractions, so every engine agrees).
+
+    Each window task sorts ~n/``n_buckets`` rows — sized to fit executor
+    memory at any scale by raising ``n_buckets``. Ties share a value, so
+    the selected VALUE is deterministic regardless of tie order.
+
+    Returns ``(group, pct_num, pct_den, n, value)`` — one row per group per
+    fraction.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucketed = base.join(F.broadcast(stats), "g").select(
+        "g",
+        "v",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_buckets),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("b"),
+    )
+    sizes = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, bb = sizes.alias("a"), sizes.alias("b2")
+    offsets = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("a.g") == F.col("b2.g")) & (F.col("b2.b") < F.col("a.b")),
+            "left",
+        )
+        .groupBy(F.col("a.g").alias("g"), F.col("a.b").alias("b"))
+        .agg(F.coalesce(F.sum("b2.c"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    totals = sizes.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    wb = Window.partitionBy("g", "b").orderBy("v")
+    ranked = (
+        bucketed.withColumn("rib", F.row_number().over(wb).cast("bigint"))
+        .join(F.broadcast(offsets), ["g", "b"])
+        .withColumn("global_rank", F.col("off") + F.col("rib"))
+    )
+    spark = df.sparkSession
+    fr = spark.createDataFrame(list(fractions), ["p_num", "p_den"])
+    targets = totals.crossJoin(F.broadcast(fr)).select(
+        "g",
+        "n",
+        "p_num",
+        "p_den",
+        F.expr("(n * p_num + p_den - 1) div p_den").cast("bigint").alias("r"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), ["g"])
+        .filter(F.col("global_rank") == F.col("r"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("p_num").cast("int").alias("pct_num"),
+            F.col("p_den").cast("int").alias("pct_den"),
+            "n",
+            F.col("v").alias("value"),
+        )
+    )

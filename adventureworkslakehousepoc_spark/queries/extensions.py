@@ -2955,3 +2955,31 @@ def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "exact_quantiles_distributed",
+    """
+    WITH s AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM s),
+    f AS (SELECT * FROM (VALUES (25, 100), (50, 100), (90, 100), (99, 100))
+          AS t(p_num, p_den))
+    SELECT r.g AS l_returnflag, CAST(f.p_num AS INT) AS pct_num,
+           CAST(f.p_den AS INT) AS pct_den, n.n, r.v AS value
+    FROM r JOIN n USING (g)
+    JOIN f ON r.rn = (n.n * f.p_num + f.p_den - 1) // f.p_den
+    """,
+)
+def exact_quantiles_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p90/p99 of lineitem quantity per return flag by
+    distributed rank selection — same numbers as the single-buffer
+    ``percentile()`` anti-pattern (and as the oracle's global per-group
+    sort), but every window task sorts only one value bucket. The scale-safe
+    exact-quantile path that the sketch queries' accuracy anchors should
+    migrate to at 100 TB."""
+    from ..catalog import load_tables
+    from ..operators.aggregates import distributed_exact_quantiles
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return distributed_exact_quantiles(li, "l_returnflag", "l_quantity")

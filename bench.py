@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "contribution_share_by_region",
     "psi_value_drift",
     "dedup_prefix_filter_jaccard",
+    "exact_quantiles_distributed",
 ]
 
 

@@ -5,7 +5,8 @@ the headline operators to observe scaling behavior: which stages go
 superlinear, whether plans change (broadcast→SMJ), where memory pressure
 appears. Results land in SCALE.md.
 
-Usage: python scripts/scale_smoke.py [copies]   (default 10)
+Usage: python scripts/scale_smoke.py [copies] [query,query,...]
+(default 10 copies, full list — pass a comma list to probe a subset)
 """
 
 from __future__ import annotations
@@ -128,6 +129,9 @@ def main() -> None:
         "time_decay_user_scores",
         "training_corpus_pipeline_v4",
     ]
+    if len(sys.argv) > 2:
+        wanted = set(sys.argv[2].split(","))
+        names = [n for n in names if n in wanted] + [n for n in wanted if n not in names]
     timings = {}
     for name in names:
         qs[name](spark, DST).write.format("noop").mode("overwrite").save()  # warm

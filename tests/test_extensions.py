@@ -769,3 +769,31 @@ def test_psi_zero_for_identical_distributions_and_flags_shift(spark):
     assert not out["stable"].drifted
     assert out["shifted"].drifted
     assert out["shifted"].psi_micros > 5 * max(out["stable"].psi_micros, 1)
+
+
+def test_distributed_quantiles_match_percentile_builtin(spark, sf_dir):
+    """The rank-selection quantiles must equal Spark's own single-buffer
+    exact `percentile` (ceil-rank discrete convention) on real data."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.aggregates import (
+        distributed_exact_quantiles,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    got = {
+        (r.l_returnflag, r.pct_num): r.value
+        for r in distributed_exact_quantiles(li, "l_returnflag", "l_quantity").collect()
+    }
+    rows = (
+        li.select("l_returnflag", F.col("l_quantity").cast("double").alias("v"))
+        .groupBy("l_returnflag")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .collect()
+    )
+    for r in rows:
+        n = len(r.vs)
+        for p in (25, 50, 90, 99):
+            rank = (n * p + 99) // 100  # ceil(n·p/100), 1-based
+            assert got[(r.l_returnflag, p)] == r.vs[rank - 1]
