@@ -594,11 +594,27 @@ def prefix_filter_jaccard_pairs(
 
     threshold = t_num / t_den
     sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # Prefix filtering assumes an exact-deduped input — on a duplicate-heavy
+    # corpus (the 100 TB reality) identical shingle sets flood every prefix
+    # collision list and the candidate join goes quadratic in the COPY
+    # count. So: collapse identical sets to one representative first (set
+    # digest over the sorted shingle list), run the prefix join on
+    # representatives only, verify once per distinct-set pair, and expand
+    # the verified pairs back over family members at the end. Output is
+    # identical to the naive all-pairs join; compute is quadratic only in
+    # DISTINCT similar sets.
+    fams = sh.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")))).alias("sig")
+    ).persist()
+    reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+    rsh = sh.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).persist()
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = rsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
     ranked = (
-        sh.join(freq, "sh")
+        rsh.join(freq, "sh")
         .withColumn("r", F.row_number().over(wd))
         .join(sizes, "doc_id")
         # p = n − ceil(t·n) + 1, with ceil(n·num/den) = (n·num + den − 1) div den
@@ -616,4 +632,36 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_verify(cands, sh, threshold)
+    rep_pairs = _jaccard_verify(cands, rsh, threshold)
+    # family expansion: members inherit their representative's verdicts
+    rep_sig = reps.select("sig", "rep_id")
+    ra = rep_sig.select(F.col("rep_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    rb = rep_sig.select(F.col("rep_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ma = fams.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("m_a"))
+    mb = fams.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    f1 = fams.alias("f1")
+    f2 = fams.alias("f2")
+    intra = (
+        f1.join(
+            f2,
+            (F.col("f1.sig") == F.col("f2.sig"))
+            & (F.col("f1.doc_id") < F.col("f2.doc_id")),
+        )
+        .select(
+            F.col("f1.doc_id").alias("doc_a"),
+            F.col("f2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
