@@ -567,7 +567,9 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_percentiles`` buffers every value of a group in one aggregation
     buffer — measured 15.6 s vs 0.4 s at the 10× smoke (SCALE.md) — so the
     sketch is the default at scale and the exact form is the accuracy
-    baseline. The sketch values themselves are engine-specific, so the
+    baseline (at production scale the band anchors migrate to
+    ``operators.aggregates.distributed_exact_quantiles`` — exact order
+    statistics without the single buffer). The sketch values themselves are engine-specific, so the
     hashable output is: the exact p50 quantity (cross-engine bit-identical
     anchor) plus booleans asserting each approx price quantile lies inside
     the exact [p−0.005, p+0.005] value band — 50× the sketch's 1/10000 rank
