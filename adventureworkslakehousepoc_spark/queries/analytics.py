@@ -420,10 +420,10 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority AS order_priority, n,
            CAST(sum_c AS DOUBLE) / n / 100.0 AS mean_price,
-           (CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
-             / (n - 1) / 10000.0 AS var_price,
-           sqrt((CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
-             / (n - 1) / 10000.0) AS stddev_price
+           CAST(n * sumsq_c - CAST(sum_c AS HUGEINT) * sum_c AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS var_price,
+           sqrt(CAST(n * sumsq_c - CAST(sum_c AS HUGEINT) * sum_c AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 10000.0) AS stddev_price
     FROM s
     """,
 )
@@ -436,8 +436,17 @@ def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((cents * cents).cast("decimal(38,0)")).alias("sumsq_c"),
     )
     sum_d = F.col("sum_c").cast("double")
-    sumsq_d = F.col("sumsq_c").cast("double")
-    var = (sumsq_d - sum_d * sum_d / F.col("n")) / (F.col("n") - 1) / F.lit(10000.0)
+    # variance numerator n·Σx² − (Σx)² computed EXACTLY in decimal, then ONE
+    # correctly-rounded cast and two clean IEEE divisions — the mixed
+    # a − b·c/d double chain rounds differently across engines at sf0.1 row
+    # counts (last-ulp drift caught by the sf0.1 parity sweep)
+    var_num = (
+        F.col("n") * F.col("sumsq_c")
+        - F.col("sum_c").cast("decimal(38,0)") * F.col("sum_c")
+    ).cast("double")
+    var = (
+        var_num / (F.col("n") * (F.col("n") - 1)).cast("double") / F.lit(10000.0)
+    )
     return s.select(
         F.col("o_orderpriority").alias("order_priority"),
         "n",
@@ -764,7 +773,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_rolling_range_frame",
     """
     WITH e AS (
-      SELECT event_id, user_id, date_part('epoch', ts) AS es,
+      -- FLOOR to whole seconds: DuckDB's epoch keeps the fractional part
+      -- while Spark's timestamp->long cast truncates, and a fractional
+      -- ordering key shifts RANGE-frame membership at the 3600 s boundary
+      SELECT event_id, user_id,
+             CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS es,
              CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_u
       FROM events
     )
