@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "point_in_time_join"]
 
 
 def asof_join(
@@ -95,3 +95,35 @@ def asof_join(
         *[F.col(f"_r.{c}").alias(c) for c in right_cols],
         F.col(f"_r.{right_time}").alias(right_time),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row picks the dimension
+    VERSION that was valid at the fact's event time —
+    ``valid_from ≤ ts < valid_to`` (open-ended current version: NULL
+    valid_to). The consumption side of SCD2: reports join facts to the
+    dimension as it WAS, not as it is.
+
+    Scale: an equi-join on the natural key carries the interval predicate in
+    the join condition, so it plans as ONE key-partitioned shuffle join with
+    the range check evaluated in-join (each key's version list is tiny —
+    version counts, not row counts). No window, no broadcast of the fact."""
+    f = facts.alias("f")
+    d = dim_history.alias("d")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"))
+        & (F.col(f"f.{ts_col}") >= F.col(f"d.{valid_from}"))
+        & (
+            F.col(f"d.{valid_to}").isNull()
+            | (F.col(f"f.{ts_col}") < F.col(f"d.{valid_to}"))
+        )
+    )
+    return f.join(d, cond)

@@ -81,6 +81,7 @@ _R05_FRONT = (
     "psi_value_drift",
     "dedup_prefix_filter_jaccard",
     "exact_quantiles_distributed",
+    "scd2_point_in_time_join",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -104,7 +105,6 @@ _R05_REFRESH_R1 = (
     "a1_grouped_avg",
     "a2_pivot_explicit_values",
     "f_string_functions",
-    "f_conditional_functions",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -609,3 +609,60 @@ def st_corpus_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH hist AS (
+      SELECT c_custkey AS customer_id, c_name AS name, c_acctbal AS acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-01-02 00:00:00'
+                  WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-01-03 00:00:00'
+                  ELSE NULL END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, UPPER(c_name), c_acctbal + 100.0,
+             TIMESTAMP '2024-01-02 00:00:00',
+             CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2024-01-03 00:00:00'
+                  ELSE NULL END
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT e.event_id, h.customer_id, h.name, h.acctbal,
+           CAST(e.ts AS DATE) AS event_day
+    FROM events e
+    JOIN hist h ON e.user_id = h.customer_id
+               AND e.ts >= h.valid_from
+               AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def scd2_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join of the events fact against the SCD2
+    customer history built from the change feed: every event sees the
+    dimension version valid AT ITS OWN TIMESTAMP — events after the
+    2024-01-02 update see the new name/balance; events on a deleted key
+    after its close date drop out. One key-partitioned join carrying the
+    interval predicate; the oracle restates the deterministic 3-version
+    history in closed form."""
+    from ..catalog import load_tables
+    from ..operators.asof import point_in_time_join
+    from ..streaming.cdf import scd2_history
+
+    t = load_tables(spark, sf_dir, ("events",))
+    cf = _build_change_log(spark, sf_dir)
+    hist = scd2_history(cf.read_batch(spark), ["c_custkey"]).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+    )
+    return point_in_time_join(
+        t["events"], hist, "user_id", "customer_id"
+    ).select(
+        "event_id",
+        "customer_id",
+        "name",
+        "acctbal",
+        F.col("ts").cast("date").alias("event_day"),
+    )

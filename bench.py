@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "psi_value_drift",
     "dedup_prefix_filter_jaccard",
     "exact_quantiles_distributed",
+    "scd2_point_in_time_join",
 ]
 
 
