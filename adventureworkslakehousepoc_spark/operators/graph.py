@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_counts"]
 
 
 def connected_components(
@@ -75,6 +75,74 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient over
+    an undirected edge list — how clique-like each near-duplicate
+    neighborhood is (a template family closes almost every wedge; a chain of
+    borderline matches closes none, and is the thing a transitive-closure
+    dedup would over-merge).
+
+    Classic oriented-wedge counting (node-iterator on the canonical u<v
+    orientation): wedges (a<b, b<c) join back to the edge list on the
+    closing pair (a,c), so every triangle is found exactly once. Three
+    joins, all on the |edges| pair list — never on the corpus. Degrees come
+    from the symmetric view; the clustering coefficient
+    ``2·T / (deg·(deg−1))`` is emitted in exact integer micro-units.
+
+    At 100 TB the edge list is the near-dup pair set (tiny next to the
+    corpus) and wedge counts are bounded by the oriented degrees; for
+    skew-heavy general graphs the standard refinement — orient by
+    (degree, id) instead of id — drops in here without changing the output
+    contract.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    tri = wedges.join(
+        e.alias("e3"), (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v"))
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_triangles, 0) * 1000000) div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_coeff_micros"),
+        )
+    )
 
 
 def pagerank(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_decay_scores"]
+__all__ = ["time_decay_scores", "daily_anomaly_flags"]
 
 
 def time_decay_scores(
@@ -61,4 +61,81 @@ def time_decay_scores(
             F.min("age_days").cast("int").alias("newest_age_days"),
         )
         .withColumnRenamed("key", key_col)
+    )
+
+
+def daily_anomaly_flags(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trailing_days: int = 7,
+    z_threshold: int = 3,
+    min_history: int = 4,
+) -> DataFrame:
+    """Metric-stream anomaly detection: flag days whose daily total deviates
+    more than ``z_threshold`` trailing standard deviations from the trailing
+    ``trailing_days``-day mean of its series — the ops monitor a pipeline
+    runs over its own ingest/quality counters.
+
+    Two-stage shape chosen FOR scale: stage 1 collapses the raw event
+    stream to one row per (series, day) with a partial-aggregated groupBy
+    (the only corpus-scale shuffle — map-side combine does most of the
+    work); stage 2's trailing window runs on the aggregate-scale series
+    table (|series| · |days| rows), so the low-cardinality window partition
+    key is harmless — the quadratic-ish window never touches raw events.
+
+    Exactness: daily totals are per-row micro-quantized before integer
+    summing (order-insensitive); the z test compares
+    ``(n·x − S)² > z²·(n·Q − S²)`` in pure bigint — the algebraic expansion
+    of ``(x − μ)² > z²·σ²`` that needs no division, no sqrt, no floats.
+    With day totals ≤ ~10^9 micro-units and n ≤ 7, every term stays far
+    inside int64.
+    """
+    z2 = int(z_threshold) * int(z_threshold)
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(value_col) * 1000 + F.lit(0.5)).cast("bigint").alias("v_milli"),
+        )
+        .groupBy("series", "day")
+        .agg(
+            F.sum("v_milli").cast("bigint").alias("day_total_millis"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # integer day index as the RANGE key — a timestamp/epoch key would drag
+    # session-timezone and microsecond-truncation semantics into frame
+    # membership (the exact cross-engine drift the r5 sf0.1 sweep caught in
+    # w4); datediff from a fixed epoch is the same integer in every engine
+    daily = daily.withColumn("day_idx", F.datediff("day", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day_idx")
+        .rangeBetween(-int(trailing_days), -1)
+    )
+    stats = daily.select(
+        "series",
+        "day",
+        "day_total_millis",
+        "n_events",
+        F.count("day_total_millis").over(w).cast("bigint").alias("n_hist"),
+        F.sum("day_total_millis").over(w).cast("bigint").alias("s_hist"),
+        F.sum(F.expr("day_total_millis * day_total_millis")).over(w).cast("bigint").alias("q_hist"),
+    )
+    dev = F.expr("n_hist * day_total_millis - s_hist")
+    var_n2 = F.expr("n_hist * q_hist - s_hist * s_hist")  # n²·variance
+    return stats.select(
+        "series",
+        "day",
+        "day_total_millis",
+        "n_events",
+        "n_hist",
+        F.coalesce("s_hist", F.lit(0)).cast("bigint").alias("trailing_sum_millis"),
+        (
+            (F.col("n_hist") >= min_history) & (dev * dev > F.lit(z2) * var_n2)
+        ).alias("is_anomaly"),
     )

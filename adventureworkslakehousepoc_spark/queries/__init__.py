@@ -82,16 +82,25 @@ _R05_FRONT = (
     "dedup_prefix_filter_jaccard",
     "exact_quantiles_distributed",
     "scd2_point_in_time_join",
+    "market_basket_lift",
+    "anomaly_daily_zscore",
+    "w5_ntile_percent_rank",
+    "pareto_frontier_parts",
+    "graph_triangle_counts",
+    "spatial_grid_neighbors",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
 )
 
 # Group 5: refresh slots — rows last driver-verified in ROUND 1, §2 core
-# parity surface first. 50 - len(_R05_FRONT) names; the 20 r1 rows that
-# don't fit (ann_*, dedup_simhash_*, dedup_exact/_embedding_cosine, text_*,
-# q5/q6/q14/q19, dim_store, us_stations…) plus the r3-verified block rotate
-# into the round-6 window.
+# parity surface first. 50 - len(_R05_FRONT) names; the r1 rows that don't
+# fit (j3/j4/j5, a1/a2, f_*, ann_*, dedup_simhash_*, text_*, q5/q6/q14/q19,
+# dim_*, us_stations…) plus the r3-verified block rotate into the round-6
+# window — six refresh slots were re-spent on first-time driver rows for
+# the six operators added late in round 5 (market basket, daily z-score
+# anomaly, ntile/percent_rank, Pareto frontier, triangle counts, spatial
+# grid join).
 _R05_REFRESH_R1 = (
     "p1_projection_rename",
     "p2_computed_columns",
@@ -99,12 +108,6 @@ _R05_REFRESH_R1 = (
     "p4_conjunctive_filter",
     "p5_membership_filter",
     "j1_dim_lookup_left_join",
-    "j3_interval_join_symmetric",
-    "j4_chained_interval_join",
-    "j5_batch_inner_join",
-    "a1_grouped_avg",
-    "a2_pivot_explicit_values",
-    "f_string_functions",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

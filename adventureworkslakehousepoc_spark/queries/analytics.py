@@ -1080,3 +1080,190 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "market_basket_lift",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+    pc AS (
+      SELECT x.i AS item_a, y.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT pc.item_a, pc.item_b, pc.n_ab, a.n_i AS n_a, bb.n_i AS n_b,
+           nb.n_baskets,
+           (pc.n_ab * 1000000) // nb.n_baskets AS support_micros,
+           (pc.n_ab * 1000000) // a.n_i AS confidence_a_to_b_micros,
+           (pc.n_ab * nb.n_baskets * 1000000) // (a.n_i * bb.n_i) AS lift_micros
+    FROM pc JOIN ic a ON pc.item_a = a.i JOIN ic bb ON pc.item_b = bb.i, nb
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order/brand baskets: which
+    brands co-occur in the same order beyond chance (lift > 1e6 micros).
+    The per-basket self-join is the only quadratic step and is bounded by
+    basket size (max 11 brands/order here); item frequencies broadcast from
+    the vocabulary-scale brand domain. See operators/basket.py."""
+    from ..operators.basket import association_rules
+
+    t = _t(spark, sf_dir, "lineitem", "part")
+    baskets = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        t["lineitem"].l_partkey == F.col("p_partkey"),
+    ).select(F.col("l_orderkey").alias("basket_id"), F.col("p_brand").alias("item"))
+    return association_rules(baskets, min_pair_count=5)
+
+
+@query(
+    "anomaly_daily_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS day_total_millis,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (SELECT *, (day - DATE '1970-01-01') AS day_idx FROM daily),
+    st AS (
+      SELECT series, day, day_total_millis, n_events,
+             CAST(COUNT(day_total_millis) OVER w AS BIGINT) AS n_hist,
+             CAST(SUM(day_total_millis) OVER w AS BIGINT) AS s_hist,
+             CAST(SUM(day_total_millis * day_total_millis) OVER w AS BIGINT)
+               AS q_hist
+      FROM idx
+      WINDOW w AS (PARTITION BY series ORDER BY day_idx
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT series, day, day_total_millis, n_events, n_hist,
+           CAST(COALESCE(s_hist, 0) AS BIGINT) AS trailing_sum_millis,
+           COALESCE(n_hist >= 4 AND
+             (n_hist * day_total_millis - s_hist)
+               * (n_hist * day_total_millis - s_hist)
+             > 9 * (n_hist * q_hist - s_hist * s_hist), FALSE) AS is_anomaly
+    FROM st
+    """,
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-stream anomaly detection: per-series daily totals flagged when
+    they deviate >3 trailing std-devs from the trailing-7-day mean — the
+    monitor an ingest pipeline runs over its own counters. The corpus-scale
+    work is one partial-aggregated groupBy to (series, day); the window runs
+    on the aggregate-scale series table. Pure-bigint z test
+    ((n·x−S)² > 9(nQ−S²)): no sqrt, no floats, hash-exact. See
+    operators/temporal.py::daily_anomaly_flags."""
+    from ..operators.temporal import daily_anomaly_flags
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return daily_anomaly_flags(ev)
+
+
+@query(
+    "w5_ntile_percent_rank",
+    """
+    SELECT o_orderkey AS order_key, o_orderpriority AS priority,
+           o_totalprice AS total_price,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile/percent_rank/cume_dist)
+    per priority class — completes the §2.5 window coverage. percent_rank
+    and cume_dist are one IEEE division of exact integers each, so values
+    hash-match cross-engine; the ORDER BY carries the orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("total_price"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (cheaper price,
+    larger size). The oracle is the O(n²) NOT-EXISTS dominance scan; the
+    engine computes the same set with one price-level aggregate plus a
+    BUCKETED running max over distinct prices — the shuffle_assignment /
+    exact_quantiles prefix idiom, so no single-partition window ever holds
+    the price domain: 64 range buckets, per-bucket maxes prefix-combined on
+    a 64-row broadcast, in-bucket running max partitioned by bucket.
+    Frontier membership: size equals its price-group max AND strictly
+    exceeds the running max over all strictly cheaper prices (equal-vector
+    duplicates are mutually non-dominating and all kept)."""
+    p = _t(spark, sf_dir, "part")["part"]
+    price_level = p.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    rng = price_level.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    pl = price_level.crossJoin(F.broadcast(rng)).withColumn(
+        "bkt",
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("p_retailprice") - F.col("lo"))
+                * 64.0
+                / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            ),
+        ).cast("int"),
+    )
+    # prefix max over earlier buckets via a broadcast non-equi self-join on
+    # the ≤64-row bucket-max table (the shuffle_assignment idiom — a global
+    # window here would plan an Exchange SinglePartition the plan audit
+    # rightly rejects)
+    bm = pl.groupBy("bkt").agg(F.max("grp_max").alias("bmax"))
+    bkt_prefix = (
+        bm.alias("cur")
+        .join(F.broadcast(bm.alias("prev")), F.col("prev.bkt") < F.col("cur.bkt"), "left")
+        .groupBy(F.col("cur.bkt").alias("bkt"))
+        .agg(F.max(F.col("prev.bmax")).alias("earlier_max"))
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_inf = F.lit(-(2**31))
+    frontier_prices = (
+        pl.join(F.broadcast(bkt_prefix), "bkt")
+        .withColumn("in_bkt_prev", F.max("grp_max").over(wi))
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce("in_bkt_prev", neg_inf), F.coalesce("earlier_max", neg_inf)
+            ),
+        )
+        .select("p_retailprice", "grp_max", "prev_max")
+    )
+    return (
+        p.join(frontier_prices, "p_retailprice")
+        .where((F.col("p_size") == F.col("grp_max")) & (F.col("p_size") > F.col("prev_max")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

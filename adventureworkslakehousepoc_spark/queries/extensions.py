@@ -2983,3 +2983,86 @@ def exact_quantiles_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return distributed_exact_quantiles(li, "l_returnflag", "l_quantity")
+
+
+_TRIANGLE_SQL = f"""
+    WITH pairs AS ({ORACLE_MINHASH}),
+    e AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a <> doc_b
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.node, deg.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.degree >= 2
+                THEN (2 * COALESCE(pn.n_triangles, 0) * 1000000)
+                     // (deg.degree * (deg.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_coeff_micros
+    FROM deg LEFT JOIN pn USING (node)
+"""
+
+
+@query("graph_triangle_counts", _TRIANGLE_SQL)
+def graph_triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the MinHash
+    near-dup graph: clique-like neighborhoods are template families (safe to
+    collapse); low-coefficient hubs are chain merges a transitive-closure
+    dedup would over-merge. Oriented wedge counting — three joins on the
+    pair list, never the corpus. See operators/graph.py::triangle_counts."""
+    from ..operators.graph import triangle_counts
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
+    return triangle_counts(pairs)
+
+
+@query(
+    "spatial_grid_neighbors",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             CAST(concat('0x', substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS x,
+             CAST(concat('0x', substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS y
+      FROM customer
+    )
+    SELECT a.point_id AS id_a, b.point_id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM pts a JOIN pts b ON a.point_id < b.point_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 20000 * 20000
+    """,
+)
+def spatial_grid_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (all point pairs within 20 km on a synthetic
+    1000×1000 km entity map, coordinates md5-derived so both engines build
+    the identical point set): the engine uses the grid-cell blocked join —
+    one cell-key shuffle, 9-cell neighborhood probe, exact integer
+    distances — while the oracle is the NAIVE all-pairs join, so a green
+    row proves the grid join's zero-false-negative guarantee. See
+    operators/spatial.py."""
+    from ..operators.spatial import grid_neighbor_pairs
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    key = F.col("c_custkey").cast("string")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("x:"), key)), 1, 15), 16, 10)
+         .cast("bigint") % 1000000).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("y:"), key)), 1, 15), 16, 10)
+         .cast("bigint") % 1000000).alias("y"),
+    )
+    return grid_neighbor_pairs(pts, radius=20000)

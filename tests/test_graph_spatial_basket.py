@@ -1,0 +1,136 @@
+"""Behavior tests for the round-5 late additions: triangle counting,
+grid-blocked spatial join, association rules, daily z-score anomalies, and
+the Pareto-frontier window rewrite — closed-form expectations on tiny
+hand-built inputs (the DuckDB oracle gate covers the testdata-scale path in
+test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworkslakehousepoc_spark.operators.basket import association_rules
+from adventureworkslakehousepoc_spark.operators.graph import triangle_counts
+from adventureworkslakehousepoc_spark.operators.spatial import grid_neighbor_pairs
+from adventureworkslakehousepoc_spark.operators.temporal import daily_anomaly_flags
+
+
+def test_triangle_counts_closed_form(spark):
+    # 4-clique {1,2,3,4} (4 triangles, every node in 3) plus a pendant path
+    # 4-5-6 (no triangles; node 5 has degree 2 but open wedge)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["node"]: r.asDict() for r in triangle_counts(edges).collect()}
+    assert got[1]["n_triangles"] == 3 and got[1]["degree"] == 3
+    assert got[2]["n_triangles"] == 3 and got[3]["n_triangles"] == 3
+    assert got[4]["n_triangles"] == 3 and got[4]["degree"] == 4
+    assert got[5]["n_triangles"] == 0 and got[5]["degree"] == 2
+    assert got[6]["n_triangles"] == 0 and got[6]["degree"] == 1
+    # clustering coefficient: node 1 → 2·3/(3·2) = 1.0; node 4 → 2·3/(4·3)=0.5
+    assert got[1]["clustering_coeff_micros"] == 1_000_000
+    assert got[4]["clustering_coeff_micros"] == 500_000
+    assert got[5]["clustering_coeff_micros"] == 0
+    # duplicate / reversed / self edges don't change anything
+    noisy = edges.unionByName(
+        spark.createDataFrame([(2, 1), (3, 3), (1, 2)], "doc_a bigint, doc_b bigint")
+    )
+    got2 = {r["node"]: r["n_triangles"] for r in triangle_counts(noisy).collect()}
+    assert got2 == {k: v["n_triangles"] for k, v in got.items()}
+
+
+def test_grid_neighbor_pairs_matches_naive_and_boundary(spark):
+    # deterministic pseudo-random points, plus an exact-boundary pair:
+    # (0,0)-(0,100) at dist² == radius² must be INCLUDED (≤, not <)
+    pts = [(i, (i * 7919) % 400, (i * 104729) % 400) for i in range(60)]
+    pts += [(1000, 0, 0), (1001, 0, 100)]
+    df = spark.createDataFrame(pts, "point_id bigint, x bigint, y bigint")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in grid_neighbor_pairs(df, radius=100).collect()
+    }
+    naive = {}
+    for ia, xa, ya in pts:
+        for ib, xb, yb in pts:
+            if ia < ib:
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= 100 * 100:
+                    naive[(ia, ib)] = d2
+    assert got == naive
+    assert got[(1000, 1001)] == 10000
+
+
+def test_association_rules_closed_form(spark):
+    # items: a in baskets {1,2,3}, b in {1,2}, c in {3,4}; pair (a,b) in 2,
+    # (a,c) in 1; N=4 baskets
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+            (4, "c"), (4, "d"), (1, "a")]  # duplicate line collapses
+    df = spark.createDataFrame(rows, "basket_id bigint, item string")
+    got = {(r["item_a"], r["item_b"]): r.asDict()
+           for r in association_rules(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"], ab["n_baskets"]) == (2, 3, 2, 4)
+    assert ab["support_micros"] == 500_000            # 2/4
+    assert ab["confidence_a_to_b_micros"] == 666_666  # 2/3 floored
+    assert ab["lift_micros"] == 1_333_333             # (2·4)/(3·2)
+    ac = got[("a", "c")]
+    assert ac["n_ab"] == 1 and ac["lift_micros"] == 666_666  # (1·4)/(3·2)
+    # (c,d): n_cd=1, n_c=2, n_d=1 → lift (1·4)/(2·1) = 2.0
+    assert ("c", "d") in got and got[("c", "d")]["lift_micros"] == 2_000_000
+    # min_pair_count filter drops singleton pairs
+    filtered = association_rules(df, min_pair_count=2)
+    assert [tuple(r) for r in filtered.select("item_a", "item_b").collect()] == [("a", "b")]
+
+
+def test_daily_anomaly_flags_spike_detected(spark):
+    # flat 10.0/day series for 10 days, then a 100.0 spike on day 11:
+    # trailing window is exactly flat → variance 0 → any deviation flags
+    rows = [(i, f"2024-01-{d:02d} 12:00:00", 1, "m", 10.0)
+            for i, d in enumerate(range(1, 11))]
+    rows.append((99, "2024-01-11 12:00:00", 1, "m", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r["day"]): r.asDict() for r in daily_anomaly_flags(df).collect()}
+    assert out["2024-01-11"]["is_anomaly"] is True
+    assert all(not out[d]["is_anomaly"] for d in out if d != "2024-01-11")
+    # early days (< min_history of trailing data) never flag
+    assert out["2024-01-02"]["n_hist"] == 1 and out["2024-01-02"]["is_anomaly"] is False
+
+
+def test_pareto_frontier_keeps_equal_vectors(spark):
+    """Equal (price, size) duplicates are mutually non-dominating → both
+    kept; a same-price smaller part and a pricier not-bigger part are
+    dominated — pins the window rewrite's tie semantics against the
+    NOT-EXISTS definition."""
+    from adventureworkslakehousepoc_spark.queries.analytics import QUERIES as AQ
+    import duckdb
+    import os
+    import tempfile
+
+    parts = [
+        (1, "p1", 10.0, 5), (2, "p2", 10.0, 5),   # equal vectors — both frontier
+        (3, "p3", 10.0, 4),                        # same price, smaller → dominated
+        (4, "p4", 12.0, 7),                        # pricier but bigger → frontier
+        (5, "p5", 12.0, 5),                        # pricier, not bigger → dominated
+        (6, "p6", 9.0, 1),                         # cheapest → frontier
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pdf = spark.createDataFrame(
+            parts, "p_partkey bigint, p_name string, p_retailprice double, p_size int"
+        )
+        pdf.toPandas().to_parquet(os.path.join(d, "part.parquet"))
+        got = sorted(
+            r["p_partkey"]
+            for r in AQ["pareto_frontier_parts"](spark, d).collect()
+        )
+        assert got == [1, 2, 4, 6]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet')"
+        )
+        from adventureworkslakehousepoc_spark.queries.analytics import ORACLE as AO
+
+        oracle = sorted(x[0] for x in con.execute(AO["pareto_frontier_parts"]).fetchall())
+        assert [int(x) for x in oracle] == got
