@@ -120,6 +120,12 @@ EXTRA_QUERIES = [
     "dedup_prefix_filter_jaccard",
     "exact_quantiles_distributed",
     "scd2_point_in_time_join",
+    "market_basket_lift",
+    "anomaly_daily_zscore",
+    "w5_ntile_percent_rank",
+    "pareto_frontier_parts",
+    "graph_triangle_counts",
+    "spatial_grid_neighbors",
 ]
 
 
