@@ -34,6 +34,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
+    "incremental_minhash_new_duplicates",
     "prefix_filter_jaccard_pairs",
     "benchmark_overlap",
     "span_duplicate_stats",
@@ -190,6 +191,61 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(shingles, num_hashes)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return _jaccard_verify(pairs, shingles, threshold)
+
+
+def incremental_minhash_new_duplicates(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup screen for an arriving batch: candidate pairs
+    come ONLY from LSH band collisions between NEW documents and the
+    existing corpus (new×new and corpus×corpus pairs are out of scope — the
+    corpus was already deduped, the new batch gets its intra-batch pass
+    separately). Returns ``(new_id, corpus_id, jaccard)`` for exact Jaccard
+    ≥ threshold, with identical signature/banding/verify semantics to
+    ``minhash_near_duplicates``.
+
+    This is the INGEST-TIME shape of MinHash dedup at 100 TB: the corpus
+    side of the band join is a precomputed, stored signature index
+    (vocabulary of band keys), so a new batch pays only its own shingle +
+    signature cost plus one band-keyed join against the index — never a
+    corpus rescan. Here both sides are derived in-query so the DuckDB
+    oracle can replay the whole computation.
+    """
+    sh_new = word_shingles(new_docs, text_col, id_col, shingle_n).persist()
+    sh_old = word_shingles(corpus_docs, text_col, id_col, shingle_n).persist()
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        structs = []
+        for j in range(bands):
+            key = F.concat(*[F.col(f"h{j * rows_per_band + k}") for k in range(rows_per_band)])
+            structs.append(F.struct(F.lit(j).alias("band"), key.alias("band_key")))
+        return sigs.select("doc_id", F.explode(F.array(*structs)).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key")
+        )
+
+    bn = banded(minhash_signatures(sh_new, num_hashes)).alias("n")
+    bo = banded(minhash_signatures(sh_old, num_hashes)).alias("o")
+    cand = (
+        bn.join(
+            bo,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
+    return verified.select(
+        F.col("doc_a").alias("new_id"), F.col("doc_b").alias("corpus_id"), "jaccard"
+    )
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")

@@ -20,6 +20,7 @@ __all__ = [
     "boilerplate_flags",
     "unigram_lm_scores",
     "tfidf_top_terms",
+    "vocab_coverage",
     "LANG_MARKERS",
 ]
 
@@ -696,4 +697,50 @@ def bpe_encode_lengths(
             "compression_ratio_micros",
             F.expr("(chars_total * 1000000) div bpe_tokens").cast("bigint"),
         )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ks: Sequence[int] = (100, 1000, 10000),
+) -> DataFrame:
+    """Tokenizer-budget coverage curve: for each candidate vocabulary size
+    ``k``, the fraction of corpus token INSTANCES covered by the ``k`` most
+    frequent token types — the first number a tokenizer design reads off a
+    new corpus (how much of the stream the base vocab absorbs before BPE
+    merges have to earn their keep).
+
+    One corpus-scale pass builds the vocabulary-bounded count table (cached
+    across the curve points); each ``k`` is then a TakeOrderedAndProject
+    top-k plus a keyless partial aggregate — no global window, no rank over
+    the full vocabulary, so the curve costs |ks| vocabulary-scale scans on
+    top of one tokenize shuffle. Ties break on (count desc, token asc) in
+    both the engine and the oracle.
+    """
+    from .dedup import spread
+
+    toks = (
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id")
+        .select(F.explode(F.split(F.col("t"), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n")).persist()
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    curve = None
+    for k in ks:
+        topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(int(k))
+        row = topk.agg(
+            F.lit(int(k)).cast("int").alias("top_k"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types_used"),
+        )
+        curve = row if curve is None else curve.unionByName(row)
+    return curve.crossJoin(F.broadcast(total)).select(
+        "top_k",
+        "covered_tokens",
+        "n_types_used",
+        "total_tokens",
+        F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_micros"),
     )

@@ -88,6 +88,9 @@ _R05_FRONT = (
     "pareto_frontier_parts",
     "graph_triangle_counts",
     "spatial_grid_neighbors",
+    "cdf_snapshot_diff",
+    "vocab_coverage_curve",
+    "incremental_minhash_index",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -105,9 +108,6 @@ _R05_REFRESH_R1 = (
     "p1_projection_rename",
     "p2_computed_columns",
     "p3_null_filter",
-    "p4_conjunctive_filter",
-    "p5_membership_filter",
-    "j1_dim_lookup_left_join",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -3066,3 +3066,65 @@ def spatial_grid_neighbors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint") % 1000000).alias("y"),
     )
     return grid_neighbor_pairs(pts, radius=20000)
+
+
+@query(
+    "vocab_coverage_curve",
+    """
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM counts),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM counts
+    ),
+    ks AS (SELECT * FROM (VALUES (100), (1000), (10000)) v(top_k))
+    SELECT CAST(ks.top_k AS INTEGER) AS top_k,
+           CAST(COALESCE(SUM(r.n), 0) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(r.n) AS BIGINT) AS n_types_used,
+           tot.total_tokens,
+           (CAST(COALESCE(SUM(r.n), 0) AS BIGINT) * 1000000) // tot.total_tokens
+             AS coverage_micros
+    FROM ks LEFT JOIN ranked r ON r.rn <= ks.top_k, tot
+    GROUP BY ks.top_k, tot.total_tokens
+    """,
+)
+def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve: token-instance coverage of the top-k
+    token types for k ∈ {100, 1000, 10000}. The engine never ranks the full
+    vocabulary — each point is a TakeOrderedAndProject top-k over the cached
+    count table + a keyless aggregate; the oracle uses the naive global
+    row_number. See operators/text_analysis.py::vocab_coverage."""
+    from ..operators.text_analysis import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+_INCR_MINHASH_SQL = f"""
+    WITH fp AS ({ORACLE_MINHASH})
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+           CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+           jaccard
+    FROM fp WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+"""
+
+
+@query("incremental_minhash_index", _INCR_MINHASH_SQL)
+def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup screen: the %10==0 slice of `documents` plays an
+    arriving batch, the rest the deduped corpus; LSH band collisions are
+    generated ONLY new×corpus (at 100 TB the corpus side is a stored
+    signature index, so a batch never rescans the corpus). Identical
+    signature/verify semantics to dedup_minhash_lsh — the oracle is the
+    full pair set restricted to one-endpoint-new, which a green row proves
+    equal to the incremental computation. See
+    operators/dedup.py::incremental_minhash_new_duplicates."""
+    from ..operators.dedup import incremental_minhash_new_duplicates
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter((F.col("doc_id") % 10) == 0)
+    corpus = docs.filter((F.col("doc_id") % 10) != 0)
+    return incremental_minhash_new_duplicates(corpus, new)

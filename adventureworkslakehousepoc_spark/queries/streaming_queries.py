@@ -212,6 +212,36 @@ def st_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdf_snapshot_diff",
+    """
+    SELECT c_custkey AS customer_id, 'updated' AS change_type,
+           2 AS n_changed_cols
+    FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+    UNION ALL
+    SELECT c_custkey, 'removed', CAST(NULL AS INTEGER)
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def cdf_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff over the change feed (Delta `table_changes` audit
+    rollup): keys whose state differs between v1 and v3, classified
+    added / removed / updated with the changed-column count — null-safe
+    column equality, never stringified row hashes (doubles compare
+    bit-exact, their renderings don't). The deterministic 3-version log
+    yields a closed-form oracle: %5-keys not deleted show 2 changed columns
+    (upper-cased name, acctbal+100), %7-keys are removed. The `added` leg
+    is exercised by the unit test's synthetic log
+    (tests/test_streaming_sinks.py). See streaming/cdf.py::snapshot_diff."""
+    from ..streaming.cdf import snapshot_diff
+
+    cf = _build_change_log(spark, sf_dir)
+    diff = snapshot_diff(cf.read_batch(spark), ["c_custkey"], v_from=1, v_to=3)
+    return diff.select(
+        F.col("c_custkey").alias("customer_id"), "change_type", "n_changed_cols"
+    )
+
+
+@query(
     "st_upsert_sink_snapshot",
     """
     SELECT c_custkey AS customer_id,

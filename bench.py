@@ -126,6 +126,9 @@ EXTRA_QUERIES = [
     "pareto_frontier_parts",
     "graph_triangle_counts",
     "spatial_grid_neighbors",
+    "cdf_snapshot_diff",
+    "vocab_coverage_curve",
+    "incremental_minhash_index",
 ]
 
 

@@ -797,3 +797,48 @@ def test_distributed_quantiles_match_percentile_builtin(spark, sf_dir):
         for p in (25, 50, 90, 99):
             rank = (n * p + 99) // 100  # ceil(n·p/100), 1-based
             assert got[(r.l_returnflag, p)] == r.vs[rank - 1]
+
+
+def test_vocab_coverage_closed_form(spark):
+    """10×'a' 5×'b' 1×'c' across docs → top-1 covers 10/16, top-2 15/16,
+    larger k saturates at 16/16 with only 3 types used."""
+    from adventureworkslakehousepoc_spark.operators.text_analysis import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a a a"), (2, "b b b b b"), (3, "c")],
+        "doc_id bigint, text string",
+    )
+    got = {r["top_k"]: r.asDict() for r in vocab_coverage(docs, ks=(1, 2, 100)).collect()}
+    assert got[1]["covered_tokens"] == 10 and got[1]["n_types_used"] == 1
+    assert got[1]["coverage_micros"] == 625_000
+    assert got[2]["covered_tokens"] == 15
+    assert got[100]["covered_tokens"] == 16 and got[100]["n_types_used"] == 3
+    assert got[100]["coverage_micros"] == 1_000_000
+    assert all(r["total_tokens"] == 16 for r in got.values())
+
+
+def test_incremental_minhash_equals_restricted_full_pass(spark, sf_dir):
+    """The incremental new×corpus pair set must equal the full-corpus LSH
+    pass restricted to pairs with exactly one endpoint in the new slice —
+    same signatures, same banding, same verify."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        incremental_minhash_new_duplicates,
+        minhash_near_duplicates,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    new = docs.filter((F.col("doc_id") % 10) == 0)
+    corpus = docs.filter((F.col("doc_id") % 10) != 0)
+    inc = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 9)
+        for r in incremental_minhash_new_duplicates(corpus, new).collect()
+    }
+    full = minhash_near_duplicates(docs).collect()
+    expect = {}
+    for r in full:
+        a_new, b_new = r["doc_a"] % 10 == 0, r["doc_b"] % 10 == 0
+        if a_new != b_new:
+            k = (r["doc_a"], r["doc_b"]) if a_new else (r["doc_b"], r["doc_a"])
+            expect[k] = round(r["jaccard"], 9)
+    assert inc == expect and len(inc) > 0

@@ -216,3 +216,31 @@ def test_transform_with_state_running_max(spark, sf_dir):
     )
     for r in batch.collect():
         assert got[r.user_id] == (r.n, r.mx), r.user_id
+
+
+def test_snapshot_diff_classifies_all_three_change_types(spark):
+    """Synthetic 2-version log exercising every diff leg (the driver query's
+    deterministic customer log never produces `added`): v1 holds keys 1,2,3;
+    v2 updates 1 (one column), deletes 2, inserts 4 — so 1=updated(1 col),
+    2=removed, 4=added, 3 silent."""
+    import shutil
+    import tempfile
+
+    from adventureworkslakehousepoc_spark.streaming.cdf import ChangeFeed, snapshot_diff
+
+    path = tempfile.mkdtemp(prefix="cdfdiff-", dir=_stream_root())
+    shutil.rmtree(path, ignore_errors=True)
+    cf = ChangeFeed(path)
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, a string, b bigint")
+    cf.write(mk([(1, "x", 10), (2, "y", 20), (3, "z", 30)]), "insert", 1, "2024-01-01 00:00:00")
+    cf.write(mk([(1, "x", 10)]), "update_preimage", 2, "2024-01-02 00:00:00")
+    cf.write(mk([(1, "x2", 10)]), "update_postimage", 2, "2024-01-02 00:00:00")
+    cf.write(mk([(2, "y", 20)]), "delete", 2, "2024-01-02 00:00:00")
+    cf.write(mk([(4, "w", 40)]), "insert", 2, "2024-01-02 00:00:00")
+    got = {
+        r["k"]: (r["change_type"], r["n_changed_cols"])
+        for r in snapshot_diff(cf.read_batch(spark), ["k"], 1, 2).collect()
+    }
+    assert got == {1: ("updated", 1), 2: ("removed", None), 4: ("added", None)}
+    # identical versions diff to nothing
+    assert snapshot_diff(cf.read_batch(spark), ["k"], 2, 2).count() == 0
