@@ -25,7 +25,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
     ``edges`` is an undirected pair list; isolated nodes don't appear.
@@ -33,9 +33,14 @@ def connected_components(
     Each round is one join + one partial-aggregated groupBy on |pairs| rows.
     The change flag rides along in the propagation result (no separate
     old-vs-new join), so convergence detection is a filter over the round's
-    already-persisted output. Every ``checkpoint_every`` rounds the labels
-    frame is locally checkpointed to truncate lineage — without it 20 rounds
-    of join+agg build a plan deep enough to stress the optimizer."""
+    already-persisted output. Labels are eagerly ``localCheckpoint``ed every
+    round (the PageRank lesson, re-measured here): persist() reuses the
+    DATA, but Catalyst still re-plans the whole accumulated tree each round
+    and again for every downstream consumer — at sf0.1 the checkpoint
+    cadence is the difference between 77 s and 2 s cold for
+    ``dedup_clusters`` (1153-exchange compile-time plan → ~60). The labels
+    frame is pair-list-scale, so materializing each round is cheap by
+    construction."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
