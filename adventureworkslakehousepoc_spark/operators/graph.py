@@ -106,11 +106,16 @@ def triangle_counts(
     (degree, id) instead of id — drops in here without changing the output
     contract.
     """
+    # eager checkpoint, not persist: the canonical edge list feeds FOUR plan
+    # arms (e1/e2/e3 + degrees) — persist() reuses the data but replicates
+    # the upstream lineage (e.g. the whole MinHash pipeline) into every arm
+    # of the compile-time plan (~150 exchanges); the pair list is tiny by
+    # construction, so materializing it once is the right trade
     e = (
         edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
