@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "point_in_time_join"]
+__all__ = ["asof_join", "asof_join_forward", "point_in_time_join"]
 
 
 def asof_join(
@@ -89,6 +89,85 @@ def asof_join(
         F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     return carried.filter(F.col("_side") == 1).select(
+        F.col("_k").alias(on),
+        *left_cols,
+        left_time,
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
+        F.col(f"_r.{right_time}").alias(right_time),
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of join (pandas ``merge_asof(direction='forward')``): for
+    each left row, the EARLIEST right row with ``r.t ≥ l.t`` per key —
+    "what happened next" attribution (next purchase after a click, next
+    error after a deploy). With ``tolerance_seconds``, matches further than
+    the tolerance are nulled out (the carry still costs one window — the
+    tolerance is a post-filter, not a second join).
+
+    Same union-sort shape and cost as the backward ``asof_join`` (one key
+    shuffle + one per-partition sort), with the frame reversed:
+    ``first(ignorenulls)`` over ``[current, +∞)``; right rows sort AFTER
+    left rows at equal timestamps so an exactly-simultaneous right event
+    matches. Ties among right rows at equal (key, time) resolve to the
+    smallest payload struct — matching an ORDER BY (time, payload...) pick
+    in the oracle."""
+    from pyspark.sql.types import StructField, StructType
+
+    lt = F.col(left_time)
+    rt = F.col(right_time)
+    r_schema = {f.name: f for f in right.schema.fields}
+    r_struct_type = StructType(
+        [StructField(right_time, r_schema[right_time].dataType)]
+        + [StructField(c, r_schema[c].dataType) for c in right_cols]
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        lt.alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        lt.alias(left_time),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        rt.alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+        F.lit(None).cast(dict(left.dtypes)[left_time]).alias(left_time),
+        F.struct(rt.alias(right_time), *[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_side"), F.asc("_r"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "_k",
+        "_side",
+        *[F.col(c) for c in left_cols],
+        F.col(left_time),
+        F.first(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
+    )
+    if tolerance_seconds is not None:
+        # exact microsecond arithmetic — a cast("long") truncates to whole
+        # seconds and flips boundary membership vs an engine comparing full
+        # timestamps (the w4 RANGE-frame drift, same trap)
+        in_tol = F.unix_micros(F.col(f"_r.{right_time}")) - F.unix_micros(
+            F.col(left_time)
+        ) <= F.lit(int(tolerance_seconds) * 1_000_000)
+        carried = carried.withColumn("_r", F.when(in_tol, F.col("_r")))
+    return carried.filter(F.col("_side") == 0).select(
         F.col("_k").alias(on),
         *left_cols,
         left_time,

@@ -214,3 +214,55 @@ def psi_value_drift(
             (F.col("psi_micros") > 200000).alias("drifted"),
         )
     )
+
+
+def referential_integrity_audit(
+    relationships: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Foreign-key orphan audit across a star schema: for each declared
+    ``(name, child_df, child_key, parent_df, parent_key)`` relationship, one
+    row with the child row count, orphaned-row count (child key has no
+    parent), distinct orphan key count, and the orphan rate in integer
+    micros — the referential-health scorecard a lakehouse publishes next to
+    its DQ expectations (parquet tables have no enforced constraints, so
+    integrity is something you MEASURE).
+
+    Scale shape per relationship: one LEFT ANTI join on the key (parent side
+    projected to its key column — at 100 TB the anti join's build side is a
+    key-only relation, broadcast when the parent is dimension-sized) feeding
+    partial-aggregated keyless counts; plus one keyless count of the child.
+    Null child keys are orphans by definition here (they reference nothing),
+    counted separately so the metric distinguishes broken links from absent
+    ones.
+    """
+    out = None
+    for name, child, child_key, parent, parent_key in relationships:
+        keys = child.select(F.col(child_key).alias("k"))
+        parents = parent.select(F.col(parent_key).alias("k")).distinct()
+        totals = keys.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.count_if(F.col("k").isNull()).cast("bigint").alias("n_null_keys"),
+        )
+        orphans = (
+            keys.where(F.col("k").isNotNull())
+            .join(parents, "k", "left_anti")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"),
+                F.count_distinct("k").cast("bigint").alias("n_orphan_keys"),
+            )
+        )
+        row = (
+            totals.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                F.expr(
+                    "((n_orphan_rows + n_null_keys) * 1000000) div n_child_rows"
+                ).alias("orphan_rate_micros"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -91,6 +91,8 @@ _R05_FRONT = (
     "cdf_snapshot_diff",
     "vocab_coverage_curve",
     "incremental_minhash_index",
+    "asof_join_forward_next_purchase",
+    "referential_integrity_audit",
     # -- group 4: outputs changed in r4 after their last driver row
     "dedup_minhash_lsh",
     "text_boilerplate_flags",
@@ -106,8 +108,6 @@ _R05_FRONT = (
 # grid join).
 _R05_REFRESH_R1 = (
     "p1_projection_rename",
-    "p2_computed_columns",
-    "p3_null_filter",
 )
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route

@@ -527,3 +527,102 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tmp + "/v1", tmp + "/v2")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "asof_join_forward_next_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts,
+             row_number() OVER (PARTITION BY c.click_id
+                                ORDER BY p.purchase_ts, p.purchase_id) AS rn
+      FROM clicks c JOIN purch p
+        ON c.user_id = p.p_user
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT c.click_id, c.user_id, c.click_ts, r.purchase_id, r.purchase_ts
+    FROM clicks c LEFT JOIN ranked r ON c.click_id = r.click_id AND r.rn = 1
+    """,
+)
+def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each click's NEXT purchase by the
+    same user within 30 minutes (click-to-conversion attribution). The
+    engine pays one union-sort window regardless of how many purchases
+    follow each click; the oracle is the naive range join + rank-1 pick, so
+    a green row proves the carry semantics including the equal-timestamp
+    and tolerance boundaries. See operators/asof.py::asof_join_forward."""
+    from ..operators.asof import asof_join_forward
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        left_cols=["click_id"],
+        right_cols=["purchase_id"],
+        tolerance_seconds=1800,
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+@query(
+    "referential_integrity_audit",
+    """
+    WITH rel AS (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             l_orderkey AS k, o.o_orderkey AS pk
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', l_partkey, p.p_partkey
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', o_custkey, c.c_custkey
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_null_keys,
+           CAST(COUNT(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN pk IS NULL THEN k END) AS BIGINT)
+             AS n_orphan_keys,
+           ((COUNT(CASE WHEN k IS NOT NULL AND pk IS NULL THEN 1 END)
+             + COUNT(CASE WHEN k IS NULL THEN 1 END)) * 1000000) // COUNT(*)
+             AS orphan_rate_micros
+    FROM rel GROUP BY 1
+    """,
+)
+def referential_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan scorecard over the star schema (parquet enforces
+    no constraints — integrity is measured, not declared): per relationship,
+    child rows / null keys / orphaned rows / distinct orphan keys / orphan
+    rate in micros. One key-only LEFT ANTI join + keyless counts per
+    relationship. See operators/quality.py::referential_integrity_audit."""
+    from ..operators.quality import referential_integrity_audit
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part", "customer"))
+    return referential_integrity_audit(
+        [
+            ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+            ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ]
+    )

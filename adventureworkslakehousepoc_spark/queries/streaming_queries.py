@@ -166,8 +166,19 @@ def st_interval_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_change_log(spark: SparkSession, sf_dir: str) -> ChangeFeed:
     """Deterministic 3-version log derived from `customer`:
     v1 inserts all; v2 updates every c_custkey % 5 == 0 (upper name,
-    acctbal + 100); v3 deletes every c_custkey % 7 == 0."""
-    path = os.path.join(stream_tmp_root(), f"cdf-{os.path.basename(sf_dir.rstrip('/'))}")
+    acctbal + 100); v3 deletes every c_custkey % 7 == 0.
+
+    The log lives in a fresh per-call tempdir — a shared fixed path raced
+    when two sessions (e.g. pytest plus an ad-hoc probe) rebuilt the same
+    sf's log concurrently: one process's rmtree+append interleaved with the
+    other's read, yielding a duplicated/truncated log and a phantom
+    mismatch."""
+    import tempfile
+
+    os.makedirs(stream_tmp_root(), exist_ok=True)
+    path = tempfile.mkdtemp(
+        prefix=f"cdf-{os.path.basename(sf_dir.rstrip('/'))}-", dir=stream_tmp_root()
+    )
     shutil.rmtree(path, ignore_errors=True)
     cf = ChangeFeed(path)
     base = load_tables(spark, sf_dir, ("customer",))["customer"].select(

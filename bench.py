@@ -129,6 +129,8 @@ EXTRA_QUERIES = [
     "cdf_snapshot_diff",
     "vocab_coverage_curve",
     "incremental_minhash_index",
+    "asof_join_forward_next_purchase",
+    "referential_integrity_audit",
 ]
 
 

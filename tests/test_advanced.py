@@ -162,3 +162,55 @@ def test_enforce_expectations_drops_null_and_false(spark):
     assert sorted(r.id for r in kept) == [1]
     m = {r.expectation: (r.n_failed, r.n_passed) for r in expectation_metrics(df, rules).collect()}
     assert m == {"id_not_null": (1, 3), "amount_positive": (2, 2)}
+
+
+def test_asof_forward_tolerance_and_ties(spark):
+    """Forward as-of: equal-timestamp right rows match (>=); ties at the
+    same (key, time) resolve to the smallest payload struct; matches beyond
+    tolerance are nulled; keys with no forward match carry nulls."""
+    from adventureworkslakehousepoc_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 250), (2, 200, 10), (3, 300, 10)],
+        "k bigint, lid bigint, lt bigint",
+    ).withColumn("lt", F.timestamp_seconds("lt"))
+    right = spark.createDataFrame(
+        # k=1: two rights at t=10 (ids 7,5 → tie picks 5), one at t=400
+        [(1, 7, 10), (1, 5, 10), (1, 9, 400), (2, 8, 9)],
+        "k bigint, rid bigint, rt bigint",
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    got = {
+        r["lid"]: (r["rid"], r["rt"])
+        for r in asof_join_forward(
+            left, right, on="k", left_time="lt", right_time="rt",
+            left_cols=["lid"], right_cols=["rid"], tolerance_seconds=60,
+        ).collect()
+    }
+    assert got[100][0] == 5            # equal-ts match, min-struct tie-break
+    assert got[101] == (None, None)    # next right at t=400 is 150s away > 60s
+    assert got[200] == (None, None)    # right at t=9 is BEFORE the left row
+    assert got[300] == (None, None)    # key has no right rows at all
+    # without tolerance, lid=101 reaches the t=400 row
+    no_tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join_forward(
+            left, right, on="k", left_time="lt", right_time="rt",
+            left_cols=["lid"], right_cols=["rid"],
+        ).collect()
+    }
+    assert no_tol[101] == 9
+
+
+def test_referential_integrity_audit_counts_orphans(spark):
+    from adventureworkslakehousepoc_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (None,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    r = referential_integrity_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r["n_child_rows"], r["n_null_keys"]) == (6, 1)
+    assert (r["n_orphan_rows"], r["n_orphan_keys"]) == (2, 1)   # 99 twice
+    assert r["orphan_rate_micros"] == 500_000                    # (2+1)/6
