@@ -185,7 +185,14 @@ def test_plan_audit_all_batch_queries(spark, sf_dir):
             if "Exchange SinglePartition" not in line:
                 continue
             below = " ".join(lines[i + 1 : i + 2])
-            if not re.search(r"(Hash|Sort|Object.*)Aggregate\(keys?=\[\], functions=\[partial_", below):
+            # partial_ = plain keyless two-phase agg; merge_ = the distinct-
+            # aggregate form (count_distinct): partial per-key dedup below,
+            # keyless MERGE above — both cross the exchange with one
+            # pre-combined row per partition, the shape this gate permits
+            if not re.search(
+                r"(Hash|Sort|Object.*)Aggregate\(keys?=\[\], functions=\[(partial_|merge_)",
+                below,
+            ):
                 failures.append((name, f"SinglePartition over: {below.strip()[:90]}"))
     assert not failures, failures
 
