@@ -2738,13 +2738,18 @@ def training_corpus_pipeline_v4_q(spark: SparkSession, sf_dir: str) -> DataFrame
     reps = exact_duplicate_groups(docs).select(
         F.col("representative_id").alias("doc_id")
     )
-    s1 = docs.join(reps, "doc_id").persist()
+    # eager checkpoints, not persist: s1/s2 each feed several downstream
+    # stages — persist() reuses the data but Catalyst re-plans the whole
+    # upstream chain inside every consumer (the connected-components
+    # lesson); the deduped corpus is materialized once per stage boundary
+    # (at 100 TB these boundaries are the tables you'd write out anyway)
+    s1 = docs.join(reps, "doc_id").localCheckpoint(eager=True)
     span = span_dedup_rewrite(s1).select("doc_id", "n_kept")
     s2 = (
         s1.join(span, "doc_id", "left")
         .filter(F.col("n_kept").isNull() | (F.col("n_kept") > 0))
         .drop("n_kept")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dsir = dsir_importance_weights(s2, F.col("lang") == "en")
     lm = bigram_lm_scores(s2)
