@@ -13,21 +13,25 @@ can't silently overflow it, the round-4 mistake) is, in order:
 2. the two sketch rows, re-shaped this round to be driver-verifiable
    (``agg_percentiles_approx`` emitted an array column the driver's
    canonicalizer couldn't sort; ``approx_distinct_sketch`` had no oracle),
-3. queries NEW this round (6 planned late in round 4 + 14 added in round 5:
+3. queries NEW this round (6 planned late in round 4 + 25 added in round 5:
    span-rewrite dedup, k-anonymity, time-decay, DSIR, bigram LM, weighted
    systematic sample, entity resolution, PageRank, BPE encode, pipeline v4,
-   dim_date, contribution share, PSI drift),
+   dim_date, contribution share, PSI drift, prefix-filter Jaccard,
+   distributed exact quantiles, SCD2 point-in-time join, market basket,
+   daily z-score anomaly, ntile/percent_rank, Pareto frontier, triangle
+   counts, spatial grid join, CDF version diff, vocab coverage curve,
+   incremental MinHash index, forward as-of join, referential-integrity
+   audit),
 4. queries whose OUTPUT changed in round 4 after their last driver row
    (md5-lane MinHash signatures, hashed-shingle boilerplate flags,
    coalesced weak-label votes), so the old green rows no longer attest
    current behavior,
-5. refresh of the oldest driver rows — remaining slots go to rows last
-   verified in round 1, §2 core parity first. ROUND-6 PLAN: front the rest
-   of the r1-verified set (s6/s7 sources, a2, f_date, dim_*, fact_*,
-   raw_metrics, q1/q5/q6/q14/q19, us_stations, ann_*, dedup_simhash_*,
-   text_*), then the r3-verified block — restoring the ≤2-round row-age
-   target the round-5 additions deliberately traded for first-time
-   verification of 20 new operators.
+5. refresh of the oldest driver rows — one slot remains (p1). ROUND-6
+   PLAN: front the whole r1-verified set (p2–p5, j1/j3/j4/j5, a1/a2, f_*,
+   s6/s7 sources, dim_*, fact_*, raw_metrics, q1/q5/q6/q14/q19,
+   us_stations, ann_*, dedup_simhash_*, text_*), then the r3-verified
+   block — restoring the ≤2-round row-age target that round 5 deliberately
+   traded for first-time verification of 31 new operators.
 
 Every registered query is ALSO oracle-compared locally by
 tests/test_oracle_parity.py each session regardless of window position.
