@@ -21,13 +21,14 @@ can't silently overflow it, the round-4 mistake) is, in order:
    daily z-score anomaly, ntile/percent_rank, Pareto frontier, triangle
    counts, spatial grid join, CDF version diff, vocab coverage curve,
    incremental MinHash index, forward as-of join, referential-integrity
-   audit),
+   audit, embedding decontamination, containment-ratio dedup),
 4. queries whose OUTPUT changed in round 4 after their last driver row
    (md5-lane MinHash signatures, hashed-shingle boilerplate flags,
    coalesced weak-label votes), so the old green rows no longer attest
    current behavior,
-5. refresh of the oldest driver rows — one slot remains (p1). ROUND-6
-   PLAN: front the whole r1-verified set (p2–p5, j1/j3/j4/j5, a1/a2, f_*,
+5. refresh of the oldest driver rows — round-5 additions consumed every
+   refresh slot. ROUND-6 PLAN: front the whole r1-verified set (p1–p5,
+   j1/j3/j4/j5, a1/a2, f_*,
    s6/s7 sources, dim_*, fact_*, raw_metrics, q1/q5/q6/q14/q19,
    us_stations, ann_*, dedup_simhash_*, text_*), then the r3-verified
    block — restoring the ≤2-round row-age target that round 5 deliberately
@@ -97,22 +98,20 @@ _R05_FRONT = (
     "incremental_minhash_index",
     "asof_join_forward_next_purchase",
     "referential_integrity_audit",
+    "decontaminate_embedding_cosine",
+    "dedup_containment_pairs",
     # -- group 4: outputs changed in r4 after their last driver row
+    # (text_boilerplate_flags also changed, but the 50-slot window is full —
+    # it stays locally oracle-green and fronts the round-6 window)
     "dedup_minhash_lsh",
-    "text_boilerplate_flags",
 )
 
-# Group 5: refresh slots — rows last driver-verified in ROUND 1, §2 core
-# parity surface first. 50 - len(_R05_FRONT) names; the r1 rows that don't
-# fit (j3/j4/j5, a1/a2, f_*, ann_*, dedup_simhash_*, text_*, q5/q6/q14/q19,
-# dim_*, us_stations…) plus the r3-verified block rotate into the round-6
-# window — six refresh slots were re-spent on first-time driver rows for
-# the six operators added late in round 5 (market basket, daily z-score
-# anomaly, ntile/percent_rank, Pareto frontier, triangle counts, spatial
-# grid join).
-_R05_REFRESH_R1 = (
-    "p1_projection_rename",
-)
+# Group 5: refresh slots — rows last driver-verified in ROUND 1. EMPTY this
+# round: all 50 - len(_R05_FRONT) slots were re-spent on first-time driver
+# rows for operators added during round 5; the whole r1-verified §2 core
+# block (p1–p5, j*, a*, f_*, sources, dims, facts, q-suite, ann_*,
+# dedup_simhash_*, text_*) fronts the round-6 window instead.
+_R05_REFRESH_R1 = ()
 
 # Every query with a green driver row in SOME round (r1-r4) — used to route
 # queries that are neither fronted nor refreshed: unknown names land right

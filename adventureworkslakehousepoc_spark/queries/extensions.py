@@ -23,6 +23,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import attach_binary_payload, decode_features, payload_metadata
 from ..operators.similarity import (
     cosine_scores_pandas_udf,
+    dot_product,
     cosine_topk,
     cosine_topk_bucketed,
     cosine_topk_ivf,
@@ -3133,3 +3134,150 @@ def incremental_minhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter((F.col("doc_id") % 10) == 0)
     corpus = docs.filter((F.col("doc_id") % 10) != 0)
     return incremental_minhash_new_duplicates(corpus, new)
+
+
+@query(
+    "decontaminate_embedding_cosine",
+    f"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    scored AS (
+      SELECT a.vec_id, b.bench_id,
+             FLOOR({_COS_SQL.replace('b.embedding', 'b.embedding')} * 1000000 + 0.5)
+               / 1000000.0 AS score
+      FROM corpus a, bench b
+    ),
+    best AS (
+      SELECT vec_id, bench_id, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, bench_id DESC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bench_id AS nearest_benchmark_id, score AS max_score
+    FROM best WHERE rn = 1 AND score >= 0.4
+    """,
+)
+def decontaminate_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space complement of the
+    n-gram `decontaminate_ngram_overlap` gate: corpus vectors whose cosine
+    against ANY held-out benchmark vector reaches 0.4, with the argmax
+    benchmark id (ties → larger id, replicated by the oracle's rank order).
+    The benchmark slice is evaluation-set-sized and broadcast; the corpus
+    pays one scan × |benchmark| fused vector ops and a per-vector
+    partial-aggregated max — no corpus self-join, no shuffle of embeddings.
+    At 100 TB this is exactly the shape of an eval-leakage sweep: broadcast
+    the eval embeddings, scan the corpus once."""
+    e = _emb(spark, sf_dir)
+    bench = e.filter((F.col("vec_id") % 50) == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+    )
+    corpus = e.filter((F.col("vec_id") % 50) != 0).alias("a")
+    scored = corpus.crossJoin(F.broadcast(bench.alias("b"))).select(
+        F.col("a.vec_id").alias("vec_id"),
+        "bench_id",
+        quantize(
+            dot_product("a.embedding", "b.b_emb")
+            / (
+                F.sqrt(dot_product("a.embedding", "a.embedding"))
+                * F.sqrt(dot_product("b.b_emb", "b.b_emb"))
+            )
+        ).alias("score"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct("score", "bench_id")).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.bench_id").alias("nearest_benchmark_id"),
+        F.col("m.score").alias("max_score"),
+    ).filter(F.col("max_score") >= 0.4)
+
+
+_CONTAINMENT_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, {_SIG_COLS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id AND sa.sh = sb.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(za.n_sh AS BIGINT) AS n_a,
+           CAST(zb.n_sh AS BIGINT) AS n_b,
+           (i.n_inter * 1000000) // za.n_sh AS containment_a_micros,
+           (i.n_inter * 1000000) // zb.n_sh AS containment_b_micros
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE (i.n_inter * 1000000) // za.n_sh >= 700000
+       OR (i.n_inter * 1000000) // zb.n_sh >= 700000
+"""
+
+
+@query("dedup_containment_pairs", _CONTAINMENT_SQL)
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT over the LSH candidate set: |A∩B|/|A| and
+    |A∩B|/|B| in exact integer micros, keeping pairs where either direction
+    reaches 0.7 — catches quote-inclusion / doc-inside-doc relations that
+    symmetric Jaccard under-scores (a 20-word quote inside a 2000-word doc
+    has Jaccard ≈ 0.01 but containment 1.0 from the quote's side).
+    Candidates come from the Jaccard-tuned 8×2 banding, so recall is
+    LSH-candidate-limited by construction (the full-recall path for
+    one-sided containment is prefix filtering on the SMALLER set — see
+    dedup_prefix_filter_jaccard); the oracle replays the identical
+    bands+containment computation, so the gate is exact."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+
+    shingles = word_shingles(_docs(spark, sf_dir)).persist()
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingles.alias("sa")
+    sb = shingles.alias("sb")
+    inter = (
+        pairs.alias("p")
+        .join(sa, F.col("p.doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("p.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("ka"))
+        .join(zb, F.col("doc_b") == F.col("kb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            # exact integer div — a double divide + floor can flip at exact
+            # quotient boundaries (the repo-wide rule)
+            F.expr("(n_inter * 1000000) div n_a").alias("containment_a_micros"),
+            F.expr("(n_inter * 1000000) div n_b").alias("containment_b_micros"),
+        )
+        .filter(
+            (F.col("containment_a_micros") >= 700000)
+            | (F.col("containment_b_micros") >= 700000)
+        )
+    )

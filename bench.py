@@ -131,6 +131,8 @@ EXTRA_QUERIES = [
     "incremental_minhash_index",
     "asof_join_forward_next_purchase",
     "referential_integrity_audit",
+    "decontaminate_embedding_cosine",
+    "dedup_containment_pairs",
 ]
 
 
