@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "skew_key_diagnostics"]
 
 
 def profile_table(df: DataFrame, columns: list[str], exact_distinct: bool = True) -> DataFrame:
@@ -43,3 +43,56 @@ def profile_table(df: DataFrame, columns: list[str], exact_distinct: bool = True
         "_n AS n_rows",
         f"stack({len(columns)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_value, max_value)",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def skew_key_diagnostics(
+    df: DataFrame, key_cols: "list[str]", top_k: int = 10
+) -> DataFrame:
+    """Join-key skew report — the diagnostic you run BEFORE a 100 TB join to
+    decide between a plain shuffle, AQE skew-split, and explicit salting
+    (operators/skew.py): for each candidate key column, the ``top_k``
+    hottest keys with their counts plus the column's totals and a skew
+    factor ``max_count · n_keys / n_rows`` in integer micros (1e6 = every
+    key perfectly balanced; 100e6 = the hottest key carries 100× its fair
+    share — salt it).
+
+    One partial-aggregated count per column on the key domain, then a
+    TakeOrderedAndProject top-k and a keyless stats roll-up (1-row
+    broadcast) — the raw table is scanned once per column and nothing
+    key-domain-sized crosses a single-partition exchange. Ties rank
+    deterministically on (count desc, key asc).
+    """
+    out = None
+    for c in key_cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("k"))
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("key_count"))
+        ).persist()
+        stats = counts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys_total"),
+            F.sum("key_count").cast("bigint").alias("n_rows_total"),
+            F.max("key_count").cast("bigint").alias("max_count"),
+        )
+        top = (
+            counts.orderBy(F.desc("key_count"), F.asc("k"))
+            .limit(int(top_k))
+            .select(
+                F.lit(c).alias("key_column"),
+                F.col("k").alias("key_value"),
+                "key_count",
+            )
+        )
+        rows = top.crossJoin(F.broadcast(stats)).select(
+            "key_column",
+            "key_value",
+            "key_count",
+            "n_rows_total",
+            "n_keys_total",
+            F.expr("(max_count * n_keys_total * 1000000) div n_rows_total").alias(
+                "skew_factor_micros"
+            ),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

@@ -1267,3 +1267,48 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("p_size") == F.col("grp_max")) & (F.col("p_size") > F.col("prev_max")))
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "skew_key_diagnostics",
+    """
+    WITH cols(col_name) AS (VALUES ('l_partkey'), ('l_suppkey')),
+    counts AS (
+      SELECT 'l_partkey' AS key_column, CAST(l_partkey AS VARCHAR) AS k,
+             CAST(COUNT(*) AS BIGINT) AS key_count
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 2
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 2
+    ),
+    stats AS (
+      SELECT key_column, CAST(COUNT(*) AS BIGINT) AS n_keys_total,
+             CAST(SUM(key_count) AS BIGINT) AS n_rows_total,
+             CAST(MAX(key_count) AS BIGINT) AS max_count
+      FROM counts GROUP BY 1
+    ),
+    ranked AS (
+      SELECT key_column, k AS key_value, key_count,
+             row_number() OVER (PARTITION BY key_column
+                                ORDER BY key_count DESC, k) AS rn
+      FROM counts
+    )
+    SELECT r.key_column, r.key_value, r.key_count,
+           s.n_rows_total, s.n_keys_total,
+           (s.max_count * s.n_keys_total * 1000000) // s.n_rows_total
+             AS skew_factor_micros
+    FROM ranked r JOIN stats s USING (key_column)
+    WHERE r.rn <= 10
+    """,
+)
+def skew_key_diagnostics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over lineitem's join keys: top-10 hottest keys
+    per column + skew factor (max_count·n_keys/n_rows, micros) — the
+    pre-join diagnostic that decides plain shuffle vs AQE skew-split vs
+    explicit salting (j6). One key-domain count + TakeOrderedAndProject per
+    column; nothing key-domain-sized crosses a single-partition exchange.
+    See operators/profiling.py::skew_key_diagnostics."""
+    from ..operators.profiling import skew_key_diagnostics
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return skew_key_diagnostics(li, ["l_partkey", "l_suppkey"])

@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "referential_integrity_audit",
     "decontaminate_embedding_cosine",
     "dedup_containment_pairs",
+    "skew_key_diagnostics",
 ]
 
 
