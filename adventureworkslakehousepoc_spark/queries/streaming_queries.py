@@ -223,6 +223,62 @@ def st_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_incremental_gold_merge",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def st_incremental_gold_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: events arrive in THREE
+    disjoint micro-batches (event_id % 3 slices staged as separate files,
+    maxFilesPerTrigger=1) and each batch folds its PARTIAL per-user
+    counts/cent-sums into the gold aggregate table — history is never
+    recomputed. Partial-merge associativity makes the final state equal the
+    full batch aggregate, which is what the oracle checks; the unit test
+    additionally asserts ≥2 micro-batches actually applied. See
+    streaming/sinks.py::foreach_batch_merge_aggregates."""
+    import tempfile
+
+    from ..catalog import load_tables
+    from ..streaming.runner import stage_stream_dir, stream_tmp_root
+    from ..streaming.sinks import foreach_batch_merge_aggregates
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    slice_files = []
+    root = stream_tmp_root()
+    os.makedirs(root, exist_ok=True)
+    for i in range(3):
+        d = tempfile.mkdtemp(prefix=f"ivm-slice{i}-", dir=root)
+        ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+        slice_files.append(os.path.join(d, part))
+    src = stage_stream_dir(*slice_files)
+    schema = spark.read.parquet(slice_files[0]).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    def partials(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+
+    state = tempfile.mkdtemp(prefix="ivm-state-", dir=root)
+    os.rmdir(state)
+    ckpt = tempfile.mkdtemp(prefix="ivm-ckpt-", dir=root)
+    foreach_batch_merge_aggregates(stream, state, ["user_id"], partials, ckpt)
+    return spark.read.parquet(state)
+
+
+@query(
     "cdf_snapshot_diff",
     """
     SELECT c_custkey AS customer_id, 'updated' AS change_type,

@@ -32,6 +32,7 @@ from .cdf import latest_snapshot
 
 __all__ = [
     "foreach_batch_upsert",
+    "foreach_batch_merge_aggregates",
     "running_counts_with_state",
     "tws_available",
     "running_max_with_tws",
@@ -179,3 +180,57 @@ def running_max_with_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def foreach_batch_merge_aggregates(
+    changes: DataFrame,
+    state_dir: str,
+    key_cols: Sequence[str],
+    partial_fn,
+    checkpoint_dir: str,
+) -> int:
+    """Streaming incremental view maintenance: run a stream to completion,
+    folding each micro-batch's PARTIAL aggregates (produced by
+    ``partial_fn(batch_df)`` — keyed rows whose non-key columns are
+    mergeable bigint partials: counts, integer-unit sums) into the parquet
+    aggregate table at ``state_dir`` by key-summing. The streaming
+    counterpart of the batch ``incremental_agg_merge`` query: the gold
+    aggregate never recomputes history — each arrival pays only its own
+    partial pass plus a state-table-sized merge.
+
+    Exactness: merging integer partials is associative and order-free, so
+    the final state equals the full batch recompute regardless of how the
+    arrivals were micro-batched — which is exactly what the DuckDB oracle
+    checks. Returns the number of micro-batches applied so callers/tests
+    can assert the incremental path (not one collapsed batch) actually ran.
+    """
+    spark = changes.sparkSession
+    n_batches = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = partial_fn(batch_df)
+        val_cols = [c for c in part.columns if c not in key_cols]
+        if os.path.isdir(state_dir) and os.listdir(state_dir):
+            merged = (
+                spark.read.parquet(state_dir)
+                .unionByName(part)
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).cast("bigint").alias(c) for c in val_cols])
+            )
+        else:
+            merged = part
+        tmp = state_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        n_batches["n"] += 1
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("foreachBatch aggregate merge did not terminate")
+    return n_batches["n"]

@@ -134,6 +134,7 @@ EXTRA_QUERIES = [
     "decontaminate_embedding_cosine",
     "dedup_containment_pairs",
     "skew_key_diagnostics",
+    "st_incremental_gold_merge",
 ]
 
 

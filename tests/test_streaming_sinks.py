@@ -244,3 +244,50 @@ def test_snapshot_diff_classifies_all_three_change_types(spark):
     assert got == {1: ("updated", 1), 2: ("removed", None), 4: ("added", None)}
     # identical versions diff to nothing
     assert snapshot_diff(cf.read_batch(spark), ["k"], 2, 2).count() == 0
+
+
+def test_incremental_aggregate_merge_applies_multiple_batches(spark, sf_dir):
+    """The streaming IVM sink must actually run incrementally (one
+    micro-batch per staged file) and its merged state must equal the full
+    batch aggregate."""
+    import tempfile
+
+    from adventureworkslakehousepoc_spark.streaming.runner import stage_stream_dir
+    from adventureworkslakehousepoc_spark.streaming.sinks import (
+        foreach_batch_merge_aggregates,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    root = _stream_root()
+    files = []
+    for i in range(3):
+        d = tempfile.mkdtemp(prefix=f"ivmtest-slice{i}-", dir=root)
+        ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        files.append(
+            os.path.join(d, sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0])
+        )
+    src = stage_stream_dir(*files)
+    schema = spark.read.parquet(files[0]).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+    def partials(b):
+        return b.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("value_cents"),
+        )
+
+    state = tempfile.mkdtemp(prefix="ivmtest-state-", dir=root)
+    os.rmdir(state)
+    ckpt = tempfile.mkdtemp(prefix="ivmtest-ckpt-", dir=root)
+    n = foreach_batch_merge_aggregates(stream, state, ["user_id"], partials, ckpt)
+    assert n >= 2, f"expected multiple micro-batches, got {n}"
+    got = {r["user_id"]: (r["n_events"], r["value_cents"])
+           for r in spark.read.parquet(state).collect()}
+    full = {r["user_id"]: (r["n"], r["cents"])
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"),
+            ).collect()}
+    assert got == full
