@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles"]
+__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles", "winsorize_stats"]
 
 
 def grouped_avg(
@@ -131,3 +131,56 @@ def distributed_exact_quantiles(
             F.col("v").alias("value"),
         )
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_frac: tuple[int, int] = (5, 100),
+    hi_frac: tuple[int, int] = (95, 100),
+) -> DataFrame:
+    """Winsorized per-group statistics — the outlier-robust cleaning pass a
+    feature pipeline runs before averaging heavy-tailed metrics: clip each
+    group's values at its own EXACT p05/p95 (the ⌈p·n⌉ order statistic from
+    ``distributed_exact_quantiles`` — no sketch error, no single-buffer
+    percentile), and report how much was clipped plus the winsorized sum.
+
+    Returns ``(group, n_rows, lo_cents, hi_cents, n_clipped_low,
+    n_clipped_high, winsorized_sum_cents)`` with all money quantized
+    per-row to integer cents AFTER clipping, so the sum is exact and
+    order-free. Cost: the quantile pass (bucketed rank selection) + one
+    group-keyed join-back + one partial-aggregated groupBy — the bounds
+    table is group-domain-sized and broadcast.
+    """
+    q = distributed_exact_quantiles(
+        df, group_col, value_col, fractions=(lo_frac, hi_frac)
+    )
+    lo = q.filter(F.col("pct_num") == lo_frac[0]).select(
+        F.col(group_col).alias("g"), F.col("value").alias("lo_v")
+    )
+    hi = q.filter(F.col("pct_num") == hi_frac[0]).select(
+        F.col(group_col).alias("g"), F.col("value").alias("hi_v")
+    )
+    bounds = lo.join(hi, "g")
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    clipped = base.join(F.broadcast(bounds), "g").select(
+        "g",
+        "lo_v",
+        "hi_v",
+        (F.col("v") < F.col("lo_v")).cast("int").alias("clip_lo"),
+        (F.col("v") > F.col("hi_v")).cast("int").alias("clip_hi"),
+        F.round(F.greatest("lo_v", F.least("hi_v", F.col("v"))) * 100)
+        .cast("bigint")
+        .alias("w_cents"),
+    )
+    return clipped.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.round(F.col("lo_v") * 100).cast("bigint")).alias("lo_cents"),
+        F.max(F.round(F.col("hi_v") * 100).cast("bigint")).alias("hi_cents"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_low"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
+        F.sum("w_cents").cast("bigint").alias("winsorized_sum_cents"),
+    ).withColumnRenamed("g", group_col)

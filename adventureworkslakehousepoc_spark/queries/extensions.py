@@ -3281,3 +3281,46 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("containment_b_micros") >= 700000)
         )
     )
+
+
+@query(
+    "winsorize_price_stats",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY 1),
+    b AS (
+      SELECT r.g,
+             MAX(CASE WHEN rn = (n.n * 5 + 99) // 100 THEN v END) AS lo_v,
+             MAX(CASE WHEN rn = (n.n * 95 + 99) // 100 THEN v END) AS hi_v
+      FROM r JOIN n USING (g) GROUP BY 1
+    )
+    SELECT r.g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(MAX(b.lo_v) * 100) AS BIGINT) AS lo_cents,
+           CAST(ROUND(MAX(b.hi_v) * 100) AS BIGINT) AS hi_cents,
+           CAST(COUNT(CASE WHEN r.v < b.lo_v THEN 1 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(COUNT(CASE WHEN r.v > b.hi_v THEN 1 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(CAST(ROUND(GREATEST(b.lo_v, LEAST(b.hi_v, r.v)) * 100)
+                         AS BIGINT)) AS BIGINT) AS winsorized_sum_cents
+    FROM r JOIN b USING (g)
+    GROUP BY 1
+    """,
+)
+def winsorize_price_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics per return flag: clip at the group's
+    exact ⌈p·n⌉ p05/p95 order statistics (computed by the scale-safe
+    bucketed rank selection, not a single-buffer percentile), count what
+    was clipped, and report the winsorized sum in exact integer cents. The
+    oracle recomputes the same order statistics with a naive global
+    per-group sort. See operators/aggregates.py::winsorize_stats."""
+    from ..operators.aggregates import winsorize_stats
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return winsorize_stats(li, "l_returnflag", "l_extendedprice")

@@ -135,6 +135,7 @@ EXTRA_QUERIES = [
     "dedup_containment_pairs",
     "skew_key_diagnostics",
     "st_incremental_gold_merge",
+    "winsorize_price_stats",
 ]
 
 
