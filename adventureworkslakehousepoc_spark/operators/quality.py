@@ -266,3 +266,42 @@ def referential_integrity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def impute_group_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Group-mean imputation — the feature-prep fill for missing numerics:
+    NULL values take their group's mean over the observed rows, computed in
+    exact integer micro-units (per-row quantize → bigint sum → integer
+    division), so the imputed constant is bit-identical across engines and
+    partitionings (a double mean would drift with aggregation order).
+
+    Returns ``(id, group, was_missing, value_micros)``. Cost: one
+    partial-aggregated pass to the group-domain mean table (broadcast back)
+    + one scan — missingness never shuffles row data."""
+    micros = F.floor(F.col(value_col) * 1000000 + F.lit(0.5)).cast("bigint")
+    means = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), micros.alias("m"))
+        .groupBy("g")
+        .agg(F.expr("sum(m) div count(1)").cast("bigint").alias("mean_micros"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(group_col).alias("g"),
+            F.col(value_col).isNull().alias("was_missing"),
+            micros.alias("m"),
+        )
+        .join(F.broadcast(means), "g")
+        .select(
+            id_col,
+            F.col("g").alias(group_col),
+            "was_missing",
+            F.coalesce("m", "mean_micros").cast("bigint").alias("value_micros"),
+        )
+    )

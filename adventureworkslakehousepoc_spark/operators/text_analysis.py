@@ -744,3 +744,60 @@ def vocab_coverage(
         "total_tokens",
         F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_micros"),
     )
+
+
+def nucleus_continuations(
+    docs: DataFrame,
+    text_col: str = "text",
+    prefix_n: int = 2,
+    p_num: int = 9,
+    p_den: int = 10,
+    min_total: int = 5,
+) -> DataFrame:
+    """Top-p (nucleus) continuation sets: for each ``prefix_n``-word
+    context, the SMALLEST rank-prefix of continuations whose cumulative
+    count reaches ``p_num/p_den`` of the context total — the n-gram
+    analog of nucleus sampling's candidate set, and the shape of
+    "how peaked is this context" memorization probes. Membership test is
+    pure integers (``p_den·cum_before < p_num·total``: keep while the
+    EXCLUSIVE prefix is still below the mass threshold), rank ties break
+    (count desc, word asc) in both engines.
+
+    The per-context window runs on the vocabulary-scale (prefix, next)
+    count table — bounded by continuations-per-context, never corpus rows;
+    contexts with fewer than ``min_total`` observations are dropped as
+    noise."""
+    n = prefix_n + 1
+    idx_prefix = ", ".join(f"element_at(words, i + {k})" for k in range(prefix_n))
+    pair_expr = (
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(1, size(words) - {n - 1}), "
+        f"i -> struct(concat_ws(' ', {idx_prefix}) AS prefix, "
+        f"element_at(words, i + {prefix_n}) AS next_word)) "
+        "ELSE array() END"
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        docs.select(F.split(F.col(text_col), " ").alias("words"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.prefix", "p.next_word")
+    )
+    counts = pairs.groupBy("prefix", "next_word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("next_word"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.select(
+        "prefix",
+        "next_word",
+        "n",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("n").over(wcum).cast("bigint").alias("cum"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    return ranked.where(
+        (F.col("total") >= min_total)
+        & (F.lit(p_den) * (F.col("cum") - F.col("n")) < F.lit(p_num) * F.col("total"))
+    ).select("prefix", "next_word", "n", "rank", "total")

@@ -1312,3 +1312,105 @@ def skew_key_diagnostics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return skew_key_diagnostics(li, ["l_partkey", "l_suppkey"])
+
+
+@query(
+    "impute_group_mean_values",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               // CAST(COUNT(v) AS BIGINT) AS mean_micros
+      FROM e WHERE v IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.v IS NULL AS was_missing,
+           COALESCE(CAST(FLOOR(e.v * 1000000 + 0.5) AS BIGINT), m.mean_micros)
+             AS value_micros
+    FROM e JOIN m USING (event_type)
+    """,
+)
+def impute_group_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation over a deterministically-holed value column
+    (event_id % 11 nulls): NULLs take their event type's exact
+    integer-micro mean — per-row quantize, bigint sum, integer division, so
+    the imputed constant never drifts with aggregation order. See
+    operators/quality.py::impute_group_mean."""
+    from ..operators.quality import impute_group_mean
+
+    ev = _t(spark, sf_dir, "events")["events"].withColumn(
+        "value",
+        F.when((F.col("event_id") % 11) == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    return impute_group_mean(ev, "event_type", "value", "event_id")
+
+
+@query(
+    "attribution_linear_credit",
+    """
+    WITH purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    touched AS (
+      SELECT p.purchase_id, c.click_id, c.user_id
+      FROM purch p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+       AND c.c_ts <= p.p_ts
+    ),
+    split AS (
+      SELECT purchase_id, click_id, user_id,
+             1000000 // CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS credit_micros
+      FROM touched
+    )
+    SELECT click_id, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(credit_micros) AS BIGINT) AS credit_micros_total
+    FROM split GROUP BY 1, 2
+    """,
+)
+def attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit (1e6 micros, floor division — the remainder policy is explicit)
+    equally across the user's clicks in the prior 30 minutes; per-click
+    totals aggregate the credit. The touch join is the bounded interval
+    join (state limited to the 30-minute band at scale); the per-purchase
+    window runs on touch rows, not the corpus."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touched = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    w = Window.partitionBy("purchase_id")
+    split = touched.select(
+        "click_id",
+        "user_id",
+        F.expr("1000000").cast("bigint").alias("unit"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_touch"),
+    ).select(
+        "click_id", "user_id", F.expr("unit div n_touch").alias("credit_micros")
+    )
+    return split.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+        F.sum("credit_micros").cast("bigint").alias("credit_micros_total"),
+    )

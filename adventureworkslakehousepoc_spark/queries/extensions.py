@@ -3324,3 +3324,40 @@ def winsorize_price_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     return winsorize_stats(li, "l_returnflag", "l_extendedprice")
+
+
+@query(
+    "ngram_topp_nucleus",
+    """
+    WITH pairs AS (
+      SELECT array_to_string(words[g.i:g.i+1], ' ') AS prefix,
+             words[g.i + 2] AS next_word
+      FROM (SELECT string_split(text, ' ') AS words FROM documents) d,
+           unnest(generate_series(1, len(d.words) - 2)) AS g(i)
+    ),
+    counts AS (
+      SELECT prefix, next_word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT prefix, next_word, n,
+             CAST(row_number() OVER w AS BIGINT) AS rank,
+             CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY prefix) AS BIGINT) AS total
+      FROM counts
+      WINDOW w AS (PARTITION BY prefix ORDER BY n DESC, next_word)
+    )
+    SELECT prefix, next_word, n, rank, total
+    FROM ranked
+    WHERE total >= 5 AND 10 * (cum - n) < 9 * total
+    """,
+)
+def ngram_topp_nucleus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) continuation sets per bigram context: the smallest
+    rank-prefix covering 90% of the context's continuation mass — pure
+    integer membership (10·cum_before < 9·total), vocabulary-scale windows
+    only. See operators/text_analysis.py::nucleus_continuations."""
+    from ..operators.text_analysis import nucleus_continuations
+
+    return nucleus_continuations(_docs(spark, sf_dir))

@@ -136,6 +136,9 @@ EXTRA_QUERIES = [
     "skew_key_diagnostics",
     "st_incremental_gold_merge",
     "winsorize_price_stats",
+    "impute_group_mean_values",
+    "attribution_linear_credit",
+    "ngram_topp_nucleus",
 ]
 
 
