@@ -134,3 +134,133 @@ def test_pareto_frontier_keeps_equal_vectors(spark):
 
         oracle = sorted(x[0] for x in con.execute(AO["pareto_frontier_parts"]).fetchall())
         assert [int(x) for x in oracle] == got
+
+
+# --- property-based invariants for the round-5 late operators -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PSET = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_PSET)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 500)),
+        min_size=0,
+        max_size=40,
+    ),
+    radius=st.integers(1, 200),
+)
+def test_grid_join_equals_naive_property(spark, pts, radius):
+    """For ANY point set and radius, the grid join equals the naive O(n²)
+    pair set — the zero-false-negative guarantee as a law, not an example."""
+    from adventureworkslakehousepoc_spark.operators.spatial import grid_neighbor_pairs
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    naive = {
+        (a[0], b[0]): (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= radius * radius
+    }
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "point_id bigint, x bigint, y bigint")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in grid_neighbor_pairs(df, radius=radius).collect()
+    }
+    assert got == naive
+
+
+@settings(**_PSET)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 50),         # time (seconds)
+            st.booleans(),              # side: True = left
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    tol=st.integers(0, 30),
+)
+def test_asof_forward_equals_naive_property(spark, events, tol):
+    """Forward-with-tolerance as-of equals the naive per-left-row scan:
+    earliest right with r.t >= l.t, ties to smallest rid, nulled beyond
+    tolerance."""
+    from adventureworkslakehousepoc_spark.operators.asof import asof_join_forward
+
+    lefts = [(k, i, t) for i, (k, t, is_l) in enumerate(events) if is_l]
+    rights = [(k, i, t) for i, (k, t, is_l) in enumerate(events) if not is_l]
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(lefts, "k bigint, lid bigint, lt bigint").withColumn(
+        "lt", F.timestamp_seconds("lt")
+    )
+    rdf = spark.createDataFrame(rights, "k bigint, rid bigint, rt bigint").withColumn(
+        "rt", F.timestamp_seconds("rt")
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join_forward(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            left_cols=["lid"], right_cols=["rid"], tolerance_seconds=tol,
+        ).collect()
+    }
+    for k, lid, lt in lefts:
+        cands = sorted(
+            [(rt, rid) for (rk, rid, rt) in rights if rk == k and rt >= lt]
+        )
+        expect = None
+        if cands and cands[0][0] - lt <= tol:
+            expect = cands[0][1]
+        assert got[lid] == expect, (lid, got[lid], expect)
+
+
+@settings(**_PSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from("abcde")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_association_rules_conservation_property(spark, rows):
+    """Laws that hold for ANY basket relation: symmetric counts
+    (n_ab ≤ min(n_a, n_b)), support ≤ confidence, and every pair count
+    consistent with a pure-Python recount."""
+    from collections import defaultdict
+
+    from adventureworkslakehousepoc_spark.operators.basket import association_rules
+
+    df = spark.createDataFrame(rows, "basket_id bigint, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r.asDict()
+        for r in association_rules(df).collect()
+    }
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    item_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for b, items in baskets.items():
+        for i in items:
+            item_n[i] += 1
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pair_n[(s[x], s[y])] += 1
+    assert set(got) == set(pair_n)
+    for (a, b), r in got.items():
+        assert r["n_ab"] == pair_n[(a, b)]
+        assert r["n_a"] == item_n[a] and r["n_b"] == item_n[b]
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert r["support_micros"] <= r["confidence_a_to_b_micros"]
