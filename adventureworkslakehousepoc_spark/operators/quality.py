@@ -305,3 +305,64 @@ def impute_group_mean(
             F.coalesce("m", "mean_micros").cast("bigint").alias("value_micros"),
         )
     )
+
+
+def reconcile_tables(
+    source: DataFrame,
+    sink: DataFrame,
+    key_col: str,
+    payload_cols: "list[str]",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Source/sink reconciliation — did everything the pipeline read arrive
+    intact? Per hash bucket of the key: row counts and an order-free
+    content checksum on both sides, with a match flag. A lost batch or a
+    silently-corrupted column flips exactly the buckets that contain it,
+    so operators re-drive only those buckets instead of diffing tables
+    row-by-row.
+
+    Checksum = bigint SUM over rows of ``md5(key‖payload)``'s first 15 hex
+    digits mod 10^12 — order-free (addition commutes), cross-engine exact
+    (md5 + integer arithmetic), and bounded: 10^6 rows/bucket stay < 10^18;
+    at larger bucket populations widen to DECIMAL(38,0) or raise
+    ``n_buckets``. ``payload_cols`` must be string/integer columns — float
+    string renderings differ across engines (quantize money to cents
+    first). Cost: one partial-aggregated pass per side keyed by the
+    bucket — no join of the raw tables anywhere."""
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        parts = [F.col(key_col).cast("string")] + [
+            F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in payload_cols
+        ]
+        row_hash = F.conv(
+            F.substring(F.md5(F.concat_ws("\x01", *parts)), 1, 15), 16, 10
+        ).cast("bigint")
+        return (
+            df.select(
+                (F.col(key_col).cast("bigint") % n_buckets).cast("int").alias("bucket"),
+                (row_hash % 1_000_000_000_000).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{prefix}"),
+                F.sum("h").cast("bigint").alias(f"checksum_{prefix}"),
+            )
+        )
+
+    s = side(source, "source")
+    k = side(sink, "sink")
+    return (
+        s.join(k, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_source", F.lit(0)).cast("bigint").alias("n_source"),
+            F.coalesce("n_sink", F.lit(0)).cast("bigint").alias("n_sink"),
+            F.coalesce("checksum_source", F.lit(0)).cast("bigint").alias("checksum_source"),
+            F.coalesce("checksum_sink", F.lit(0)).cast("bigint").alias("checksum_sink"),
+            (
+                F.coalesce("n_source", F.lit(0)).eqNullSafe(F.coalesce("n_sink", F.lit(0)))
+                & F.coalesce("checksum_source", F.lit(0)).eqNullSafe(
+                    F.coalesce("checksum_sink", F.lit(0))
+                )
+            ).alias("is_match"),
+        )
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_decay_scores", "daily_anomaly_flags"]
+__all__ = ["time_decay_scores", "daily_anomaly_flags", "seasonal_naive_eval", "changepoint_cusum_daily"]
 
 
 def time_decay_scores(
@@ -138,4 +138,117 @@ def daily_anomaly_flags(
         (
             (F.col("n_hist") >= min_history) & (dev * dev > F.lit(z2) * var_n2)
         ).alias("is_anomaly"),
+    )
+
+
+def seasonal_naive_eval(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season_days: int = 7,
+) -> DataFrame:
+    """Forecast-baseline evaluation: score the seasonal-naive predictor
+    (tomorrow = same weekday last week) against realized daily totals — the
+    sanity floor every forecasting pipeline reports before anything
+    fancier. Per series: evaluated-day count, MAE in millis and WAPE in
+    micros (Σ|err| / Σ|actual| — the weighted form, immune to zero-days
+    that explode plain MAPE), all in exact integer arithmetic.
+
+    The forecast lookup joins the daily-total table to itself on
+    (series, day_idx − season_days) — gap-safe (a missing prior week drops
+    the day from evaluation, unlike a lag() over rows) and co-keyed, so at
+    scale both sides share one series-keyed partitioning of an
+    aggregate-scale table; raw events are collapsed by the same
+    partial-aggregated pass as daily_anomaly_flags."""
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(value_col) * 1000 + F.lit(0.5)).cast("bigint").alias("v_milli"),
+        )
+        .groupBy("series", "day")
+        .agg(F.sum("v_milli").cast("bigint").alias("total_millis"))
+        .withColumn("day_idx", F.datediff("day", F.lit("1970-01-01")))
+    )
+    actual = daily.select("series", "day_idx", F.col("total_millis").alias("actual"))
+    fc = daily.select(
+        "series",
+        (F.col("day_idx") + season_days).alias("day_idx"),
+        F.col("total_millis").alias("forecast"),
+    )
+    scored = actual.join(fc, ["series", "day_idx"]).select(
+        "series",
+        F.expr("abs(actual - forecast)").cast("bigint").alias("abs_err"),
+        F.expr("abs(actual)").cast("bigint").alias("abs_actual"),
+    )
+    return scored.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_evaluated"),
+        F.expr("sum(abs_err) div count(1)").cast("bigint").alias("mae_millis"),
+        F.expr("(sum(abs_err) * 1000000) div sum(abs_actual)")
+        .cast("bigint")
+        .alias("wape_micros"),
+    )
+
+
+def changepoint_cusum_daily(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Offline changepoint location by CUSUM: for each series, the day
+    where the cumulative deviation from the series mean peaks — where the
+    level shift most plausibly happened (the retrospective complement of
+    the online z-score monitor). To stay in exact integers the statistic is
+    scaled by n: ``C_t = n·prefix_t − t·S`` (≡ n²·(classic CUSUM)), which
+    preserves the argmax; ties resolve to the earliest day.
+
+    Shapes: one partial-aggregated pass to daily totals, one ordered
+    prefix-sum window per series on the aggregate-scale table, one grouped
+    argmax via min-struct."""
+    daily = (
+        events.select(
+            F.col(series_col).alias("series"),
+            F.to_date(ts_col).alias("day"),
+            F.floor(F.col(value_col) * 1000 + F.lit(0.5)).cast("bigint").alias("v_milli"),
+        )
+        .groupBy("series", "day")
+        .agg(F.sum("v_milli").cast("bigint").alias("total_millis"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series").orderBy("day")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "series",
+        "day",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("total_millis").over(wall).cast("bigint").alias("s"),
+        F.sum("total_millis").over(wcum).cast("bigint").alias("prefix"),
+        F.row_number().over(w).cast("bigint").alias("t"),
+    ).select(
+        "series",
+        "day",
+        "n",
+        F.expr("n * prefix - t * s").cast("bigint").alias("c_scaled"),
+    )
+    best = scored.groupBy("series").agg(
+        F.max(
+            F.struct(
+                F.abs("c_scaled").alias("mag"),
+                F.expr("-datediff(day, date'1970-01-01')").alias("neg_day"),
+                F.col("day").alias("day"),
+                F.col("c_scaled").alias("c"),
+                F.col("n").alias("n"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "series",
+        F.col("m.day").alias("changepoint_day"),
+        F.col("m.mag").cast("bigint").alias("max_abs_cusum_scaled"),
+        F.col("m.c").cast("bigint").alias("cusum_scaled_at_peak"),
+        F.col("m.n").cast("bigint").alias("n_days"),
     )

@@ -1414,3 +1414,133 @@ def attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
         F.sum("credit_micros").cast("bigint").alias("credit_micros_total"),
     )
+
+
+_DAILY_MILLIS_SQL = """
+      SELECT event_type AS series, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_millis
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "forecast_seasonal_naive_eval",
+    f"""
+    WITH daily AS ({_DAILY_MILLIS_SQL}),
+    idx AS (SELECT *, (day - DATE '1970-01-01') AS day_idx FROM daily),
+    j AS (
+      SELECT a.series,
+             abs(a.total_millis - f.total_millis) AS abs_err,
+             abs(a.total_millis) AS abs_actual
+      FROM idx a JOIN idx f
+        ON a.series = f.series AND a.day_idx = f.day_idx + 7
+    )
+    SELECT series, CAST(COUNT(*) AS BIGINT) AS n_days_evaluated,
+           CAST(SUM(abs_err) // COUNT(*) AS BIGINT) AS mae_millis,
+           CAST((SUM(abs_err) * 1000000) // SUM(abs_actual) AS BIGINT)
+             AS wape_micros
+    FROM j GROUP BY 1
+    """,
+)
+def forecast_seasonal_naive_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline scored per series (MAE millis, WAPE
+    micros, exact integers) — the floor every forecasting pipeline must
+    beat. Gap-safe self-join on (series, day−7), aggregate-scale both
+    sides. See operators/temporal.py::seasonal_naive_eval."""
+    from ..operators.temporal import seasonal_naive_eval
+
+    return seasonal_naive_eval(_t(spark, sf_dir, "events")["events"])
+
+
+@query(
+    "changepoint_cusum_daily",
+    f"""
+    WITH daily AS ({_DAILY_MILLIS_SQL}),
+    st AS (
+      SELECT series, day,
+             CAST(COUNT(*) OVER (PARTITION BY series) AS BIGINT) AS n,
+             CAST(SUM(total_millis) OVER (PARTITION BY series) AS BIGINT) AS s,
+             CAST(SUM(total_millis) OVER (PARTITION BY series ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix,
+             CAST(row_number() OVER (PARTITION BY series ORDER BY day) AS BIGINT)
+               AS t
+      FROM daily
+    ),
+    sc AS (SELECT series, day, n, n * prefix - t * s AS c FROM st),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY series
+                                   ORDER BY abs(c) DESC, day) AS rn
+      FROM sc
+    )
+    SELECT series, day AS changepoint_day,
+           CAST(abs(c) AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(c AS BIGINT) AS cusum_scaled_at_peak,
+           n AS n_days
+    FROM r WHERE rn = 1
+    """,
+)
+def changepoint_cusum_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per series: the day where cumulative deviation
+    from the series mean peaks, in n-scaled exact integers (ties →
+    earliest day, replicated by the oracle's rank order). See
+    operators/temporal.py::changepoint_cusum_daily."""
+    from ..operators.temporal import changepoint_cusum_daily
+
+    return changepoint_cusum_daily(_t(spark, sf_dir, "events")["events"])
+
+
+@query(
+    "reconcile_sink_buckets",
+    """
+    WITH src AS (
+      SELECT l_orderkey % 16 AS bucket,
+             CAST(concat('0x', substr(md5(
+               CAST(l_orderkey AS VARCHAR) || chr(1) ||
+               CAST(l_linenumber AS VARCHAR) || chr(1) ||
+               l_returnflag || chr(1) || l_linestatus), 1, 15)) AS BIGINT)
+               % 1000000000000 AS h
+      FROM lineitem
+    ),
+    snk AS (SELECT * FROM src WHERE FALSE
+      UNION ALL
+      SELECT l_orderkey % 16,
+             CAST(concat('0x', substr(md5(
+               CAST(l_orderkey AS VARCHAR) || chr(1) ||
+               CAST(l_linenumber AS VARCHAR) || chr(1) ||
+               l_returnflag || chr(1) || l_linestatus), 1, 15)) AS BIGINT)
+               % 1000000000000
+      FROM lineitem WHERE l_orderkey % 997 <> 0
+    ),
+    a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_source,
+                 CAST(SUM(h) AS BIGINT) AS checksum_source
+          FROM src GROUP BY 1),
+    b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_sink,
+                 CAST(SUM(h) AS BIGINT) AS checksum_sink
+          FROM snk GROUP BY 1)
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           COALESCE(a.n_source, 0) AS n_source,
+           COALESCE(b.n_sink, 0) AS n_sink,
+           COALESCE(a.checksum_source, 0) AS checksum_source,
+           COALESCE(b.checksum_sink, 0) AS checksum_sink,
+           COALESCE(a.n_source, 0) = COALESCE(b.n_sink, 0)
+             AND COALESCE(a.checksum_source, 0) = COALESCE(b.checksum_sink, 0)
+             AS is_match
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """,
+)
+def reconcile_sink_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink reconciliation over a simulated lossy copy (every
+    l_orderkey % 997 order dropped from the sink): per key-bucket row
+    counts + order-free md5 content checksums on both sides with match
+    flags — exactly the buckets containing lost orders flip. Payload is
+    strings/ints only (float renderings differ across engines). See
+    operators/quality.py::reconcile_tables."""
+    from ..operators.quality import reconcile_tables
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    sink = li.filter((F.col("l_orderkey") % 997) != 0)
+    return reconcile_tables(
+        li, sink, "l_orderkey", ["l_linenumber", "l_returnflag", "l_linestatus"]
+    )

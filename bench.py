@@ -139,6 +139,9 @@ EXTRA_QUERIES = [
     "impute_group_mean_values",
     "attribution_linear_credit",
     "ngram_topp_nucleus",
+    "forecast_seasonal_naive_eval",
+    "changepoint_cusum_daily",
+    "reconcile_sink_buckets",
 ]
 
 
