@@ -680,11 +680,20 @@ def prefix_filter_jaccard_pairs(
             - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
             + 1
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "n_sh")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    # AllPairs length filter: J(A,B) ≤ min/max, so J ≥ t forces
+    # t·max(|A|,|B|) ≤ min(|A|,|B|) — prune size-incompatible collisions
+    # IN the join (guaranteed no false negatives) before distinct+verify
     cands = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
