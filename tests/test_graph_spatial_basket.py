@@ -264,3 +264,68 @@ def test_association_rules_conservation_property(spark, rows):
         assert r["n_a"] == item_n[a] and r["n_b"] == item_n[b]
         assert r["n_ab"] <= min(r["n_a"], r["n_b"])
         assert r["support_micros"] <= r["confidence_a_to_b_micros"]
+
+
+@settings(**_PSET)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    corrupt=st.sets(st.integers(0, 60), max_size=5),
+)
+def test_reconcile_flags_exactly_the_corrupted_buckets(spark, rows, corrupt):
+    """For ANY table and ANY corruption set, reconciliation flags exactly
+    the buckets containing a corrupted/lost key and no others."""
+    from adventureworkslakehousepoc_spark.operators.quality import reconcile_tables
+
+    src = spark.createDataFrame(rows, "k bigint, payload bigint")
+    sink_rows = [(k, p + 1 if k in corrupt else p) for k, p in rows]
+    sink = spark.createDataFrame(sink_rows, "k bigint, payload bigint")
+    got = {r["bucket"]: r["is_match"]
+           for r in reconcile_tables(src, sink, "k", ["payload"], n_buckets=8).collect()}
+    touched = {k % 8 for k, _ in rows if k in corrupt}
+    for b, ok in got.items():
+        assert ok == (b not in touched), (b, touched)
+
+
+@settings(**_PSET)
+@given(
+    counts=st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 30)),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_nucleus_is_smallest_qualifying_prefix(spark, counts):
+    """The kept set per context is exactly the smallest (count desc, word)
+    rank-prefix whose cumulative mass reaches 90% — replayed in pure
+    Python."""
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        nucleus_continuations,
+    )
+
+    # one shared two-word context: each doc is 'x y <word>'
+    docs = []
+    i = 0
+    for w, n in counts:
+        for _ in range(n):
+            docs.append((i, f"x y {w}"))
+            i += 1
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        (r["next_word"], r["n"], r["rank"])
+        for r in nucleus_continuations(df, min_total=1).collect()
+        if r["prefix"] == "x y"
+    )
+    ordered = sorted(counts, key=lambda t: (-t[1], t[0]))
+    total = sum(n for _, n in ordered)
+    kept, cum = [], 0
+    for rank, (w, n) in enumerate(ordered, start=1):
+        if 10 * cum < 9 * total:
+            kept.append((w, n, rank))
+        cum += n
+    assert got == sorted(kept)
