@@ -1544,3 +1544,49 @@ def reconcile_sink_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile_tables(
         li, sink, "l_orderkey", ["l_linenumber", "l_returnflag", "l_linestatus"]
     )
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+            FROM t GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n, tot.n_from,
+           (t.n * 1000000) // tot.n_from AS prob_micros
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def markov_event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: per-user
+    event sequences (ordered by ts with the event_id tie-break) yield
+    (prev → next) counts and row-normalized probabilities in exact integer
+    micros. One user-keyed window over the event stream, then
+    event-type-domain aggregates — the |types|² matrix is vocabulary-scale
+    output from corpus-scale input."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        F.expr("(n * 1000000) div n_from").alias("prob_micros"),
+    )

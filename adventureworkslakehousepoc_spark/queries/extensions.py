@@ -3361,3 +3361,85 @@ def ngram_topp_nucleus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import nucleus_continuations
 
     return nucleus_continuations(_docs(spark, sf_dir))
+
+
+@query(
+    "zipf_fit_tokens",
+    """
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    topk AS (
+      SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+               AS r
+      FROM counts ORDER BY n DESC, tok LIMIT 1000
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(log10(CAST(r AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(log10(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+      FROM topk
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT np AS n_points,
+           ((np * sxy - sx * sy) * 1000) // (np * sxx - sx * sx)
+             AS zipf_slope_milli
+    FROM s
+    """,
+)
+def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-1000 token frequencies: least-squares
+    slope of log10(freq) vs log10(rank) (natural corpora sit near −1;
+    template/boilerplate-heavy or synthetic corpora drift off it — a
+    one-number corpus-health diagnostic). Exactness discipline: logs
+    milli-quantized per point (correctly-rounded log10 of integer-derived
+    doubles, the PMI precedent), every regression sum a bigint, slope via
+    integer division — no float accumulation anywhere. Rank over the ≤1000
+    top-k rows comes from a broadcast non-equi self-join, not a
+    single-partition window."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(1000)
+    a, b = topk.alias("a"), topk.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.n") > F.col("a.n"))
+            | ((F.col("b.n") == F.col("a.n")) & (F.col("b.tok") < F.col("a.tok"))),
+            "left",
+        )
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.n").alias("n"))
+        .agg((F.count(F.col("b.tok")) + 1).cast("bigint").alias("r"))
+    )
+    pts = ranked.select(
+        F.floor(F.log10(F.col("r").cast("double")) * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log10(F.col("n").cast("double")) * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        F.col("np").alias("n_points"),
+        F.expr("((np * sxy - sx * sy) * 1000) div (np * sxx - sx * sx)").alias(
+            "zipf_slope_milli"
+        ),
+    )

@@ -142,6 +142,8 @@ EXTRA_QUERIES = [
     "forecast_seasonal_naive_eval",
     "changepoint_cusum_daily",
     "reconcile_sink_buckets",
+    "markov_event_transitions",
+    "zipf_fit_tokens",
 ]
 
 
