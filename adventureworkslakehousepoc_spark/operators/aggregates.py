@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles", "winsorize_stats"]
+__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles", "winsorize_stats", "grouped_exact_ranks", "quantile_normalize"]
 
 
 def grouped_avg(
@@ -184,3 +184,117 @@ def winsorize_stats(
         F.sum("clip_hi").cast("bigint").alias("n_clipped_high"),
         F.sum("w_cents").cast("bigint").alias("winsorized_sum_cents"),
     ).withColumnRenamed("g", group_col)
+
+
+def grouped_exact_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-group TOTAL rank (1..n) for every row, ordered by
+    (value, id) — the row-level companion of ``distributed_exact_quantiles``
+    built from the same bucketed machinery: equal-width value buckets from
+    a broadcast min/max, per-(group, bucket) counts, broadcast exclusive
+    offsets, and a row_number only within each (group, bucket). No window
+    ever holds a whole group, so a 5-source corpus doesn't collapse onto 5
+    tasks. Returns ``(group, id, value, rank, n)``."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucketed = base.join(F.broadcast(stats), "g").select(
+        "g",
+        "rid",
+        "v",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_buckets),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("b"),
+    )
+    sizes = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, bb = sizes.alias("a"), sizes.alias("b2")
+    offsets = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("a.g") == F.col("b2.g")) & (F.col("b2.b") < F.col("a.b")),
+            "left",
+        )
+        .groupBy(F.col("a.g").alias("g"), F.col("a.b").alias("b"))
+        .agg(F.coalesce(F.sum("b2.c"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    totals = sizes.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    wb = Window.partitionBy("g", "b").orderBy("v", "rid")
+    return (
+        bucketed.withColumn("rib", F.row_number().over(wb).cast("bigint"))
+        .join(F.broadcast(offsets), ["g", "b"])
+        .join(F.broadcast(totals), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("rid").alias(id_col),
+            F.col("v").alias(value_col),
+            (F.col("off") + F.col("rib")).cast("bigint").alias("rank"),
+            "n",
+        )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization — map every row's value onto the
+    GLOBAL distribution at the same within-group quantile (the
+    batch-effect/source-drift corrector: after it, every group has an
+    identical value distribution). Row at within-group rank r of n lands on
+    the global order statistic at rank ``⌈r·N/n⌉`` — exact integer
+    arithmetic end to end (at 10^12-row scale the r·N product needs
+    DECIMAL(38,0); the expression shape is unchanged).
+
+    Both rank passes use ``grouped_exact_ranks`` (bucketed rank selection,
+    no whole-group windows); the final lookup is an equi-join on the global
+    rank — co-partitioned bigint keys, corpus-scale but shuffle-friendly.
+    Returns ``(id, group, value, group_rank, n_group, target_rank,
+    normalized_value)``."""
+    gr = grouped_exact_ranks(df, group_col, value_col, id_col)
+    glob = grouped_exact_ranks(
+        df.select(F.lit(0).alias("_all"), F.col(id_col), F.col(value_col)),
+        "_all",
+        value_col,
+        id_col,
+    ).select(
+        F.col("rank").alias("target_rank"),
+        F.col(value_col).alias("normalized_value"),
+        F.col("n").alias("n_total"),
+    )
+    n_total = glob.agg(F.max("n_total").alias("n_total"))
+    mapped = gr.crossJoin(F.broadcast(n_total)).select(
+        id_col,
+        group_col,
+        value_col,
+        F.col("rank").alias("group_rank"),
+        F.col("n").alias("n_group"),
+        F.expr("(rank * n_total + n - 1) div n").cast("bigint").alias("target_rank"),
+    )
+    return mapped.join(glob.drop("n_total"), "target_rank").select(
+        id_col,
+        group_col,
+        value_col,
+        "group_rank",
+        "n_group",
+        "target_rank",
+        "normalized_value",
+    )

@@ -3443,3 +3443,46 @@ def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope_milli"
         ),
     )
+
+
+@query(
+    "quantile_normalize_doclen",
+    """
+    WITH gr AS (
+      SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS group_rank,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+      FROM documents
+    ),
+    gl AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS target_rank,
+             CAST(n_chars AS DOUBLE) AS normalized_value
+      FROM documents
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    mapped AS (
+      SELECT gr.doc_id, gr.source, gr.n_chars, gr.group_rank, gr.n_group,
+             (gr.group_rank * nt.n_total + gr.n_group - 1) // gr.n_group
+               AS target_rank
+      FROM gr, nt
+    )
+    SELECT m.doc_id, m.source, m.n_chars, m.group_rank, m.n_group,
+           m.target_rank, g.normalized_value
+    FROM mapped m JOIN gl g USING (target_rank)
+    """,
+)
+def quantile_normalize_doclen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths: every doc's
+    n_chars maps onto the GLOBAL length distribution at its within-source
+    quantile (rank ⌈r·N/n⌉) — after it, every source has an identical
+    length distribution (the batch-effect corrector). Engine ranks come
+    from bucketed rank selection (no whole-group windows — a 5-source
+    corpus never collapses onto 5 tasks); the oracle is the naive
+    two-window + join form. See operators/aggregates.py::quantile_normalize."""
+    from ..operators.aggregates import quantile_normalize
+
+    docs = _docs(spark, sf_dir)
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")

@@ -144,6 +144,7 @@ EXTRA_QUERIES = [
     "reconcile_sink_buckets",
     "markov_event_transitions",
     "zipf_fit_tokens",
+    "quantile_normalize_doclen",
 ]
 
 
