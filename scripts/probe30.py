@@ -30,6 +30,18 @@ NAMES = [
     "exact_quantiles_distributed",
     "psi_value_drift",
     "dedup_prefix_filter_jaccard",
+    # round-5 late additions
+    "market_basket_lift",
+    "graph_triangle_counts",
+    "spatial_grid_neighbors",
+    "incremental_minhash_index",
+    "dedup_containment_pairs",
+    "decontaminate_embedding_cosine",
+    "winsorize_price_stats",
+    "quantile_normalize_doclen",
+    "reconcile_sink_buckets",
+    "markov_event_transitions",
+    "zipf_fit_tokens",
 ]
 
 
