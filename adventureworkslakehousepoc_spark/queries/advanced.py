@@ -626,3 +626,66 @@ def referential_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
         ]
     )
+
+
+@query(
+    "session_path_topk",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    p AS (
+      SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    ),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1)
+    SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_path_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common event-type sequences across
+    gap-sessionized user journeys (the 'what do sessions look like'
+    product-analytics staple). Session boundaries use EXACT microsecond
+    gaps (unix_micros subtraction — a float epoch-seconds diff can flip
+    the 30-minute boundary, the w4 lesson); the per-session path assembles
+    with array_sort over (ts, event_id, type) structs, partition-order
+    independent; the path table is pattern-domain-sized and the top-k is a
+    TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "ns", F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), 1).otherwise(0)
+    )
+    with_idx = flagged.withColumn(
+        "session_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = (
+        with_idx.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(">", F.expr("transform(seq, x -> x.event_type)")).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     "markov_event_transitions",
     "zipf_fit_tokens",
     "quantile_normalize_doclen",
+    "session_path_topk",
 ]
 
 
