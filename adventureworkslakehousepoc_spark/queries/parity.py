@@ -1179,3 +1179,75 @@ def s6_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     valid, _ = split_valid_corrupt(read_csv_resilient(spark, path, schema))
     return valid.select("station_id", "date_str", "element", "value")
+
+
+# ---------------------------------------------------------------------------
+# S10: JSON-lines scan with explicit (nested) schema
+# ---------------------------------------------------------------------------
+
+_JSONL_ROWS = [
+    '{"order_id": 1, "customer": {"name": "acme", "tier": 2}, "tags": ["rush", "gift"], "amount_cents": 129900}',
+    '{"order_id": 2, "customer": {"name": "globex", "tier": 1}, "tags": ["rush"], "amount_cents": 4999}',
+    '{"order_id": 3, "customer": {"name": "initech", "tier": 3}, "tags": [], "amount_cents": 78600}',
+    '{"order_id": 4, "customer": {"name": "umbrella", "tier": 2}, "tags": ["bulk", "rush", "b2b"], "amount_cents": 1250000}',
+    '{"order_id": 5, "customer": {"name": "hooli", "tier": 1}, "amount_cents": 300}',
+]
+
+
+def ensure_jsonl_fixture() -> str:
+    os.makedirs(_FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(_FIXTURE_DIR, "orders_feed.jsonl")
+    content = "\n".join(_JSONL_ROWS) + "\n"
+    if not os.path.exists(path) or open(path).read() != content:
+        with open(path, "w") as fh:
+            fh.write(content)
+    return path
+
+
+@query(
+    "s10_jsonl_explicit_schema",
+    """
+    SELECT * FROM (VALUES
+      (1, 'acme', 2, 2, 'rush', 129900),
+      (2, 'globex', 1, 1, 'rush', 4999),
+      (3, 'initech', 3, 0, CAST(NULL AS VARCHAR), 78600),
+      (4, 'umbrella', 2, 3, 'bulk', 1250000),
+      (5, 'hooli', 1, 0, CAST(NULL AS VARCHAR), 300)
+    ) t(order_id, customer_name, tier, n_tags, first_tag, amount_cents)
+    """,
+)
+def s10_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSON-lines source with an explicit NESTED schema (no inference
+    pass), nested-struct and array access projected as ordinary columns —
+    a missing tags field reads as NULL array (size → 0 via coalesce), a
+    missing element as NULL via ANSI-safe try_element_at. The oracle restates the expected parsed
+    relation in closed form."""
+    import pyspark.sql.types as T
+
+    from ..sources.files import read_jsonl_with_schema
+
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.IntegerType()),
+            T.StructField(
+                "customer",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("tier", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("amount_cents", T.LongType()),
+        ]
+    )
+    raw = read_jsonl_with_schema(spark, ensure_jsonl_fixture(), schema)
+    return raw.select(
+        "order_id",
+        F.col("customer.name").alias("customer_name"),
+        F.col("customer.tier").alias("tier"),
+        F.coalesce(F.size("tags"), F.lit(0)).cast("int").alias("n_tags"),
+        F.try_element_at("tags", F.lit(1)).alias("first_tag"),
+        F.col("amount_cents").cast("bigint").alias("amount_cents"),
+    )

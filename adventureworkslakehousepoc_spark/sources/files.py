@@ -16,6 +16,7 @@ __all__ = [
     "read_csv_resilient",
     "split_valid_corrupt",
     "read_text_lines",
+    "read_jsonl_with_schema",
     "NOAA_BY_YEAR_SCHEMA",
 ]
 
@@ -76,3 +77,13 @@ def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Single ``value: string`` column per line (reference ``noaa_bronze_layer.py:31,92``)."""
     return spark.read.text(path)
+
+
+def read_jsonl_with_schema(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S10: JSON-lines scan with an EXPLICIT schema — like the CSV reader,
+    never schema inference (inference runs an extra full pass over the data
+    and silently widens types between runs; an explicit StructType makes
+    the scan single-pass and the contract stable). Nested structs/arrays in
+    the schema are projected with ordinary dotted/HOF column access
+    downstream — no JSON re-parsing per field."""
+    return spark.read.schema(schema).json(path)

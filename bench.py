@@ -146,6 +146,7 @@ EXTRA_QUERIES = [
     "zipf_fit_tokens",
     "quantile_normalize_doclen",
     "session_path_topk",
+    "s10_jsonl_explicit_schema",
 ]
 
 
