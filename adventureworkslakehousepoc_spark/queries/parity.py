@@ -1251,3 +1251,38 @@ def s10_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("tags", F.lit(1)).alias("first_tag"),
         F.col("amount_cents").cast("bigint").alias("amount_cents"),
     )
+
+
+@query(
+    "s11_orc_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def s11_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: ORC format support (Spark-native columnar alternative to
+    parquet) proven by a write→read round trip: a deterministic events
+    slice materialized as ORC and read back must hash-match the relation
+    recomputed from the parquet source. Predicate/column pushdown applies
+    to the ORC scan the same as parquet (vectorized reader, footer stats).
+    DuckDB reads no ORC, so the oracle recomputes the slice directly."""
+    import os as _os
+    import tempfile
+
+    from ..catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sliced = ev.filter((F.col("event_id") % 20) == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"awlh_orc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sliced.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -147,6 +147,7 @@ EXTRA_QUERIES = [
     "quantile_normalize_doclen",
     "session_path_topk",
     "s10_jsonl_explicit_schema",
+    "s11_orc_roundtrip",
 ]
 
 
