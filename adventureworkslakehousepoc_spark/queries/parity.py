@@ -1280,9 +1280,10 @@ def s11_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"awlh_orc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    # fresh per-call dir — a shared fixed path would race when two sessions
+    # run this query on the same sf concurrently (the change-log lesson)
+    out = tempfile.mkdtemp(
+        prefix=f"awlh_orc_{_os.path.basename(sf_dir.rstrip('/'))}-"
     )
     sliced.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
