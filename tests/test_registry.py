@@ -117,6 +117,12 @@ def test_partitioned_write(spark, sf_dir):
     one = parts[0].split("=", 1)[1]
     pruned = back.filter(F.col("order_date") == one)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_date" in m.group(1), (
+        f"date predicate did not reach the scan as a PartitionFilter:\n{plan[:800]}"
+    )
     assert pruned.count() > 0
     pf = plan.split("PartitionFilters: [", 1)
     assert len(pf) == 2 and "order_date" in pf[1].split("]", 1)[0], plan[:1200]
