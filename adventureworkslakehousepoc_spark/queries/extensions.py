@@ -3486,3 +3486,80 @@ def quantile_normalize_doclen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+@query(
+    "corpus_datasheet",
+    """
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      t -> length(t) > 0))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    dup AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+      FROM documents
+    ),
+    langs AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n FROM documents),
+    med AS (
+      SELECT CAST(n_chars AS BIGINT) AS v FROM (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM documents
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT 'n_docs' AS metric, source AS scope, n_docs AS value FROM per_source
+    UNION ALL
+    SELECT 'n_ws_tokens', source, n_tokens FROM per_source
+    UNION ALL
+    SELECT 'n_exact_dup_docs', '_corpus', n_dups FROM dup
+    UNION ALL
+    SELECT 'n_languages', '_corpus', n FROM langs
+    UNION ALL
+    SELECT 'p50_doc_chars', '_corpus', v FROM med
+    """,
+)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet ('datasheets for datasets'): one long-form relation
+    of headline corpus facts — per-source doc/token counts, exact-duplicate
+    count, language count, median document length (the ⌈(n+1)/2⌉ order
+    statistic via the bucketed rank machinery, not a single-buffer
+    percentile). The one-query artifact a training-data release publishes
+    next to the data. All values exact integers."""
+    from ..operators.aggregates import grouped_exact_ranks
+
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).persist()
+    n_docs_rows = per_source.select(
+        F.lit("n_docs").alias("metric"), F.col("source").alias("scope"), F.col("n_docs").alias("value")
+    )
+    tok_rows = per_source.select(
+        F.lit("n_ws_tokens").alias("metric"), F.col("source").alias("scope"), F.col("n_tokens").alias("value")
+    )
+    dup_row = docs.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).cast("bigint").alias("value")
+    ).select(F.lit("n_exact_dup_docs").alias("metric"), F.lit("_corpus").alias("scope"), "value")
+    lang_row = docs.agg(F.count_distinct("lang").cast("bigint").alias("value")).select(
+        F.lit("n_languages").alias("metric"), F.lit("_corpus").alias("scope"), "value"
+    )
+    ranks = grouped_exact_ranks(
+        docs.select(F.lit(0).alias("_all"), "doc_id", "n_chars"), "_all", "n_chars", "doc_id"
+    )
+    med_row = (
+        ranks.where(F.col("rank") == F.expr("(n + 1) div 2"))
+        .select(
+            F.lit("p50_doc_chars").alias("metric"),
+            F.lit("_corpus").alias("scope"),
+            F.col("n_chars").cast("bigint").alias("value"),
+        )
+    )
+    return n_docs_rows.unionByName(tok_rows).unionByName(dup_row).unionByName(lang_row).unionByName(med_row)

@@ -148,6 +148,7 @@ EXTRA_QUERIES = [
     "session_path_topk",
     "s10_jsonl_explicit_schema",
     "s11_orc_roundtrip",
+    "corpus_datasheet",
 ]
 
 
