@@ -300,12 +300,17 @@ def test_driver_window_schemas_are_scalar_only(spark):
     """The driver's rows-only canonicalizer sorts pandas tuples — an array/
     map/struct/binary output column crashes it (`TypeError: unhashable
     type`), which is how round 4 lost the `agg_percentiles_approx` row.
-    Every windowed query must therefore emit scalar columns only."""
+    EVERY registered query must therefore emit scalar columns only, not
+    just the current 50-query window: queries past the window front the
+    NEXT round's window, so a non-scalar schema there is a delayed driver
+    crash. Streaming queries are excluded (building them executes streams;
+    their sinks are parquet-materialized scalar relations by construction
+    and each has its own oracle row)."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     offenders = {}
-    for name in list(qs)[:50]:
+    for name in [n for n in qs if not n.startswith("st_")]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         nonscalar = {
             f.name: f.dataType.simpleString()
