@@ -275,25 +275,38 @@ def test_timestamp_encoding_drift_guard(spark, tmp_path):
     )
 
 
-def test_round5_driver_window_composition():
-    """The driver verifies a 50-query registry prefix. Round 4 lost 12 rows
-    by letting late additions overflow the window; this pins the round-5
-    window to EXACTLY the planned set so any new registration forces a
-    deliberate re-plan of _R05_FRONT / _R05_REFRESH_R1."""
+def test_round6_driver_window_composition():
+    """The driver verifies a 50-query registry prefix. Rounds 4 and 5 both
+    overflowed hand-planned windows; since round 6 the order is derived
+    mechanically from the row-age ledger. This asserts the derivation holds
+    end-to-end: every never-driver-verified query and every changed-output
+    query sits INSIDE the window, and the remainder of the registry is
+    ordered stalest-first so refresh happens automatically."""
     from adventureworkslakehousepoc_spark import queries as q
+    from adventureworkslakehousepoc_spark.queries._row_age import LAST_VERIFIED
 
-    assert len(q._R05_FRONT) + len(q._R05_REFRESH_R1) == 50
-    assert not set(q._R05_FRONT) & set(q._R05_REFRESH_R1)
     ordered = list(q.all_queries())
-    window = ordered[:50]
-    planned = list(q._R05_FRONT) + list(q._R05_REFRESH_R1)
-    assert window == planned, (
-        "driver window drifted from plan; unplanned entries: "
-        f"{set(window) - set(planned)}; pushed out: {set(planned) - set(window)}"
+    window = ordered[:q.DRIVER_WINDOW]
+
+    never = [k for k in ordered if k not in LAST_VERIFIED]
+    changed = [k for k in q._CHANGED_OUTPUT if k not in never]
+    # groups 1+2 must FIT the window — if this fails, the round added more
+    # new queries than the window can first-time-verify: stop adding.
+    assert len(never) + len(changed) <= q.DRIVER_WINDOW, (
+        f"{len(never)} never-verified + {len(changed)} changed-output "
+        f"queries exceed the {q.DRIVER_WINDOW}-slot driver window"
     )
+    assert set(never) <= set(window), f"never-verified outside window: {set(never) - set(window)}"
+    assert set(changed) <= set(window), f"changed-output outside window: {set(changed) - set(window)}"
+    # the rest is stalest-first: last-verified rounds must be non-decreasing
+    rest = [k for k in ordered if k in LAST_VERIFIED and k not in changed]
+    ages = [LAST_VERIFIED[k] for k in rest]
+    assert ages == sorted(ages), "registry tail not ordered stalest-first"
     # every windowed query must carry an oracle (full hash gate, not rows-only)
     oracles = q.all_oracles()
     assert [k for k in window if k not in oracles] == []
+    # ordering of queries and oracles must agree (driver zips the prefix)
+    assert list(oracles)[:q.DRIVER_WINDOW] == window
 
 
 def test_driver_window_schemas_are_scalar_only(spark):
