@@ -71,13 +71,15 @@ def distributed_exact_quantiles(
     the selected VALUE is deterministic regardless of tie order.
 
     Returns ``(group, pct_num, pct_den, n, value)`` — one row per group per
-    fraction.
+    fraction. NULL values carry no rank: they are excluded up front (a NULL
+    would otherwise floor() into a NULL bucket, inflate ``n``, and shift
+    every target rank).
     """
     from pyspark.sql import Window
 
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
     stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     bucketed = base.join(F.broadcast(stats), "g").select(
         "g",
@@ -153,15 +155,21 @@ def winsorize_stats(
     group-keyed join-back + one partial-aggregated groupBy — the bounds
     table is group-domain-sized and broadcast.
     """
+    if lo_frac == hi_frac:
+        raise ValueError(f"lo_frac and hi_frac must differ, got {lo_frac} twice")
+    # select each bound by BOTH numerator and denominator: fractions like
+    # (1,4) and (1,2) share a numerator, and matching on pct_num alone
+    # would duplicate bounds rows per group and double every count/sum
+    # after the join-back
     q = distributed_exact_quantiles(
         df, group_col, value_col, fractions=(lo_frac, hi_frac)
     )
-    lo = q.filter(F.col("pct_num") == lo_frac[0]).select(
-        F.col(group_col).alias("g"), F.col("value").alias("lo_v")
-    )
-    hi = q.filter(F.col("pct_num") == hi_frac[0]).select(
-        F.col(group_col).alias("g"), F.col("value").alias("hi_v")
-    )
+    lo = q.filter(
+        (F.col("pct_num") == lo_frac[0]) & (F.col("pct_den") == lo_frac[1])
+    ).select(F.col(group_col).alias("g"), F.col("value").alias("lo_v"))
+    hi = q.filter(
+        (F.col("pct_num") == hi_frac[0]) & (F.col("pct_den") == hi_frac[1])
+    ).select(F.col(group_col).alias("g"), F.col("value").alias("hi_v"))
     bounds = lo.join(hi, "g")
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
@@ -199,14 +207,18 @@ def grouped_exact_ranks(
     a broadcast min/max, per-(group, bucket) counts, broadcast exclusive
     offsets, and a row_number only within each (group, bucket). No window
     ever holds a whole group, so a 5-source corpus doesn't collapse onto 5
-    tasks. Returns ``(group, id, value, rank, n)``."""
+    tasks. Returns ``(group, id, value, rank, n)``. NULL values carry no
+    rank and are excluded up front (a NULL would otherwise floor() into a
+    NULL bucket, sort nulls-first inside it, inflate ``n``, and interleave
+    bogus ranks below the top bucket — poisoning quantile_normalize and
+    corpus_datasheet on NULL-bearing inputs)."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("rid"),
         F.col(value_col).cast("double").alias("v"),
-    )
+    ).filter(F.col("v").isNotNull())
     stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     bucketed = base.join(F.broadcast(stats), "g").select(
         "g",

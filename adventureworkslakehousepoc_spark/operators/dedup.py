@@ -221,6 +221,25 @@ def incremental_minhash_new_duplicates(
     """
     sh_new = word_shingles(new_docs, text_col, id_col, shingle_n).persist()
     sh_old = word_shingles(corpus_docs, text_col, id_col, shingle_n).persist()
+    try:
+        return _incremental_minhash_pairs(
+            sh_new, sh_old, num_hashes, bands, rows_per_band, threshold
+        )
+    finally:
+        # duplicate-pair-list-sized result is checkpointed eagerly inside,
+        # so the shingle caches can be released before returning
+        sh_new.unpersist()
+        sh_old.unpersist()
+
+
+def _incremental_minhash_pairs(
+    sh_new: DataFrame,
+    sh_old: DataFrame,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
 
     def banded(sigs: DataFrame) -> DataFrame:
         structs = []
@@ -245,7 +264,7 @@ def incremental_minhash_new_duplicates(
     verified = _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
     return verified.select(
         F.col("doc_a").alias("new_id"), F.col("doc_b").alias("corpus_id"), "jaccard"
-    )
+    ).localCheckpoint(eager=True)
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")

@@ -60,7 +60,10 @@ def skew_key_diagnostics(
     TakeOrderedAndProject top-k and a keyless stats roll-up (1-row
     broadcast) — the raw table is scanned once per column and nothing
     key-domain-sized crosses a single-partition exchange. Ties rank
-    deterministically on (count desc, key asc).
+    deterministically on (count desc, key asc). The per-column report
+    (``top_k``+1 rows) is materialized eagerly so the key-domain-sized
+    counts cache can be released before returning — a long session running
+    this repeatedly must not accumulate cached count tables.
     """
     out = None
     for c in key_cols:
@@ -70,29 +73,32 @@ def skew_key_diagnostics(
             .groupBy("k")
             .agg(F.count(F.lit(1)).cast("bigint").alias("key_count"))
         ).persist()
-        stats = counts.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_keys_total"),
-            F.sum("key_count").cast("bigint").alias("n_rows_total"),
-            F.max("key_count").cast("bigint").alias("max_count"),
-        )
-        top = (
-            counts.orderBy(F.desc("key_count"), F.asc("k"))
-            .limit(int(top_k))
-            .select(
-                F.lit(c).alias("key_column"),
-                F.col("k").alias("key_value"),
-                "key_count",
+        try:
+            stats = counts.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_keys_total"),
+                F.sum("key_count").cast("bigint").alias("n_rows_total"),
+                F.max("key_count").cast("bigint").alias("max_count"),
             )
-        )
-        rows = top.crossJoin(F.broadcast(stats)).select(
-            "key_column",
-            "key_value",
-            "key_count",
-            "n_rows_total",
-            "n_keys_total",
-            F.expr("(max_count * n_keys_total * 1000000) div n_rows_total").alias(
-                "skew_factor_micros"
-            ),
-        )
+            top = (
+                counts.orderBy(F.desc("key_count"), F.asc("k"))
+                .limit(int(top_k))
+                .select(
+                    F.lit(c).alias("key_column"),
+                    F.col("k").alias("key_value"),
+                    "key_count",
+                )
+            )
+            rows = top.crossJoin(F.broadcast(stats)).select(
+                "key_column",
+                "key_value",
+                "key_count",
+                "n_rows_total",
+                "n_keys_total",
+                F.expr("(max_count * n_keys_total * 1000000) div n_rows_total").alias(
+                    "skew_factor_micros"
+                ),
+            ).localCheckpoint(eager=True)
+        finally:
+            counts.unpersist()
         out = rows if out is None else out.unionByName(rows)
     return out

@@ -327,18 +327,27 @@ def reconcile_tables(
     at larger bucket populations widen to DECIMAL(38,0) or raise
     ``n_buckets``. ``payload_cols`` must be string/integer columns — float
     string renderings differ across engines (quantize money to cents
-    first). Cost: one partial-aggregated pass per side keyed by the
-    bucket — no join of the raw tables anywhere."""
+    first). Buckets come from an md5 hash of the key's STRING form (same
+    machinery as the row hash), never a numeric cast: casting a
+    non-numeric key to bigint yields NULL, and NULL buckets never match
+    across the full-outer join — every bucket would report the other side
+    missing forever. NULL keys hash as the sentinel '∅'. Cost: one
+    partial-aggregated pass per side keyed by the bucket — no join of the
+    raw tables anywhere."""
     def side(df: DataFrame, prefix: str) -> DataFrame:
-        parts = [F.col(key_col).cast("string")] + [
+        key_str = F.coalesce(F.col(key_col).cast("string"), F.lit("∅"))
+        parts = [key_str] + [
             F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in payload_cols
         ]
         row_hash = F.conv(
             F.substring(F.md5(F.concat_ws("\x01", *parts)), 1, 15), 16, 10
         ).cast("bigint")
+        key_hash = F.conv(
+            F.substring(F.md5(key_str), 1, 15), 16, 10
+        ).cast("bigint")
         return (
             df.select(
-                (F.col(key_col).cast("bigint") % n_buckets).cast("int").alias("bucket"),
+                (key_hash % n_buckets).cast("int").alias("bucket"),
                 (row_hash % 1_000_000_000_000).alias("h"),
             )
             .groupBy("bucket")

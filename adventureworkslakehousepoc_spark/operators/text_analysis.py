@@ -727,23 +727,29 @@ def vocab_coverage(
         .where(F.length("tok") > 0)
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n")).persist()
-    total = counts.agg(F.sum("n").cast("bigint").alias("total_tokens"))
-    curve = None
-    for k in ks:
-        topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(int(k))
-        row = topk.agg(
-            F.lit(int(k)).cast("int").alias("top_k"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("covered_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("n_types_used"),
-        )
-        curve = row if curve is None else curve.unionByName(row)
-    return curve.crossJoin(F.broadcast(total)).select(
-        "top_k",
-        "covered_tokens",
-        "n_types_used",
-        "total_tokens",
-        F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_micros"),
-    )
+    try:
+        total = counts.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+        curve = None
+        for k in ks:
+            topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(int(k))
+            row = topk.agg(
+                F.lit(int(k)).cast("int").alias("top_k"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types_used"),
+            )
+            curve = row if curve is None else curve.unionByName(row)
+        # |ks| rows — materialize eagerly so the vocabulary-scale counts
+        # cache can be released before returning (no cache accumulation
+        # across repeated calls in one session)
+        return curve.crossJoin(F.broadcast(total)).select(
+            "top_k",
+            "covered_tokens",
+            "n_types_used",
+            "total_tokens",
+            F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_micros"),
+        ).localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
 
 
 def nucleus_continuations(

@@ -1495,7 +1495,8 @@ def changepoint_cusum_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reconcile_sink_buckets",
     """
     WITH src AS (
-      SELECT l_orderkey % 16 AS bucket,
+      SELECT CAST(concat('0x', substr(md5(
+               CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS bucket,
              CAST(concat('0x', substr(md5(
                CAST(l_orderkey AS VARCHAR) || chr(1) ||
                CAST(l_linenumber AS VARCHAR) || chr(1) ||
@@ -1505,7 +1506,8 @@ def changepoint_cusum_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     snk AS (SELECT * FROM src WHERE FALSE
       UNION ALL
-      SELECT l_orderkey % 16,
+      SELECT CAST(concat('0x', substr(md5(
+               CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16,
              CAST(concat('0x', substr(md5(
                CAST(l_orderkey AS VARCHAR) || chr(1) ||
                CAST(l_linenumber AS VARCHAR) || chr(1) ||

@@ -1269,9 +1269,9 @@ def s11_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the ORC scan the same as parquet (vectorized reader, footer stats).
     DuckDB reads no ORC, so the oracle recomputes the slice directly."""
     import os as _os
-    import tempfile
 
     from ..catalog import load_tables
+    from ..streaming.runner import scratch_dir
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     sliced = ev.filter((F.col("event_id") % 20) == 0).select(
@@ -1281,9 +1281,8 @@ def s11_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
     # fresh per-call dir — a shared fixed path would race when two sessions
-    # run this query on the same sf concurrently (the change-log lesson)
-    out = tempfile.mkdtemp(
-        prefix=f"awlh_orc_{_os.path.basename(sf_dir.rstrip('/'))}-"
-    )
+    # run this query on the same sf concurrently (the change-log lesson);
+    # session-scoped so repeated runs don't accumulate temp dirs
+    out = scratch_dir(f"awlh_orc_{_os.path.basename(sf_dir.rstrip('/'))}")
     sliced.write.mode("overwrite").orc(out)
     return spark.read.orc(out)

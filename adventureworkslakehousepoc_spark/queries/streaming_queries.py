@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..operators.joins import interval_join, star_left_join
 from ..streaming.cdf import ChangeFeed, latest_snapshot
-from ..streaming.runner import run_available_now, stream_table, stream_tmp_root
+from ..streaming.runner import run_available_now, scratch_dir, stream_table, stream_tmp_root
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -173,12 +173,7 @@ def _build_change_log(spark: SparkSession, sf_dir: str) -> ChangeFeed:
     sf's log concurrently: one process's rmtree+append interleaved with the
     other's read, yielding a duplicated/truncated log and a phantom
     mismatch."""
-    import tempfile
-
-    os.makedirs(stream_tmp_root(), exist_ok=True)
-    path = tempfile.mkdtemp(
-        prefix=f"cdf-{os.path.basename(sf_dir.rstrip('/'))}-", dir=stream_tmp_root()
-    )
+    path = scratch_dir(f"cdf-{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(path, ignore_errors=True)
     cf = ChangeFeed(path)
     base = load_tables(spark, sf_dir, ("customer",))["customer"].select(
@@ -240,18 +235,17 @@ def st_incremental_gold_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     full batch aggregate, which is what the oracle checks; the unit test
     additionally asserts ≥2 micro-batches actually applied. See
     streaming/sinks.py::foreach_batch_merge_aggregates."""
-    import tempfile
 
     from ..catalog import load_tables
     from ..streaming.runner import stage_stream_dir, stream_tmp_root
-    from ..streaming.sinks import foreach_batch_merge_aggregates
+    from ..streaming.sinks import foreach_batch_merge_aggregates, read_merge_state
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     slice_files = []
     root = stream_tmp_root()
     os.makedirs(root, exist_ok=True)
     for i in range(3):
-        d = tempfile.mkdtemp(prefix=f"ivm-slice{i}-", dir=root)
+        d = scratch_dir(f"ivm-slice{i}")
         ev.filter((F.col("event_id") % 3) == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
@@ -271,11 +265,11 @@ def st_incremental_gold_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
 
-    state = tempfile.mkdtemp(prefix="ivm-state-", dir=root)
+    state = scratch_dir("ivm-state")
     os.rmdir(state)
-    ckpt = tempfile.mkdtemp(prefix="ivm-ckpt-", dir=root)
+    ckpt = scratch_dir("ivm-ckpt")
     foreach_batch_merge_aggregates(stream, state, ["user_id"], partials, ckpt)
-    return spark.read.parquet(state)
+    return read_merge_state(spark, state)
 
 
 @query(
@@ -325,14 +319,13 @@ def st_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-version-wins state table) and the materialized parquet state is
     returned — same oracle as ``st_cdf_snapshot``, but the rows travel the
     upsert SINK path rather than batch snapshot compaction."""
-    import tempfile
 
     from ..streaming.sinks import foreach_batch_upsert
 
     cf = _build_change_log(spark, sf_dir)
     os.makedirs(stream_tmp_root(), exist_ok=True)
-    state_dir = tempfile.mkdtemp(prefix="upsert-q-", dir=stream_tmp_root()) + "/state"
-    ckpt = tempfile.mkdtemp(prefix="upsert-q-ck-", dir=stream_tmp_root())
+    state_dir = scratch_dir("upsert-q") + "/state"
+    ckpt = scratch_dir("upsert-q-ck")
     foreach_batch_upsert(cf.read_stream(spark), state_dir, ["c_custkey"], ckpt)
     return spark.read.parquet(state_dir).select(
         F.col("c_custkey").alias("customer_id"),
@@ -430,13 +423,12 @@ def st_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..streaming.sinks import running_counts_with_state
 
     counts = running_counts_with_state(stream_table(spark, sf_dir, "events"))
-    out = tempfile.mkdtemp(prefix="stateful-out-", dir=stream_tmp_root())
-    ckpt = tempfile.mkdtemp(prefix="stateful-ck-", dir=stream_tmp_root())
+    out = scratch_dir("stateful-out")
+    ckpt = scratch_dir("stateful-ck")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
@@ -590,10 +582,9 @@ def _events_stream_with_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame
     # unique dir per stream instance: a shared path would be clobbered by the
     # second reader's overwrite, dangling the first reader's staged symlink
     # (whose watermark then never advances past the real data)
-    import tempfile
 
     os.makedirs(stream_tmp_root(), exist_ok=True)
-    sent_path = tempfile.mkdtemp(prefix="sentinel-", dir=stream_tmp_root())
+    sent_path = scratch_dir("sentinel")
     sentinels = spark.createDataFrame(
         [
             (10**12, sentinel_ts, -1, "purchase", 0.0, "{}"),

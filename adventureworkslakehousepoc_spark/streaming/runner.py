@@ -14,7 +14,9 @@ before termination — verified empirically, relied on by the parity oracles.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -23,7 +25,18 @@ from pyspark.sql import functions as F
 
 from ..catalog import _NANOS_TS_COLS
 
-__all__ = ["stage_stream_dir", "stream_table", "run_available_now"]
+__all__ = ["stage_stream_dir", "stream_table", "run_available_now", "scratch_dir"]
+
+# Per-call scratch dirs created this process (stream staging, checkpoints,
+# sinks, ORC round-trip output). Swept at interpreter exit so repeated
+# bench/test runs in one long session don't accumulate temp dirs.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _sweep_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
 
 def stream_tmp_root() -> str:
     """Scratch root for stream staging/checkpoints/sinks. Prefers tmpfs
@@ -44,7 +57,18 @@ def _tmpdir(kind: str) -> str:
     # of the RAM-backed /dev/shm default
     root = stream_tmp_root()
     os.makedirs(root, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{kind}-", dir=root)
+    d = tempfile.mkdtemp(prefix=f"{kind}-", dir=root)
+    if not _SCRATCH_DIRS:
+        atexit.register(_sweep_scratch)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def scratch_dir(kind: str) -> str:
+    """Fresh per-call scratch directory under the session tmp root, removed
+    at interpreter exit. Use for any query-internal materialization (sink
+    round-trips, staged slices) instead of a bare ``tempfile.mkdtemp``."""
+    return _tmpdir(kind)
 
 
 def stage_stream_dir(*parquet_files: str) -> str:

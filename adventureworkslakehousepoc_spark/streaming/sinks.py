@@ -17,6 +17,7 @@ monotonic counters).
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,25 @@ def running_max_with_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+def _merge_state_meta(state_dir: str) -> tuple[int, str] | None:
+    """(last applied batch_id, current version dirname), or None if empty."""
+    meta = os.path.join(state_dir, "_CURRENT")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta) as f:
+        batch_id, version = f.read().strip().split()
+    return int(batch_id), version
+
+
+def read_merge_state(spark, state_dir: str) -> DataFrame:
+    """Read the current published snapshot of a merge-aggregate state table
+    (the versioned layout written by ``foreach_batch_merge_aggregates``)."""
+    meta = _merge_state_meta(state_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no published merge state under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, meta[1]))
+
+
 def foreach_batch_merge_aggregates(
     changes: DataFrame,
     state_dir: str,
@@ -198,6 +218,23 @@ def foreach_batch_merge_aggregates(
     aggregate never recomputes history — each arrival pays only its own
     partial pass plus a state-table-sized merge.
 
+    Delivery semantics (foreachBatch is at-least-once — re-delivery after a
+    failure is the norm, so the merge must be idempotent and the publish
+    atomic, mirroring the idempotent-foreachBatch-merge pattern the
+    reference relies on Delta MERGE for):
+
+    - ``state_dir/_CURRENT`` records the last APPLIED batch_id next to the
+      current snapshot's version dirname; a redelivered batch with
+      ``batch_id <= last`` is skipped, so partial sums are never
+      double-applied.
+    - each batch writes a NEW versioned snapshot dir (``v<batch_id>``) and
+      publishes it by atomically replacing ``_CURRENT`` (write-temp +
+      ``os.replace``). A crash mid-batch leaves the previous snapshot and
+      pointer fully intact — never a half-overwritten state table.
+
+    Read the result back with ``read_merge_state`` (the state root holds
+    versioned subdirectories, not bare parquet).
+
     Exactness: merging integer partials is associative and order-free, so
     the final state equals the full batch recompute regardless of how the
     arrivals were micro-batched — which is exactly what the DuckDB oracle
@@ -208,20 +245,34 @@ def foreach_batch_merge_aggregates(
     n_batches = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        meta = _merge_state_meta(state_dir)
+        if meta is not None and batch_id <= meta[0]:
+            return  # redelivery of an already-applied batch: no-op
         part = partial_fn(batch_df)
         val_cols = [c for c in part.columns if c not in key_cols]
-        if os.path.isdir(state_dir) and os.listdir(state_dir):
+        if meta is not None:
             merged = (
-                spark.read.parquet(state_dir)
+                spark.read.parquet(os.path.join(state_dir, meta[1]))
                 .unionByName(part)
                 .groupBy(*key_cols)
                 .agg(*[F.sum(c).cast("bigint").alias(c) for c in val_cols])
             )
         else:
             merged = part
-        tmp = state_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        version = f"v{batch_id:012d}"
+        final = os.path.join(state_dir, version)
+        staging = os.path.join(state_dir, f".staging-{batch_id}")
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):  # orphan from a crash after rename,
+            shutil.rmtree(final)  # before the pointer flip
+        os.rename(staging, final)
+        tmp_meta = os.path.join(state_dir, f"._CURRENT.{batch_id}.tmp")
+        with open(tmp_meta, "w") as f:
+            f.write(f"{batch_id} {version}")
+        os.replace(tmp_meta, os.path.join(state_dir, "_CURRENT"))
+        if meta is not None:  # GC the superseded snapshot
+            shutil.rmtree(os.path.join(state_dir, meta[1]), ignore_errors=True)
         n_batches["n"] += 1
 
     q = (

@@ -842,3 +842,49 @@ def test_incremental_minhash_equals_restricted_full_pass(spark, sf_dir):
             k = (r["doc_a"], r["doc_b"]) if a_new else (r["doc_b"], r["doc_a"])
             expect[k] = round(r["jaccard"], 9)
     assert inc == expect and len(inc) > 0
+
+
+def test_winsorize_equal_numerator_fractions_no_duplication(spark):
+    """Fractions with equal numerators but different denominators — (1,4)
+    and (1,2) — must select distinct bounds rows: matching on pct_num alone
+    duplicated both bounds per group and doubled every count/sum after the
+    join-back."""
+    from adventureworkslakehousepoc_spark.operators.aggregates import winsorize_stats
+
+    rows = [("g", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, price double")
+    out = winsorize_stats(df, "grp", "price", lo_frac=(1, 4), hi_frac=(1, 2)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 100
+    assert r["lo_cents"] == 2500  # p25 of 1..100 = 25.00
+    assert r["hi_cents"] == 5000  # p50 = 50.00
+    assert r["n_clipped_low"] == 24 and r["n_clipped_high"] == 50
+    # sum = 24·25 + (25..50) + 50·50 = 600 + 975 + 2500
+    assert r["winsorized_sum_cents"] == (600 + 975 + 2500) * 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize_stats(df, "grp", "price", lo_frac=(1, 2), hi_frac=(1, 2))
+
+
+def test_exact_ranks_and_quantiles_exclude_nulls(spark):
+    """NULL values must carry no rank: the old floor(NULL) path landed them
+    in the top bucket, inflated n, and interleaved bogus ranks below the
+    top bucket's real values."""
+    from adventureworkslakehousepoc_spark.operators.aggregates import (
+        distributed_exact_quantiles,
+        grouped_exact_ranks,
+    )
+
+    rows = [("g", i, v) for i, v in enumerate([10.0, None, 20.0, 30.0, None, 40.0])]
+    df = spark.createDataFrame(rows, "grp string, rid bigint, v double")
+    ranked = grouped_exact_ranks(df, "grp", "v", "rid").collect()
+    assert len(ranked) == 4  # null rows dropped
+    by_rank = {r["rank"]: r["v"] for r in ranked}
+    assert by_rank == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+    assert all(r["n"] == 4 for r in ranked)
+
+    q = distributed_exact_quantiles(df, "grp", "v", fractions=((50, 100),)).collect()
+    assert len(q) == 1 and q[0]["n"] == 4 and q[0]["value"] == 20.0

@@ -281,14 +281,36 @@ def test_reconcile_flags_exactly_the_corrupted_buckets(spark, rows, corrupt):
     the buckets containing a corrupted/lost key and no others."""
     from adventureworkslakehousepoc_spark.operators.quality import reconcile_tables
 
+    import hashlib
+
     src = spark.createDataFrame(rows, "k bigint, payload bigint")
     sink_rows = [(k, p + 1 if k in corrupt else p) for k, p in rows]
     sink = spark.createDataFrame(sink_rows, "k bigint, payload bigint")
     got = {r["bucket"]: r["is_match"]
            for r in reconcile_tables(src, sink, "k", ["payload"], n_buckets=8).collect()}
-    touched = {k % 8 for k, _ in rows if k in corrupt}
+
+    def bucket_of(k: int) -> int:  # md5-of-key-string buckets (quality.py)
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 8
+
+    touched = {bucket_of(k) for k, _ in rows if k in corrupt}
     for b, ok in got.items():
         assert ok == (b not in touched), (b, touched)
+
+
+def test_reconcile_string_keys_no_phantom_mismatch(spark):
+    """Non-numeric keys must reconcile cleanly: the old bigint-cast
+    bucketing sent every string key to a NULL bucket, and NULL buckets
+    never match across the full-outer join — a permanent spurious
+    mismatch on any string-keyed table."""
+    from adventureworkslakehousepoc_spark.operators.quality import reconcile_tables
+
+    rows = [(f"key-{i}", i * 10) for i in range(40)]
+    src = spark.createDataFrame(rows, "k string, payload bigint")
+    sink = spark.createDataFrame(rows, "k string, payload bigint")
+    out = reconcile_tables(src, sink, "k", ["payload"], n_buckets=8).collect()
+    assert out and all(r["is_match"] for r in out)
+    assert all(r["bucket"] is not None for r in out)
+    assert sum(r["n_source"] for r in out) == len(rows)
 
 
 @settings(**_PSET)

@@ -255,6 +255,7 @@ def test_incremental_aggregate_merge_applies_multiple_batches(spark, sf_dir):
     from adventureworkslakehousepoc_spark.streaming.runner import stage_stream_dir
     from adventureworkslakehousepoc_spark.streaming.sinks import (
         foreach_batch_merge_aggregates,
+        read_merge_state,
     )
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -284,10 +285,23 @@ def test_incremental_aggregate_merge_applies_multiple_batches(spark, sf_dir):
     n = foreach_batch_merge_aggregates(stream, state, ["user_id"], partials, ckpt)
     assert n >= 2, f"expected multiple micro-batches, got {n}"
     got = {r["user_id"]: (r["n_events"], r["value_cents"])
-           for r in spark.read.parquet(state).collect()}
+           for r in read_merge_state(spark, state).collect()}
     full = {r["user_id"]: (r["n"], r["cents"])
             for r in ev.groupBy("user_id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"),
             ).collect()}
     assert got == full
+    # Idempotency under re-delivery: replay the whole stream against the
+    # SAME state with a fresh checkpoint — batch_ids 0..2 are all <= the
+    # recorded last-applied id, so every batch must be skipped and the
+    # state must not double-apply.
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ckpt2 = tempfile.mkdtemp(prefix="ivmtest-ckpt2-", dir=root)
+    n2 = foreach_batch_merge_aggregates(stream2, state, ["user_id"], partials, ckpt2)
+    assert n2 == 0, f"redelivered batches were applied: {n2}"
+    got2 = {r["user_id"]: (r["n_events"], r["value_cents"])
+            for r in read_merge_state(spark, state).collect()}
+    assert got2 == full
