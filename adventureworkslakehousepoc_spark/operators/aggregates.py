@@ -48,6 +48,30 @@ def pivot_agg(
     return df.groupBy(*keys).pivot(pivot_col, list(values)).agg(agg)
 
 
+def _quantile_seeded_buckets(
+    base: DataFrame, n_buckets: int, extra_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Assign each (g, v) row an ordered bucket id 0..n_buckets-1 whose
+    boundaries are the group's approximate (i/n_buckets)-quantiles —
+    skew-proof bucketing for the exact-rank machinery. ``bucket(v) =
+    #{boundary < v}`` is monotone in v, so buckets are contiguous value
+    ranges whatever the distribution; ``percentile_approx``'s bounded
+    sketch error only nudges bucket POPULATIONS, never rank correctness.
+    Returns ``(g, *extra_cols, v, b)``."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.groupBy("g").agg(
+        F.percentile_approx("v", fracs, 1000).alias("bnds")
+    )
+    return base.join(F.broadcast(bounds), "g").select(
+        "g",
+        *extra_cols,
+        "v",
+        F.expr(
+            "cast(aggregate(bnds, 0, (acc, x) -> acc + if(x < v, 1, 0)) as int)"
+        ).alias("b"),
+    )
+
+
 def distributed_exact_quantiles(
     df: DataFrame,
     group_col: str,
@@ -58,17 +82,25 @@ def distributed_exact_quantiles(
     """EXACT per-group quantiles without the single-buffer anti-pattern:
     ``percentile()`` holds every group value in one aggregation buffer (the
     documented OOM at scale); this computes the same exact order statistics
-    by distributed rank selection — equal-width value buckets from a 1-row
-    min/max broadcast, per-(group, bucket) counts, broadcast exclusive
-    bucket offsets (bounded |groups|·``n_buckets`` rows), then a row_number
-    ONLY within each (group, bucket) partition. ``global_rank = offset +
-    rank_in_bucket`` reproduces the rank a full per-group sort would assign,
-    and the quantile is the row whose rank hits ``⌈p·n⌉`` (computed in exact
-    integer arithmetic from rational fractions, so every engine agrees).
+    by distributed rank selection — approx-percentile-seeded value buckets
+    (sketch boundaries, exact ranks inside), per-(group, bucket) counts,
+    broadcast exclusive bucket offsets (bounded |groups|·``n_buckets``
+    rows), then a row_number ONLY within each (group, bucket) partition.
+    ``global_rank = offset + rank_in_bucket`` reproduces the rank a full
+    per-group sort would assign, and the quantile is the row whose rank
+    hits ``⌈p·n⌉`` (computed in exact integer arithmetic from rational
+    fractions, so every engine agrees).
 
-    Each window task sorts ~n/``n_buckets`` rows — sized to fit executor
-    memory at any scale by raising ``n_buckets``. Ties share a value, so
-    the selected VALUE is deterministic regardless of tie order.
+    Bucket boundaries come from ``percentile_approx`` (bounded-memory
+    sketch), NOT equal-width splits of [min, max]: on a heavy-tailed
+    column equal-width buckets collapse — one bucket absorbs nearly the
+    whole group and its window task sorts ~n rows, the exact failure the
+    bucketing exists to prevent. Sketch error only skews bucket sizes a
+    few percent; the rank arithmetic stays exact regardless of where the
+    boundaries fall. Each window task sorts ~n/``n_buckets`` rows — sized
+    to fit executor memory at any scale by raising ``n_buckets``. Ties
+    share a value, so the selected VALUE is deterministic regardless of
+    tie order.
 
     Returns ``(group, pct_num, pct_den, n, value)`` — one row per group per
     fraction. NULL values carry no rank: they are excluded up front (a NULL
@@ -80,21 +112,7 @@ def distributed_exact_quantiles(
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
-    stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    bucketed = base.join(F.broadcast(stats), "g").select(
-        "g",
-        "v",
-        F.when(
-            F.col("hi") > F.col("lo"),
-            F.least(
-                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_buckets),
-                F.lit(n_buckets - 1),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("b"),
-    )
+    bucketed = _quantile_seeded_buckets(base, n_buckets)
     sizes = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a, bb = sizes.alias("a"), sizes.alias("b2")
     offsets = (
@@ -203,8 +221,8 @@ def grouped_exact_ranks(
 ) -> DataFrame:
     """Exact per-group TOTAL rank (1..n) for every row, ordered by
     (value, id) — the row-level companion of ``distributed_exact_quantiles``
-    built from the same bucketed machinery: equal-width value buckets from
-    a broadcast min/max, per-(group, bucket) counts, broadcast exclusive
+    built from the same bucketed machinery: approx-percentile-seeded value
+    buckets (skew-proof), per-(group, bucket) counts, broadcast exclusive
     offsets, and a row_number only within each (group, bucket). No window
     ever holds a whole group, so a 5-source corpus doesn't collapse onto 5
     tasks. Returns ``(group, id, value, rank, n)``. NULL values carry no
@@ -219,22 +237,7 @@ def grouped_exact_ranks(
         F.col(id_col).alias("rid"),
         F.col(value_col).cast("double").alias("v"),
     ).filter(F.col("v").isNotNull())
-    stats = base.groupBy("g").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    bucketed = base.join(F.broadcast(stats), "g").select(
-        "g",
-        "rid",
-        "v",
-        F.when(
-            F.col("hi") > F.col("lo"),
-            F.least(
-                F.floor((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * n_buckets),
-                F.lit(n_buckets - 1),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("b"),
-    )
+    bucketed = _quantile_seeded_buckets(base, n_buckets, extra_cols=("rid",))
     sizes = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a, bb = sizes.alias("a"), sizes.alias("b2")
     offsets = (

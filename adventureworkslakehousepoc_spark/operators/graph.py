@@ -93,24 +93,26 @@ def triangle_counts(
     borderline matches closes none, and is the thing a transitive-closure
     dedup would over-merge).
 
-    Classic oriented-wedge counting (node-iterator on the canonical u<v
-    orientation): wedges (a<b, b<c) join back to the edge list on the
-    closing pair (a,c), so every triangle is found exactly once. Three
+    Compact-forward wedge counting with DEGREE orientation (Latapy 2008;
+    the standard skew refinement): every edge is directed from its lower to
+    its higher endpoint under the total order (degree, id), so each node's
+    out-degree — and therefore its wedge fan-out C(out-deg, 2) — is bounded
+    by O(√|E|) amortized. Under plain id orientation a hub with degree d
+    generates Θ(d²) wedges (the measured superlinear in the 30× probe:
+    63 s, dominated by hot-node wedge inflation); degree orientation sends
+    a hub's edges INTO it, so the hub fans out nothing. A triangle x≺y≺z
+    appears exactly once, as the wedge (x→y, x→z) closed by y→z. Three
     joins, all on the |edges| pair list — never on the corpus. Degrees come
     from the symmetric view; the clustering coefficient
-    ``2·T / (deg·(deg−1))`` is emitted in exact integer micro-units.
-
-    At 100 TB the edge list is the near-dup pair set (tiny next to the
-    corpus) and wedge counts are bounded by the oriented degrees; for
-    skew-heavy general graphs the standard refinement — orient by
-    (degree, id) instead of id — drops in here without changing the output
-    contract.
+    ``2·T / (deg·(deg−1))`` is emitted in exact integer micro-units. The
+    output contract (and the DuckDB oracle, which replays id-oriented
+    wedges — orientation doesn't change triangle counts) is unchanged.
     """
-    # eager checkpoint, not persist: the canonical edge list feeds FOUR plan
-    # arms (e1/e2/e3 + degrees) — persist() reuses the data but replicates
-    # the upstream lineage (e.g. the whole MinHash pipeline) into every arm
-    # of the compile-time plan (~150 exchanges); the pair list is tiny by
-    # construction, so materializing it once is the right trade
+    # eager checkpoint, not persist: the edge lists feed multiple plan arms
+    # (two wedge sides + closing join + degrees) — persist() reuses the data
+    # but replicates the upstream lineage (e.g. the whole MinHash pipeline)
+    # into every arm of the compile-time plan (~150 exchanges); the pair
+    # list is tiny by construction, so materializing it once is the trade
     e = (
         edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -123,13 +125,31 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    with_degs = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
     )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge s→t with t's order key (dt, t) kept for wedge-side
+    # canonicalization
+    o = with_degs.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).localCheckpoint(eager=True)
+    wedge_lt = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), (F.col("e1.s") == F.col("e2.s")) & wedge_lt)
+        .select(F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c"))
+    )
+    # b≺c under (degree, id), so the closing edge is oriented exactly b→c
     tri = wedges.join(
-        e.alias("e3"), (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v"))
+        o.alias("e3"), (F.col("b") == F.col("e3.s")) & (F.col("c") == F.col("e3.t"))
     ).select("a", "b", "c")
     per_node = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))

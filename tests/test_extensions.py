@@ -888,3 +888,32 @@ def test_exact_ranks_and_quantiles_exclude_nulls(spark):
 
     q = distributed_exact_quantiles(df, "grp", "v", fractions=((50, 100),)).collect()
     assert len(q) == 1 and q[0]["n"] == 4 and q[0]["value"] == 20.0
+
+
+def test_quantile_buckets_balanced_on_heavy_tail(spark):
+    """Skew hardening: on a heavy-tailed (exponentially spaced) column,
+    equal-width [min,max] buckets collapse — nearly every row lands in
+    bucket 0 and one task sorts ~n rows. The percentile-seeded boundaries
+    must keep the largest bucket within a few× of the ideal n/n_buckets."""
+    from adventureworkslakehousepoc_spark.operators.aggregates import (
+        _quantile_seeded_buckets,
+        distributed_exact_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    n, n_buckets = 8000, 64
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.pow(F.lit(2.0), (F.col("id") % 40)).alias("v")
+    )
+    sizes = (
+        _quantile_seeded_buckets(df, n_buckets)
+        .groupBy("b").count().collect()
+    )
+    biggest = max(r["count"] for r in sizes)
+    assert biggest <= 4 * (n // n_buckets), f"bucket collapse: max={biggest}"
+    # and the exact quantiles on the same heavy-tailed data stay exact
+    got = {r["pct_num"]: r["value"]
+           for r in distributed_exact_quantiles(df, "g", "v").collect()}
+    vals = sorted(2.0 ** (i % 40) for i in range(n))
+    for p in (25, 50, 90, 99):
+        assert got[p] == vals[(n * p + 99) // 100 - 1]
