@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "incremental_minhash_new_duplicates",
     "prefix_filter_jaccard_pairs",
+    "containment_prefix_pairs",
     "benchmark_overlap",
     "span_duplicate_stats",
     "span_dedup_rewrite",
@@ -749,3 +750,108 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def containment_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT one-sided containment join — FULL recall, unlike the
+    LSH-candidate-limited ``dedup_containment_pairs`` path: every document
+    pair where either containment |A∩B|/|A| or |A∩B|/|B| reaches
+    ``t_num/t_den``, same answer as the naive all-pairs shingle join.
+
+    Prefix filtering adapted to the asymmetric measure: for a pair with
+    sizes |A| ≤ |B|, max-direction containment is |A∩B|/|A| (the SMALLER
+    set's side), so C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉ — at most
+    |A| − ⌈t·|A|⌉ of A's shingles fall outside B, and by pigeonhole A's
+    prefix of length ``|A| − ⌈t·|A|⌉ + 1`` under ANY consistent global
+    shingle order must intersect B. Candidates therefore come from joining
+    each document's prefix (rarest-first order on (corpus frequency,
+    shingle) — rare tokens have short collision lists) against the FULL
+    shingle table; the unrestricted side is what Jaccard-tuned LSH banding
+    cannot offer, and why it misses quote-inclusion pairs (20-word quote in
+    a 2000-word doc: Jaccard ≈ 0.01, containment 1.0). No length filter is
+    sound here — containment has no size-compatibility bound.
+
+    Exactness: threshold is rational, prefix length and the final
+    containment micros are exact integer arithmetic; candidates are then
+    verified by exact intersection counts, so false positives die and false
+    negatives cannot exist. Output schema matches
+    ``dedup_containment_pairs``: (doc_a, doc_b, n_inter, n_a, n_b,
+    containment_a_micros, containment_b_micros), doc_a < doc_b.
+
+    Scale: frequency table is vocabulary-bounded; prefix rank is a window
+    over one document's shingles; the candidate join streams prefix-token
+    collision lists (prefix ∞-side is each rare token's posting list). At
+    t = 0.7 each doc contributes ~30% of its shingles as prefix — the cost
+    of full recall on an unbounded-asymmetry measure.
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("r", F.row_number().over(wd))
+        .join(sizes, "doc_id")
+        # p = n − ⌈t·n⌉ + 1, with ⌈n·num/den⌉ = (n·num + den − 1) div den
+        .filter(
+            F.col("r")
+            <= F.col("n_sh")
+            - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+            + 1
+        )
+        .select("doc_id", "sh")
+    )
+    cands = (
+        prefix.alias("p")
+        .join(
+            sh.alias("s"),
+            (F.col("p.sh") == F.col("s.sh")) & (F.col("p.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "s.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cands.alias("c")
+        .join(sa, F.col("c.doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
+    out = (
+        inter.join(za, F.col("doc_a") == F.col("ka"))
+        .join(zb, F.col("doc_b") == F.col("kb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("(n_inter * 1000000) div n_a").alias("containment_a_micros"),
+            F.expr("(n_inter * 1000000) div n_b").alias("containment_b_micros"),
+        )
+        .filter(
+            (F.expr(f"containment_a_micros * {t_den}") >= F.lit(t_num * 1000000))
+            | (F.expr(f"containment_b_micros * {t_den}") >= F.lit(t_num * 1000000))
+        )
+    )
+    try:
+        # verified-pair-list-sized: materialize eagerly so the shingle
+        # cache can be released before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()

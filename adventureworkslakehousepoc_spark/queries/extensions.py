@@ -3242,10 +3242,10 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard under-scores (a 20-word quote inside a 2000-word doc
     has Jaccard ≈ 0.01 but containment 1.0 from the quote's side).
     Candidates come from the Jaccard-tuned 8×2 banding, so recall is
-    LSH-candidate-limited by construction (the full-recall path for
-    one-sided containment is prefix filtering on the SMALLER set — see
-    dedup_prefix_filter_jaccard); the oracle replays the identical
-    bands+containment computation, so the gate is exact."""
+    LSH-candidate-limited by construction; ``dedup_containment_exact`` is
+    the FULL-recall path (prefix filtering on the smaller set), with the
+    naive all-pairs join as its oracle. This row's oracle replays the
+    identical bands+containment computation, so the gate is exact."""
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
 
     shingles = word_shingles(_docs(spark, sf_dir)).persist()
@@ -3281,6 +3281,43 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("containment_b_micros") >= 700000)
         )
     )
+
+
+_CONTAINMENT_EXACT_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(za.n_sh AS BIGINT) AS n_a,
+           CAST(zb.n_sh AS BIGINT) AS n_b,
+           (i.n_inter * 1000000) // za.n_sh AS containment_a_micros,
+           (i.n_inter * 1000000) // zb.n_sh AS containment_b_micros
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE ((i.n_inter * 1000000) // za.n_sh) * 10 >= 7000000
+       OR ((i.n_inter * 1000000) // zb.n_sh) * 10 >= 7000000
+"""
+
+
+@query("dedup_containment_exact", _CONTAINMENT_EXACT_SQL)
+def dedup_containment_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-recall one-sided containment join at t = 0.7 — the guarantee
+    the LSH-candidate-limited ``dedup_containment_pairs`` row cannot make:
+    its oracle here is the NAIVE all-pairs shingle join, so every
+    quote-inclusion pair the banding would miss must be found. Candidates
+    come from prefix filtering on the smaller set (containment ≥ t bounds
+    how many of the smaller set's shingles can miss, so its rarest
+    ``n − ⌈t·n⌉ + 1`` shingles must hit the partner — pigeonhole, zero
+    false negatives). See operators/dedup.py::containment_prefix_pairs."""
+    from ..operators.dedup import containment_prefix_pairs
+
+    return containment_prefix_pairs(_docs(spark, sf_dir))
 
 
 @query(
