@@ -775,30 +775,43 @@ def containment_prefix_pairs(
     shingle) — rare tokens have short collision lists) against the FULL
     shingle table; the unrestricted side is what Jaccard-tuned LSH banding
     cannot offer, and why it misses quote-inclusion pairs (20-word quote in
-    a 2000-word doc: Jaccard ≈ 0.01, containment 1.0). No length filter is
-    sound here — containment has no size-compatibility bound.
+    a 2000-word doc: Jaccard ≈ 0.01, containment 1.0). No LENGTH filter is
+    sound here — containment has no size-compatibility bound — but the
+    identical-set FAMILY COLLAPSE from ``prefix_filter_jaccard_pairs`` is:
+    containment depends only on the shingle SETS, so duplicate-heavy
+    corpora (where every copy floods every collision list and the
+    candidate join goes quadratic in the copy count — the 30× probe's
+    timeout mode) run the prefix join on one representative per distinct
+    set, verify once per distinct-set pair, and expand verdicts over
+    family members at the end (intra-family pairs are containment 1.0 by
+    construction).
 
     Exactness: threshold is rational, prefix length and the final
     containment micros are exact integer arithmetic; candidates are then
-    verified by exact intersection counts, so false positives die and false
-    negatives cannot exist. Output schema matches
+    verified by exact intersection counts, so false positives die and
+    false negatives cannot exist. Output schema matches
     ``dedup_containment_pairs``: (doc_a, doc_b, n_inter, n_a, n_b,
     containment_a_micros, containment_b_micros), doc_a < doc_b.
 
     Scale: frequency table is vocabulary-bounded; prefix rank is a window
     over one document's shingles; the candidate join streams prefix-token
-    collision lists (prefix ∞-side is each rare token's posting list). At
-    t = 0.7 each doc contributes ~30% of its shingles as prefix — the cost
-    of full recall on an unbounded-asymmetry measure.
+    collision lists over DISTINCT sets only. At t = 0.7 each distinct set
+    contributes ~30% of its shingles as prefix — the cost of full recall
+    on an unbounded-asymmetry measure.
     """
     from pyspark.sql import Window
 
     sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    fams = sh.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")))).alias("sig")
+    ).persist()
+    reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+    rsh = sh.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id").persist()
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = rsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
     prefix = (
-        sh.join(freq, "sh")
+        rsh.join(freq, "sh")
         .withColumn("r", F.row_number().over(wd))
         .join(sizes, "doc_id")
         # p = n − ⌈t·n⌉ + 1, with ⌈n·num/den⌉ = (n·num + den − 1) div den
@@ -813,7 +826,7 @@ def containment_prefix_pairs(
     cands = (
         prefix.alias("p")
         .join(
-            sh.alias("s"),
+            rsh.alias("s"),
             (F.col("p.sh") == F.col("s.sh")) & (F.col("p.doc_id") != F.col("s.doc_id")),
         )
         .select(
@@ -822,7 +835,7 @@ def containment_prefix_pairs(
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = rsh.alias("sa"), rsh.alias("sb")
     inter = (
         cands.alias("c")
         .join(sa, F.col("c.doc_a") == F.col("sa.doc_id"))
@@ -832,26 +845,66 @@ def containment_prefix_pairs(
     )
     za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
-    out = (
+    rep_pairs = (
         inter.join(za, F.col("doc_a") == F.col("ka"))
         .join(zb, F.col("doc_b") == F.col("kb"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            "n_a",
-            "n_b",
-            F.expr("(n_inter * 1000000) div n_a").alias("containment_a_micros"),
-            F.expr("(n_inter * 1000000) div n_b").alias("containment_b_micros"),
-        )
         .filter(
-            (F.expr(f"containment_a_micros * {t_den}") >= F.lit(t_num * 1000000))
-            | (F.expr(f"containment_b_micros * {t_den}") >= F.lit(t_num * 1000000))
+            (F.expr(f"((n_inter * 1000000) div n_a) * {t_den}") >= F.lit(t_num * 1000000))
+            | (F.expr(f"((n_inter * 1000000) div n_b) * {t_den}") >= F.lit(t_num * 1000000))
         )
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+    )
+    # family expansion — containment is a set-level quantity, so every
+    # member pair inherits its representatives' (n_inter, n_a, n_b);
+    # orient counts by which member id becomes doc_a after least/greatest
+    rep_sig = fams.join(reps, "sig").filter(F.col("doc_id") == F.col("rep_id"))
+    ra = rep_sig.select(F.col("rep_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    rb = rep_sig.select(F.col("rep_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ma = fams.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("m_a"))
+    mb = fams.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .join(ma, "sig_a")
+        .join(mb, "sig_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "n_inter",
+            F.when(F.col("m_a") < F.col("m_b"), F.col("n_a")).otherwise(F.col("n_b")).alias("n_a"),
+            F.when(F.col("m_a") < F.col("m_b"), F.col("n_b")).otherwise(F.col("n_a")).alias("n_b"),
+        )
+    )
+    fam_sizes = reps.join(
+        sizes.select(F.col("doc_id").alias("rep_id"), F.col("n_sh").cast("bigint").alias("n_set")),
+        "rep_id",
+    ).select("sig", "n_set")
+    f1, f2 = fams.alias("f1"), fams.alias("f2")
+    intra = (
+        f1.join(f2, (F.col("f1.sig") == F.col("f2.sig")) & (F.col("f1.doc_id") < F.col("f2.doc_id")))
+        .join(fam_sizes.alias("fs"), F.col("f1.sig") == F.col("fs.sig"))
+        .select(
+            F.col("f1.doc_id").alias("doc_a"),
+            F.col("f2.doc_id").alias("doc_b"),
+            F.col("n_set").alias("n_inter"),
+            F.col("n_set").alias("n_a"),
+            F.col("n_set").alias("n_b"),
+        )
+    )
+    out = cross.unionByName(intra).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        F.expr("(n_inter * 1000000) div n_a").alias("containment_a_micros"),
+        F.expr("(n_inter * 1000000) div n_b").alias("containment_b_micros"),
     )
     try:
         # verified-pair-list-sized: materialize eagerly so the shingle
-        # cache can be released before returning
+        # caches can be released before returning
         return out.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
+        fams.unpersist()
+        rsh.unpersist()

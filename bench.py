@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "referential_integrity_audit",
     "decontaminate_embedding_cosine",
     "dedup_containment_pairs",
+    "dedup_containment_exact",
     "skew_key_diagnostics",
     "st_incremental_gold_merge",
     "winsorize_price_stats",

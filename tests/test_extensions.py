@@ -917,3 +917,24 @@ def test_quantile_buckets_balanced_on_heavy_tail(spark):
     vals = sorted(2.0 ** (i % 40) for i in range(n))
     for p in (25, 50, 90, 99):
         assert got[p] == vals[(n * p + 99) // 100 - 1]
+
+
+def test_containment_exact_finds_quote_inclusion(spark):
+    """A short doc fully quoted inside a long doc has Jaccard ~|A|/|B|
+    (tiny) but containment 1.0 — the exact prefix path must find it, and
+    identical copies must expand through the family collapse."""
+    from adventureworkslakehousepoc_spark.operators.dedup import containment_prefix_pairs
+
+    quote = " ".join(f"w{i}" for i in range(10))
+    long_doc = quote + " " + " ".join(f"x{i}" for i in range(200))
+    other = " ".join(f"y{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other), (4, quote)],  # 4 = exact copy of 1
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_prefix_pairs(docs).collect()}
+    assert (1, 2) in rows and rows[(1, 2)]["containment_a_micros"] == 1_000_000
+    assert rows[(1, 2)]["n_a"] == 8  # 10 words -> 8 distinct 3-shingles
+    assert (1, 4) in rows and rows[(1, 4)]["n_inter"] == 8  # intra-family
+    assert (2, 4) in rows  # copy inherits the rep's verdict
+    assert not any(3 in p for p in rows)
