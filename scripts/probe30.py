@@ -36,6 +36,7 @@ NAMES = [
     "spatial_grid_neighbors",
     "incremental_minhash_index",
     "dedup_containment_pairs",
+    "dedup_containment_exact",
     "decontaminate_embedding_cosine",
     "winsorize_price_stats",
     "quantile_normalize_doclen",
