@@ -189,9 +189,14 @@ def minhash_near_duplicates(
     set sizes); it is persisted so the explode+distinct shuffle runs once —
     at 100 TB this is the stage you'd materialize as a table instead."""
     shingles = word_shingles(docs, text_col, id_col, shingle_n).persist()
-    sigs = minhash_signatures(shingles, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    return _jaccard_verify(pairs, shingles, threshold)
+    try:
+        sigs = minhash_signatures(shingles, num_hashes)
+        pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+        # verified-pair-list-sized; eager so the shingle cache is released
+        # before returning (no cache accumulation across repeated calls)
+        return _jaccard_verify(pairs, shingles, threshold).localCheckpoint(eager=True)
+    finally:
+        shingles.unpersist()
 
 
 def incremental_minhash_new_duplicates(
@@ -409,7 +414,7 @@ def simhash_near_duplicates(
     ).select("doc_id", "simhash", F.col("h.part").alias("part"), F.col("h.val").alias("val"))
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.part") == F.col("b.part"))
@@ -424,6 +429,11 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    try:
+        # pair-list-sized; eager so the fingerprint cache is released
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -461,7 +471,7 @@ def ngram_jaccard_pairs(
     )
     za = sizes.alias("za")
     zb = sizes.alias("zb")
-    return (
+    out = (
         inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
         .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
@@ -474,6 +484,11 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    try:
+        # pair-list-sized; eager so the word-set cache is released
+        return out.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
 
 
 def benchmark_overlap(
@@ -749,7 +764,15 @@ def prefix_filter_jaccard_pairs(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(intra)
+    out = cross.unionByName(intra)
+    try:
+        # verified-pair-list-sized; eager so the shingle/family caches are
+        # released before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+        fams.unpersist()
+        rsh.unpersist()
 
 
 def containment_prefix_pairs(

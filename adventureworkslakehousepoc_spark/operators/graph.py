@@ -45,41 +45,59 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("label"))
         .select("u", F.least("u", "label").alias("label"))
-        .persist()
     )
+    # cached handle for the CURRENT round's materialization. unpersist()
+    # must target the exact cached plan — calling it on a derived select()
+    # is a silent no-op (plan mismatch), which previously leaked one cached
+    # pair-scale frame per iteration across a long session.
+    cached: DataFrame | None = None
     for i in range(max_iterations):
         # propagate: each node takes min(own label, neighbors' labels).
-        # Persist per round — without this the lineage re-derives every prior
-        # round per iteration (quadratic recompute).
+        # Materialize per round — without this the lineage re-derives every
+        # prior round per iteration (quadratic recompute).
         min_neighbor = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
             .groupBy(F.col("e.u").alias("u"))
             .agg(F.min("l.label").alias("nbr_label"))
         )
-        stepped = (
-            labels.join(min_neighbor, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
-                F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias("chg"),
-            )
-            .persist()
+        stepped = labels.join(min_neighbor, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+            F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False)).alias("chg"),
         )
         if (i + 1) % checkpoint_every == 0:
+            # eager checkpoint truncates lineage AND frees via GC — no
+            # manual cache entry to leak (the PageRank pattern)
             stepped = stepped.localCheckpoint(eager=True)
-        changed = stepped.filter("chg").limit(1).count()
-        labels.unpersist()
+            changed = stepped.filter("chg").limit(1).count()
+            if cached is not None:
+                cached.unpersist()
+                cached = None
+        else:
+            stepped = stepped.persist()
+            # materialize THIS round before releasing the previous one —
+            # unpersisting first would force stepped to re-derive the whole
+            # prior-round lineage (the quadratic recompute this avoids)
+            changed = stepped.filter("chg").limit(1).count()
+            prev, cached = cached, stepped
+            if prev is not None:
+                prev.unpersist()
         labels = stepped.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+    out = labels.select(
+        F.col("u").alias("node"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    if cached is not None:
+        cached.unpersist()
+    return out
 
 
 def triangle_counts(

@@ -624,7 +624,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash→LSH→verify pipeline runs once, not once per CC round."""
     from ..operators.graph import connected_components
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
     return connected_components(pairs)
 
 
@@ -2527,7 +2527,10 @@ def entity_resolution_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     parts = load_tables(spark, sf_dir, ("part",))["part"]
-    pairs = fuzzy_match_pairs(parts, "p_name", max_distance=4).persist()
+    # CC's first step eagerly checkpoints its symmetric edge view, so an
+    # eager checkpoint here (pair-list-sized) both feeds it once and leaves
+    # no cache entry behind
+    pairs = fuzzy_match_pairs(parts, "p_name", max_distance=4).localCheckpoint(eager=True)
     comp = connected_components(pairs, src="name_a", dst="name_b")
     names = parts.select(F.col("p_name").alias("name")).distinct()
     ent = names.join(comp, names.name == comp.node, "left").select(
@@ -2576,7 +2579,7 @@ def pagerank_dup_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls all five all-bigint iterations over the same pair CTE."""
     from ..operators.graph import pagerank
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
     return pagerank(pairs)
 
 
@@ -3030,7 +3033,7 @@ def graph_triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list, never the corpus. See operators/graph.py::triangle_counts."""
     from ..operators.graph import triangle_counts
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir)).persist()
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
     return triangle_counts(pairs)
 
 
@@ -3262,7 +3265,7 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
-    return (
+    out = (
         inter.join(za, F.col("doc_a") == F.col("ka"))
         .join(zb, F.col("doc_b") == F.col("kb"))
         .select(
@@ -3281,6 +3284,11 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("containment_b_micros") >= 700000)
         )
     )
+    try:
+        # pair-list-sized; eager so the shingle cache is released
+        return out.localCheckpoint(eager=True)
+    finally:
+        shingles.unpersist()
 
 
 _CONTAINMENT_EXACT_SQL = f"""
@@ -3575,7 +3583,7 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_tokens"),
-    ).persist()
+    ).localCheckpoint(eager=True)  # |sources| rows; no cache entry to leak
     n_docs_rows = per_source.select(
         F.lit("n_docs").alias("metric"), F.col("source").alias("scope"), F.col("n_docs").alias("value")
     )

@@ -938,3 +938,34 @@ def test_containment_exact_finds_quote_inclusion(spark):
     assert (1, 4) in rows and rows[(1, 4)]["n_inter"] == 8  # intra-family
     assert (2, 4) in rows  # copy inherits the rep's verdict
     assert not any(3 in p for p in rows)
+
+
+def test_dedup_operators_leave_no_cache_entries(spark, sf_dir):
+    """Leak sweep contract: the dedup/graph entry points release every
+    DataFrame-level persist before returning (eager localCheckpoint of the
+    pair-list result, unpersist in finally). Cache-manager entries survive
+    a long session forever; checkpointed RDDs free via GC — so after
+    running the operators the cache manager must be empty."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        containment_prefix_pairs,
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        simhash_near_duplicates,
+    )
+
+    spark._jsparkSession.sharedState().cacheManager().clearCache()
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    small = docs.filter(F.col("doc_id") % 7 == 0)
+    for op in (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        containment_prefix_pairs,
+    ):
+        op(small).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a dedup operator left a DataFrame cache entry behind"
+    )
