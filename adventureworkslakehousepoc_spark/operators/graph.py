@@ -47,16 +47,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("label"))
-        .select("u", F.least("u", "label").alias("label"))
-    )
     # cached handle for the CURRENT round's materialization. unpersist()
     # must target the exact cached plan — calling it on a derived select()
     # is a silent no-op (plan mismatch), which previously leaked one cached
     # pair-scale frame per iteration across a long session.
-    cached: DataFrame | None = None
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("label"))
+        .select("u", F.least("u", "label").alias("label"))
+        .persist()
+    )
+    cached: DataFrame | None = labels
     for i in range(max_iterations):
         # propagate: each node takes min(own label, neighbors' labels).
         # Materialize per round — without this the lineage re-derives every
@@ -92,10 +93,11 @@ def connected_components(
         labels = stepped.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    out = labels.select(
-        F.col("u").alias("node"), F.col("label").alias("component")
-    ).localCheckpoint(eager=True)
+    out = labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
     if cached is not None:
+        # the last round wasn't checkpointed, so the result still rides the
+        # cached frame — materialize before releasing it
+        out = out.localCheckpoint(eager=True)
         cached.unpersist()
     return out
 

@@ -624,7 +624,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash→LSH→verify pipeline runs once, not once per CC round."""
     from ..operators.graph import connected_components
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # CC/PR/tri checkpoint internally
     return connected_components(pairs)
 
 
@@ -2579,7 +2579,7 @@ def pagerank_dup_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls all five all-bigint iterations over the same pair CTE."""
     from ..operators.graph import pagerank
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # CC/PR/tri checkpoint internally
     return pagerank(pairs)
 
 
@@ -3033,7 +3033,7 @@ def graph_triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list, never the corpus. See operators/graph.py::triangle_counts."""
     from ..operators.graph import triangle_counts
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # eager-checkpointed
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir))  # CC/PR/tri checkpoint internally
     return triangle_counts(pairs)
 
 

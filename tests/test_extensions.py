@@ -940,12 +940,12 @@ def test_containment_exact_finds_quote_inclusion(spark):
     assert not any(3 in p for p in rows)
 
 
-def test_dedup_operators_leave_no_cache_entries(spark, sf_dir):
-    """Leak sweep contract: the dedup/graph entry points release every
-    DataFrame-level persist before returning (eager localCheckpoint of the
-    pair-list result, unpersist in finally). Cache-manager entries survive
-    a long session forever; checkpointed RDDs free via GC — so after
-    running the operators the cache manager must be empty."""
+def test_dedup_operators_cache_is_bounded(spark, sf_dir):
+    """Leak contract, two tiers: prefix/containment (eager localCheckpoint +
+    unpersist) leave NO cache-manager entries; the hot lazy operators
+    (MinHash/SimHash/ngram) keep ONE persisted intermediate for intra-plan
+    reuse but swap it out on the next call — so repeated calls must not
+    grow the cache."""
     from adventureworkslakehousepoc_spark.catalog import load_tables
     from adventureworkslakehousepoc_spark.operators.dedup import (
         containment_prefix_pairs,
@@ -955,17 +955,24 @@ def test_dedup_operators_leave_no_cache_entries(spark, sf_dir):
         simhash_near_duplicates,
     )
 
-    spark._jsparkSession.sharedState().cacheManager().clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     small = docs.filter(F.col("doc_id") % 7 == 0)
-    for op in (
-        minhash_near_duplicates,
-        simhash_near_duplicates,
-        ngram_jaccard_pairs,
-        prefix_filter_jaccard_pairs,
-        containment_prefix_pairs,
-    ):
+
+    # tier 1: fully leak-free
+    for op in (prefix_filter_jaccard_pairs, containment_prefix_pairs):
         op(small).count()
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
-        "a dedup operator left a DataFrame cache entry behind"
+    assert cm.isEmpty(), "an eager dedup operator left a cache entry behind"
+
+    # tier 2: bounded one-slot caches — a second round of calls must not
+    # add entries on top of the first round's
+    for op in (minhash_near_duplicates, simhash_near_duplicates, ngram_jaccard_pairs):
+        op(small).count()
+    n_rdds_round1 = spark._jsc.sc().getPersistentRDDs().size()
+    for op in (minhash_near_duplicates, simhash_near_duplicates, ngram_jaccard_pairs):
+        op(small).count()
+    n_rdds_round2 = spark._jsc.sc().getPersistentRDDs().size()
+    assert n_rdds_round2 <= n_rdds_round1, (
+        f"dedup caches grew across calls: {n_rdds_round1} -> {n_rdds_round2}"
     )
