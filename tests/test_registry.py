@@ -333,3 +333,28 @@ def test_driver_window_schemas_are_scalar_only(spark):
         if nonscalar:
             offenders[name] = nonscalar
     assert not offenders, offenders
+
+
+def test_row_age_ledger_is_current():
+    """The mechanical window ordering is only correct if the ledger reflects
+    the LATEST driver round: if a new CORRECTNESS_r*.json exists but
+    _row_age.py predates it, the previous round's freshly-verified queries
+    would stay fronted and the whole window would be wasted re-verifying
+    them. Regenerate with `python scripts/row_age.py --write` and commit."""
+    import glob
+    import re
+
+    from adventureworkslakehousepoc_spark.queries import _row_age
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
+    ]
+    latest = max(rounds, default=0)
+    assert _row_age.GENERATED_AFTER_ROUND >= latest, (
+        f"_row_age.py generated after r{_row_age.GENERATED_AFTER_ROUND} but "
+        f"CORRECTNESS_r{latest:02d}.json exists — run "
+        "`python scripts/row_age.py --write` and commit the regenerated module"
+    )
