@@ -351,3 +351,44 @@ def test_nucleus_is_smallest_qualifying_prefix(spark, counts):
             kept.append((w, n, rank))
         cum += n
     assert got == sorted(kept)
+
+
+@settings(**_PSET)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 12), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_containment_exact_equals_naive(spark, docs):
+    """Zero-false-negative property: for ANY small corpus, the prefix-filtered
+    containment join must return exactly the pairs the naive all-pairs
+    shingle join returns (same counts, both directions)."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        containment_prefix_pairs,
+        word_shingles,
+    )
+
+    rows = [(i, " ".join(f"w{t}" for t in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in containment_prefix_pairs(df).collect()
+    }
+    # naive reference in plain python over the same 3-shingles
+    sh = {}
+    for r in word_shingles(df).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["sh"])
+    expect = {}
+    ids = sorted(sh)
+    for i_idx, a in enumerate(ids):
+        for b in ids[i_idx + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            ca = inter * 1_000_000 // len(sh[a])
+            cb = inter * 1_000_000 // len(sh[b])
+            if ca * 10 >= 7_000_000 or cb * 10 >= 7_000_000:
+                expect[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    assert got == expect
