@@ -3251,7 +3251,13 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bands+containment computation, so the gate is exact."""
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
 
-    shingles = word_shingles(_docs(spark, sf_dir)).persist()
+    from ..operators.dedup import _fresh_cache
+
+    # one-slot cache (see operators/dedup.py): the LSH containment pair
+    # list is huge on duplicate-heavy corpora, so the result stays LAZY
+    # (streams into the sink) and the shingle cache is bounded to one
+    # frame instead of leaking per call
+    shingles = _fresh_cache("containment_shingles", word_shingles(_docs(spark, sf_dir)))
     pairs = lsh_candidate_pairs(minhash_signatures(shingles))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.alias("sa")
@@ -3284,11 +3290,7 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("containment_b_micros") >= 700000)
         )
     )
-    try:
-        # pair-list-sized; eager so the shingle cache is released
-        return out.localCheckpoint(eager=True)
-    finally:
-        shingles.unpersist()
+    return out
 
 
 _CONTAINMENT_EXACT_SQL = f"""
