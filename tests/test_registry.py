@@ -358,3 +358,25 @@ def test_row_age_ledger_is_current():
         f"CORRECTNESS_r{latest:02d}.json exists — run "
         "`python scripts/row_age.py --write` and commit the regenerated module"
     )
+
+
+def test_scratch_dirs_swept_at_interpreter_exit(tmp_path):
+    """scratch_dir entries must be removed when the process exits — repeated
+    bench/test runs in one long session must not accumulate temp dirs under
+    the stream tmp root."""
+    import subprocess
+    import sys
+
+    script = (
+        "import os, sys; sys.path.insert(0, '/root/repo');"
+        "os.environ['AWLH_STREAM_TMP'] = sys.argv[1];"
+        "from adventureworkslakehousepoc_spark.streaming.runner import scratch_dir;"
+        "print(scratch_dir('sweeptest'))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True, text=True, check=True,
+    )
+    created = out.stdout.strip().splitlines()[-1]
+    assert created.startswith(str(tmp_path))
+    assert not os.path.exists(created), "scratch dir survived interpreter exit"
