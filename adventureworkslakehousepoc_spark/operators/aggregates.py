@@ -69,6 +69,11 @@ def _quantile_seeded_buckets(
     (higher-order functions run interpreted per row); flat 63-term
     ``element_at`` sum 8.5 s; unrolled binary search 3.8 s and a 1.6 MB
     task binary (each nesting level triples the expression tree)."""
+    if n_buckets < 2:
+        # degrade gracefully to a single bucket: the CASE chain below
+        # would reference a _q1 column that is never created, and
+        # percentile_approx rejects an empty fraction list
+        return base.select("g", *extra_cols, "v", F.lit(0).cast("int").alias("b"))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = base.groupBy("g").agg(
         F.percentile_approx("v", fracs, 100).alias("bnds")
@@ -210,9 +215,14 @@ def winsorize_stats(
         (F.col("pct_num") == hi_frac[0]) & (F.col("pct_den") == hi_frac[1])
     ).select(F.col(group_col).alias("g"), F.col("value").alias("hi_v"))
     bounds = lo.join(hi, "g")
+    # NULL values carry no rank in the bounds computation
+    # (distributed_exact_quantiles excludes them), so they must not count
+    # here either: greatest/least skip NULLs, and an unfiltered NULL v
+    # would clip to hi_v — adding hi_cents to the sum and a phantom row to
+    # n_rows that the quantiles never saw
     base = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
     clipped = base.join(F.broadcast(bounds), "g").select(
         "g",
         "lo_v",

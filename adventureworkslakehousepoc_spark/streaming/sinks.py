@@ -183,14 +183,34 @@ def running_max_with_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
-def _merge_state_meta(state_dir: str) -> tuple[int, str] | None:
-    """(last applied batch_id, current version dirname), or None if empty."""
+def _merge_state_meta(state_dir: str) -> tuple[int, str, str | None] | None:
+    """(last applied batch_id, current version dirname, stream id), or None
+    if empty. Stream id is None for pre-identity _CURRENT files."""
     meta = os.path.join(state_dir, "_CURRENT")
     if not os.path.isfile(meta):
         return None
     with open(meta) as f:
-        batch_id, version = f.read().strip().split()
-    return int(batch_id), version
+        parts = f.read().strip().split()
+    batch_id, version = parts[0], parts[1]
+    stream_id = parts[2] if len(parts) > 2 else None
+    return int(batch_id), version, stream_id
+
+
+def _checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """The streaming query id Spark records in <checkpoint>/metadata — a
+    fresh UUID per checkpoint lineage. Batch ids are only monotonic WITHIN
+    one lineage, so redelivery detection must be scoped by this id."""
+    path = os.path.join(checkpoint_dir, "metadata")
+    try:
+        import json
+
+        with open(path) as f:
+            return str(json.load(f)["id"])
+    except (OSError, ValueError, KeyError):
+        # metadata not yet written (first batch of a brand-new checkpoint
+        # can race it) — fall back to the resolved path, which is still
+        # stable within a lineage
+        return os.path.abspath(checkpoint_dir)
 
 
 def read_merge_state(spark, state_dir: str) -> DataFrame:
@@ -224,9 +244,12 @@ def foreach_batch_merge_aggregates(
     reference relies on Delta MERGE for):
 
     - ``state_dir/_CURRENT`` records the last APPLIED batch_id next to the
-      current snapshot's version dirname; a redelivered batch with
-      ``batch_id <= last`` is skipped, so partial sums are never
-      double-applied.
+      current snapshot's version dirname AND the checkpoint lineage's
+      stream id; a redelivered batch with ``batch_id <= last`` from the
+      SAME lineage is skipped, so partial sums are never double-applied.
+      Batch ids restart at 0 under a fresh checkpoint, so a new lineage
+      pointed at an existing state_dir must NOT have its first batches
+      swallowed as "redeliveries" — the id scoping prevents that.
     - each batch writes a NEW versioned snapshot dir (``v<batch_id>``) and
       publishes it by atomically replacing ``_CURRENT`` (write-temp +
       ``os.replace``). A crash mid-batch leaves the previous snapshot and
@@ -246,9 +269,13 @@ def foreach_batch_merge_aggregates(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(state_dir, exist_ok=True)
+        stream_id = _checkpoint_stream_id(checkpoint_dir)
         meta = _merge_state_meta(state_dir)
-        if meta is not None and batch_id <= meta[0]:
-            return  # redelivery of an already-applied batch: no-op
+        if meta is not None and batch_id <= meta[0] and meta[2] in (stream_id, None):
+            # redelivery of an already-applied batch of THIS checkpoint
+            # lineage: no-op. A legacy _CURRENT with no recorded id is
+            # treated as same-lineage (the pre-identity behavior).
+            return
         part = partial_fn(batch_df)
         val_cols = [c for c in part.columns if c not in key_cols]
         if meta is not None:
@@ -269,9 +296,12 @@ def foreach_batch_merge_aggregates(
         os.rename(staging, final)
         tmp_meta = os.path.join(state_dir, f"._CURRENT.{batch_id}.tmp")
         with open(tmp_meta, "w") as f:
-            f.write(f"{batch_id} {version}")
+            f.write(f"{batch_id} {version} {stream_id}")
         os.replace(tmp_meta, os.path.join(state_dir, "_CURRENT"))
-        if meta is not None:  # GC the superseded snapshot
+        if meta is not None and meta[1] != version:  # GC the superseded
+            # snapshot (guard: a NEW checkpoint lineage restarts batch ids,
+            # so v<batch_id> can collide with the superseded dirname —
+            # rmtree would then delete the snapshot just published)
             shutil.rmtree(os.path.join(state_dir, meta[1]), ignore_errors=True)
         n_batches["n"] += 1
 

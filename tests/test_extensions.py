@@ -976,3 +976,74 @@ def test_dedup_operators_cache_is_bounded(spark, sf_dir):
     assert n_rdds_round2 <= n_rdds_round1, (
         f"dedup caches grew across calls: {n_rdds_round1} -> {n_rdds_round2}"
     )
+
+
+def test_winsorize_excludes_nulls(spark):
+    """NULL values carry no rank in the bounds computation, so they must
+    not count in the join-back either: greatest/least skip NULLs, and an
+    unfiltered NULL v clipped to hi_v — adding hi_cents to the sum and a
+    phantom row to n_rows the quantiles never saw."""
+    from adventureworkslakehousepoc_spark.operators.aggregates import winsorize_stats
+
+    rows = [("g", v) for v in [10.0, 20.0, 30.0, 40.0, None, None]]
+    df = spark.createDataFrame(rows, "grp string, price double")
+    out = winsorize_stats(df, "grp", "price", lo_frac=(25, 100), hi_frac=(75, 100)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # ⌈4·25/100⌉ = 1 → lo = 10; ⌈4·75/100⌉ = 3 → hi = 30
+    assert r["n_rows"] == 4, "NULL rows must not count"
+    assert r["lo_cents"] == 1000 and r["hi_cents"] == 3000
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    assert r["winsorized_sum_cents"] == (10 + 20 + 30 + 30) * 100
+
+
+def test_quantile_buckets_single_bucket_degrades_gracefully(spark):
+    """n_buckets=1 used to build a CASE chain referencing a _q1 column that
+    was never created (and passed an empty fraction list to
+    percentile_approx); it must degrade to one bucket like the old
+    equal-width code did — and the exact quantiles must still be exact."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.operators.aggregates import (
+        _quantile_seeded_buckets,
+        distributed_exact_quantiles,
+    )
+
+    df = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    rows = _quantile_seeded_buckets(df, 1).collect()
+    assert len(rows) == 100 and all(r["b"] == 0 for r in rows)
+    got = {r["pct_num"]: r["value"]
+           for r in distributed_exact_quantiles(df, "g", "v", n_buckets=1).collect()}
+    vals = sorted(float(i) for i in range(100))
+    for p in (25, 50, 90, 99):
+        assert got[p] == vals[(100 * p + 99) // 100 - 1]
+
+
+def test_containment_threshold_exact_on_boundary_rational(spark):
+    """The threshold compare must be exact for ANY rational t, not just
+    ones where t_num·10^6 divides evenly: at t=1/3, a pair with containment
+    exactly 1/3 was rejected by the old floor-to-micros filter
+    (floor(10^6/3)·3 = 999999 < 10^6)."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    # A: "a b c d e" → 3 shingles {abc,bcd,cde}; B shares exactly {a b c}
+    # prefix → n_inter=1, n_a=3 → containment_a = 1/3 exactly; B is long
+    # enough that containment_b < 1/3
+    doc_a = "a b c d e"
+    doc_b = "a b c " + " ".join(f"q{i}" for i in range(8))
+    doc_c = " ".join(f"z{i}" for i in range(6))  # no overlap with anything
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string"
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_prefix_pairs(docs, t_num=1, t_den=3).collect()
+    }
+    assert (1, 2) in rows, "containment exactly t must pass the filter"
+    r = rows[(1, 2)]
+    assert r["n_inter"] == 1 and r["n_a"] == 3
+    assert all(3 not in k for k in rows), "disjoint doc must not pair"

@@ -292,16 +292,82 @@ def test_incremental_aggregate_merge_applies_multiple_batches(spark, sf_dir):
                 F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"),
             ).collect()}
     assert got == full
-    # Idempotency under re-delivery: replay the whole stream against the
-    # SAME state with a fresh checkpoint — batch_ids 0..2 are all <= the
-    # recorded last-applied id, so every batch must be skipped and the
-    # state must not double-apply.
+    # Idempotency under TRUE re-delivery: foreachBatch redelivers a batch
+    # when the commit marker is missing after a crash. Simulate it by
+    # deleting the last commit from the SAME checkpoint and restarting —
+    # the final batch is re-run with its original batch_id, and the skip
+    # logic (same lineage, batch_id <= last applied) must no-op it.
+    import time
+
+    for _ in range(100):  # restart on the SAME checkpoint needs the first
+        if not spark.streams.active:  # query fully deregistered
+            break
+        time.sleep(0.1)
+    commits = os.path.join(ckpt, "commits")
+    last_commit = sorted(
+        f for f in os.listdir(commits) if not f.startswith(".")
+    )[-1]
+    os.remove(os.path.join(commits, last_commit))
+    crc = os.path.join(commits, f".{last_commit}.crc")  # Hadoop checksum
+    if os.path.exists(crc):  # sidecar blocks the re-written commit's rename
+        os.remove(crc)
     stream2 = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    ckpt2 = tempfile.mkdtemp(prefix="ivmtest-ckpt2-", dir=root)
-    n2 = foreach_batch_merge_aggregates(stream2, state, ["user_id"], partials, ckpt2)
+    n2 = foreach_batch_merge_aggregates(stream2, state, ["user_id"], partials, ckpt)
     assert n2 == 0, f"redelivered batches were applied: {n2}"
     got2 = {r["user_id"]: (r["n_events"], r["value_cents"])
             for r in read_merge_state(spark, state).collect()}
     assert got2 == full
+
+
+def test_merge_state_new_checkpoint_lineage_not_swallowed(spark, sf_dir):
+    """Batch ids are only monotonic within ONE checkpoint lineage: a fresh
+    checkpoint pointed at an existing state_dir restarts ids at 0, and the
+    old batch_id-only dedup silently dropped its first batches as
+    'redeliveries'. The lineage id recorded in _CURRENT must scope the
+    skip so genuinely new data merges in."""
+    import tempfile
+
+    from adventureworkslakehousepoc_spark.streaming.runner import stage_stream_dir
+    from adventureworkslakehousepoc_spark.streaming.sinks import (
+        foreach_batch_merge_aggregates,
+        read_merge_state,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    root = _stream_root()
+
+    def stage_slice(pred, tag):
+        d = tempfile.mkdtemp(prefix=f"lineage-{tag}-", dir=root)
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+        f = sorted(x for x in os.listdir(d) if x.endswith(".parquet"))[0]
+        return stage_stream_dir(os.path.join(d, f))
+
+    def partials(b):
+        return b.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        )
+
+    schema = ev.schema
+    state = tempfile.mkdtemp(prefix="lineage-state-", dir=root)
+    os.rmdir(state)
+    # lineage 1: even event ids
+    src1 = stage_slice((F.col("event_id") % 2) == 0, "a")
+    s1 = spark.readStream.schema(schema).parquet(src1)
+    ckpt1 = tempfile.mkdtemp(prefix="lineage-ck1-", dir=root)
+    n1 = foreach_batch_merge_aggregates(s1, state, ["user_id"], partials, ckpt1)
+    assert n1 >= 1
+    # lineage 2: odd event ids, FRESH checkpoint, same state_dir — its
+    # batch 0 must be applied, not skipped
+    src2 = stage_slice((F.col("event_id") % 2) == 1, "b")
+    s2 = spark.readStream.schema(schema).parquet(src2)
+    ckpt2 = tempfile.mkdtemp(prefix="lineage-ck2-", dir=root)
+    n2 = foreach_batch_merge_aggregates(s2, state, ["user_id"], partials, ckpt2)
+    assert n2 >= 1, "fresh-lineage batches were swallowed as redeliveries"
+    got = {r["user_id"]: r["n_events"]
+           for r in read_merge_state(spark, state).collect()}
+    full = {r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n")).collect()}
+    assert got == full
