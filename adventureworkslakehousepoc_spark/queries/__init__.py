@@ -28,20 +28,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import _row_age
 from ._row_age import LAST_VERIFIED
 
 # Driver window size (prefix of the registry the driver's correctness pass
 # covers each round).
 DRIVER_WINDOW = 50
 
-# Queries whose OUTPUT changed after their last green driver row. Add a name
-# here whenever an edit changes a query's result; remove it once a fresh
-# driver row lands (i.e. when scripts/row_age.py shows its last-verified
-# round >= the round of the change). Currently:
-#   - text_boilerplate_flags: r4 hashed-shingle rework; last driver row r3.
-_CHANGED_OUTPUT = (
-    "text_boilerplate_flags",
-)
+# Queries whose OUTPUT changed after their last green driver row — derived
+# MECHANICALLY by scripts/row_age.py from per-query output fingerprints
+# (sha256 of oracle SQL + canonical sf0.001 DuckDB result): a drift against
+# the previous ledger's fingerprint flags the query until a fresh driver
+# row attests the new behavior. The former hand-maintained list silently
+# missed text_boilerplate_flags for two rounds; nothing is hand-edited now.
+# (getattr: tolerate a pre-fingerprint ledger during regeneration itself.)
+_CHANGED_OUTPUT = tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
 
 
 def _round6_order(merged: dict) -> dict:

@@ -380,3 +380,38 @@ def test_scratch_dirs_swept_at_interpreter_exit(tmp_path):
     created = out.stdout.strip().splitlines()[-1]
     assert created.startswith(str(tmp_path))
     assert not os.path.exists(created), "scratch dir survived interpreter exit"
+
+
+def test_ledger_fingerprints_are_current():
+    """Mechanical changed-output detection (replaces the hand list that
+    silently missed text_boilerplate_flags for two rounds): the ledger
+    stores a fingerprint per query — sha256(oracle SQL + canonical DuckDB
+    sf0.001 result) — and scripts/row_age.py flags drift as CHANGED_OUTPUT
+    at regeneration. This tripwire forces that regeneration: any edit that
+    changes a query's observable output makes the committed fingerprints
+    stale, and the window would front the wrong rows. Fix with
+    `python scripts/row_age.py --write` and commit."""
+    import importlib.util
+
+    from adventureworkslakehousepoc_spark import queries as q
+    from adventureworkslakehousepoc_spark.queries import _row_age
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "row_age_script", os.path.join(repo, "scripts", "row_age.py")
+    )
+    script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(script)
+
+    current = script.compute_fingerprints()
+    recorded = getattr(_row_age, "FINGERPRINT", {})
+    drifted = sorted(
+        k for k in current if recorded.get(k) != current[k]
+    ) + sorted(k for k in recorded if k not in current)
+    assert not drifted, (
+        f"{len(drifted)} queries' output fingerprints are stale in the "
+        f"ledger (first few: {drifted[:8]}) — run "
+        "`python scripts/row_age.py --write` and commit"
+    )
+    # the registry's changed-output ordering input IS the ledger's table
+    assert q._CHANGED_OUTPUT == tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
