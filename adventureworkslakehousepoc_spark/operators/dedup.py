@@ -178,6 +178,7 @@ def _jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float) -> 
 # frame per operator instead of one per call — leak-free asymptotically,
 # zero cost on the hot path.
 _LAST_CACHED: dict = {}
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _fresh_cache(key: str, df: DataFrame) -> DataFrame:
@@ -187,22 +188,36 @@ def _fresh_cache(key: str, df: DataFrame) -> DataFrame:
     repeat evaluations fast. A call on a DIFFERENT input unpersists the
     previous frame first (unpersisting after persist would drop the new
     cache too — CacheManager matches by plan), so a long session holds at
-    most one cached frame per operator."""
-    prev = _LAST_CACHED.get(key)
-    if prev is not None:
-        try:
-            if prev.sameSemantics(df):
-                return prev
-        except Exception:
-            pass
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # previous frame's session may be gone (tests cycle sessions)
-        del _LAST_CACHED[key]
-    df = df.persist()
-    _LAST_CACHED[key] = df
-    return df
+    most one cached frame per operator.
+
+    STATIC-INPUT ASSUMPTION: sameSemantics compares logical plans, not
+    data — if the files under an identical plan are rewritten between
+    calls, the stale cached frame is served. That matches every caller
+    here (immutable testdata parquet; streaming paths never route through
+    this cache), but an operator over mutable tables must bypass it.
+    The slot mutation is guarded by a process-wide lock so concurrent
+    callers (e.g. parallel pytest workers sharing one session) cannot
+    interleave unpersist/persist on the same key."""
+    from ..plans.audit import record_plan
+
+    with _CACHE_LOCK:
+        prev = _LAST_CACHED.get(key)
+        if prev is not None:
+            try:
+                if prev.sameSemantics(df):
+                    record_plan(key, prev)  # consumer plans only show the
+                    return prev  # InMemoryTableScan — surface the cached tree
+            except Exception:
+                pass
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # previous frame's session may be gone (tests cycle sessions)
+            del _LAST_CACHED[key]
+        record_plan(key, df)
+        df = df.persist()
+        _LAST_CACHED[key] = df
+        return df
 
 
 def minhash_near_duplicates(
@@ -222,13 +237,25 @@ def minhash_near_duplicates(
 
     The shingle set feeds three consumers (signatures, pair intersection,
     set sizes); it is persisted so the explode+distinct shuffle runs once —
-    at 100 TB this is the stage you'd materialize as a table instead."""
+    at 100 TB this is the stage you'd materialize as a table instead.
+
+    The VERIFIED PAIR LIST is also held in the bounded one-slot cache: the
+    near-dup graph feeds connected components, PageRank, AND triangle
+    counting in one session, and each of those eagerly checkpoints its
+    edge input — without the cache every consumer re-runs the whole
+    shingle→sign→band→verify pipeline (measured: pair generation was 49 s
+    of the 61 s triangle row in the r6 30× probe). The pair list is
+    verified-pair-scale (tiny next to the corpus); at 100 TB this is the
+    stage you'd materialize as a table shared by all downstream graph
+    jobs."""
     shingles = _fresh_cache(
         "minhash_shingles", word_shingles(docs, text_col, id_col, shingle_n)
     )
     sigs = minhash_signatures(shingles, num_hashes)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    return _jaccard_verify(pairs, shingles, threshold)
+    return _fresh_cache(
+        "minhash_pairs", _jaccard_verify(pairs, shingles, threshold)
+    )
 
 
 def incremental_minhash_new_duplicates(
@@ -299,10 +326,15 @@ def _incremental_minhash_pairs(
         .select(F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b"))
         .distinct()
     )
+    from ..plans.audit import eager_checkpoint
+
     verified = _jaccard_verify(cand, sh_new.unionByName(sh_old), threshold)
-    return verified.select(
-        F.col("doc_a").alias("new_id"), F.col("doc_b").alias("corpus_id"), "jaccard"
-    ).localCheckpoint(eager=True)
+    return eager_checkpoint(
+        verified.select(
+            F.col("doc_a").alias("new_id"), F.col("doc_b").alias("corpus_id"), "jaccard"
+        ),
+        "incremental_minhash_new_duplicates",
+    )
 
 
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
@@ -794,7 +826,9 @@ def prefix_filter_jaccard_pairs(
     try:
         # verified-pair-list-sized; eager so the shingle/family caches are
         # released before returning
-        return out.localCheckpoint(eager=True)
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "prefix_filter_jaccard_pairs")
     finally:
         sh.unpersist()
         fams.unpersist()
@@ -844,9 +878,13 @@ def containment_prefix_pairs(
 
     Scale: frequency table is vocabulary-bounded; prefix rank is a window
     over one document's shingles; the candidate join streams prefix-token
-    collision lists over DISTINCT sets only. At t = 0.7 each distinct set
-    contributes ~30% of its shingles as prefix — the cost of full recall
-    on an unbounded-asymmetry measure.
+    collision lists over DISTINCT sets only, and only from the SMALLER
+    side of each potential pair (where the pigeonhole guarantee lives —
+    halves the match stream at zero recall loss). At t = 0.7 each
+    distinct set contributes ~30% of its shingles as prefix — the cost of
+    full recall on an unbounded-asymmetry measure. PPJoin positional and
+    suffix bounds were measured and rejected for this measure/corpus
+    (see candidate-generation comment below).
     """
     from pyspark.sql import Window
 
@@ -870,14 +908,30 @@ def containment_prefix_pairs(
             - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
             + 1
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", F.col("n_sh").alias("n_p"))
+    )
+    # SMALLER-SIDE candidate generation: the pigeonhole guarantee is
+    # one-sided — for a qualifying pair, max-direction containment is over
+    # the SMALLER set, so a common token is guaranteed inside the smaller
+    # doc's prefix specifically. Generating candidates only where the
+    # prefix side is the smaller doc (ties broken by id) halves the match
+    # stream with zero recall loss (measured sf0.1: 501 k → 254 k matches,
+    # 281 k → 245 k distinct pairs). Positional PPJoin-style pruning was
+    # ALSO measured and rejected: it needs a rank column on the unrestricted
+    # side (extra full-table window) yet removed only ~9% of matches /
+    # ~15% of pairs on this corpus, and the pair-level suffix bound pruned
+    # <0.1% — candidate collisions here sit on early rare tokens, where
+    # positional bounds are vacuous.
+    s_sized = rsh.join(sizes, "doc_id").select(
+        "doc_id", "sh", F.col("n_sh").alias("n_s")
+    )
+    smaller = (F.col("p.n_p") < F.col("s.n_s")) | (
+        (F.col("p.n_p") == F.col("s.n_s")) & (F.col("p.doc_id") < F.col("s.doc_id"))
     )
     cands = (
         prefix.alias("p")
-        .join(
-            rsh.alias("s"),
-            (F.col("p.sh") == F.col("s.sh")) & (F.col("p.doc_id") != F.col("s.doc_id")),
-        )
+        .join(s_sized.alias("s"), F.col("p.sh") == F.col("s.sh"))
+        .filter(smaller)
         .select(
             F.least("p.doc_id", "s.doc_id").alias("doc_a"),
             F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
@@ -897,9 +951,13 @@ def containment_prefix_pairs(
     rep_pairs = (
         inter.join(za, F.col("doc_a") == F.col("ka"))
         .join(zb, F.col("doc_b") == F.col("kb"))
+        # compare the rational directly — flooring to micros first loses
+        # exactness whenever t_num·10^6 is not divisible by t_den (e.g.
+        # t=1/3 would reject a pair with containment exactly 1/3); the
+        # micros columns in the output are display-only
         .filter(
-            (F.expr(f"((n_inter * 1000000) div n_a) * {t_den}") >= F.lit(t_num * 1000000))
-            | (F.expr(f"((n_inter * 1000000) div n_b) * {t_den}") >= F.lit(t_num * 1000000))
+            (F.col("n_inter") * t_den >= t_num * F.col("n_a"))
+            | (F.col("n_inter") * t_den >= t_num * F.col("n_b"))
         )
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
@@ -952,7 +1010,9 @@ def containment_prefix_pairs(
     try:
         # verified-pair-list-sized: materialize eagerly so the shingle
         # caches can be released before returning
-        return out.localCheckpoint(eager=True)
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "containment_prefix_pairs")
     finally:
         sh.unpersist()
         fams.unpersist()

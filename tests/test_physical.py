@@ -165,17 +165,27 @@ def test_plan_audit_all_batch_queries(spark, sf_dir):
     must sit directly above a KEYLESS PARTIAL aggregate — the canonical
     global-aggregate shape where one pre-combined row per partition crosses
     the exchange. A single-partition exchange over anything else is a funnel
-    that dies at scale."""
+    that dies at scale.
+
+    Eagerly-materializing operators run their real plans at BUILD time
+    behind a checkpoint boundary; plans/audit.capture_plans surfaces those
+    pre-checkpoint plans so the sweep covers them too (the r6 report-side
+    blind spot, closed for the hard gate as well)."""
     import re
 
     import __spark_entry__ as entry_mod
+
+    from adventureworkslakehousepoc_spark.plans.audit import capture_plans
 
     qs = entry_mod.queries()
     failures = []
     for name, fn in qs.items():
         if name.startswith("st_"):
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        with capture_plans() as fragments:
+            df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan += "".join(frag for _, frag in fragments)
         if "CartesianProduct" in plan:
             failures.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
