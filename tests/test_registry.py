@@ -415,3 +415,57 @@ def test_ledger_fingerprints_are_current():
     )
     # the registry's changed-output ordering input IS the ledger's table
     assert q._CHANGED_OUTPUT == tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
+
+
+def test_changed_output_derivation_rules():
+    """The fingerprint-drift derivation in scripts/row_age.py: a drift is
+    excused (attested) ONLY when the regeneration is the first after a new
+    driver round AND that round green-verified the query; mid-round
+    regenerations can never attest (the edit post-dates the driver run);
+    existing flags persist until attested the same way."""
+    import importlib.util
+    import types
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "row_age_script2", os.path.join(repo, "scripts", "row_age.py")
+    )
+    script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(script)
+    derive = script.derive_changed_output
+
+    def prev(gen_round, fp, changed=()):
+        m = types.SimpleNamespace()
+        m.GENERATED_AFTER_ROUND = gen_round
+        m.FINGERPRINT = fp
+        m.CHANGED_OUTPUT = changed
+        return m
+
+    # round-start regen after driver round 7: drifted q verified in r7 →
+    # attested, not flagged; drifted q NOT verified in r7 → flagged
+    last = {"a": 7, "b": 3}
+    new_fp = {"a": "x2", "b": "y2"}
+    old = prev(6, {"a": "x1", "b": "y1"})
+    assert derive(last, 7, new_fp, old) == ["b"]
+
+    # mid-round regen (ledger already at the latest driver round): drift is
+    # NEVER attested, even for a query verified in that round — the edit
+    # happened after the driver ran
+    old = prev(7, {"a": "x1", "b": "y2"})
+    assert derive(last, 7, new_fp, old) == ["a"]
+
+    # carried flags: an old flag on an unverified query persists even with
+    # no new drift; it clears once a round-start regen sees a green row
+    old = prev(6, {"a": "x2", "b": "y2"}, changed=("b",))
+    assert derive(last, 7, new_fp, old) == ["b"]
+    old = prev(6, {"a": "x2", "b": "y2"}, changed=("a",))
+    assert derive(last, 7, new_fp, old) == []
+
+    # a flag on a query that left the registry is dropped
+    old = prev(6, {"a": "x2", "b": "y2"}, changed=("gone",))
+    assert derive(last, 7, new_fp, old) == []
+
+    # first migration (no FINGERPRINT on the old module): nothing flagged
+    old = types.SimpleNamespace()
+    old.GENERATED_AFTER_ROUND = 6
+    assert derive(last, 7, new_fp, old) == []
