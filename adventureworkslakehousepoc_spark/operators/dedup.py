@@ -30,6 +30,7 @@ __all__ = [
     "word_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "band_selectivity_curve",
     "minhash_near_duplicates",
     "simhash_fingerprints",
     "simhash_near_duplicates",
@@ -1017,3 +1018,31 @@ def containment_prefix_pairs(
         sh.unpersist()
         fams.unpersist()
         rsh.unpersist()
+
+
+def band_selectivity_curve(
+    spark, bands: int = 8, rows_per_band: int = 2, step_pct: int = 2
+) -> DataFrame:
+    """Theoretical LSH collision curve for the configured banding: for each
+    Jaccard similarity s (a pct grid), the probability at least one of
+    ``bands`` bands of ``rows_per_band`` minhash rows collides,
+    ``p(s) = 1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+
+    This is the tuning artifact behind ``lsh_candidate_pairs``'s defaults
+    (b=8, r=2 → 50%-collision threshold s ≈ (1/b)^(1/r) ≈ 0.35): a corpus
+    operator reads it to pick banding for a target similarity cutoff before
+    paying for a full dedup sweep. Probability quantized to integer micros
+    after one closed-form double expression per row (IEEE-reproducible);
+    the whole table is ~50 rows — driver-light, no data scanned.
+    """
+    grid = spark.range(1, 100 // step_pct + 1).select(
+        (F.col("id") * step_pct).cast("int").alias("s_pct")
+    )
+    s = F.col("s_pct").cast("double") / 100.0
+    p = 1.0 - F.pow(1.0 - F.pow(s, float(rows_per_band)), float(bands))
+    return grid.select(
+        "s_pct",
+        F.lit(bands).cast("int").alias("bands"),
+        F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+        F.floor(p * 1000000.0 + 0.5).cast("bigint").alias("p_collide_micros"),
+    )

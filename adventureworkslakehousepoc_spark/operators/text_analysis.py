@@ -22,6 +22,9 @@ __all__ = [
     "tfidf_top_terms",
     "vocab_coverage",
     "LANG_MARKERS",
+    "GOPHER_STOP_WORDS",
+    "gopher_quality_flags",
+    "bm25_scores",
 ]
 
 # marker-stopword lists per language (n-gram-heuristic langid; tiny on purpose
@@ -814,3 +817,145 @@ def nucleus_continuations(
         (F.col("total") >= min_total)
         & (F.lit(p_den) * (F.col("cum") - F.col("n")) < F.lit(p_num) * F.col("total"))
     ).select("prefix", "next_word", "n", "rank", "total")
+
+
+# Gopher-style repetition/quality rule set (Rae et al. 2021, table A1 subset):
+# document-level stop set used by the "contains >= 2 stop words" rule.
+GOPHER_STOP_WORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 §A.1.1): per-document
+    feature columns plus one boolean per rule and a composite ``keep`` flag.
+    The classic pre-training corpus gate — a user filters with
+    ``.where("keep")`` and keeps the per-rule booleans for ablation counts.
+
+    Rules (word-level subset; the line-level bullet/ellipsis rules are
+    degenerate on this corpus's single-line documents and are represented by
+    the symbol-ratio rule that subsumes their intent):
+      * 50 <= n_words <= 100_000
+      * 3.0 <= mean word length <= 10.0
+      * symbol-to-word ratio ('#' or '...') <= 0.1
+      * >= 80% of words contain at least one [a-z] character
+      * document contains >= 2 distinct-position hits from the Gopher stop set
+
+    All expressions are single-projection Spark built-ins (codegen'd,
+    scan-parallel, no shuffle) — identical arithmetic shape to the DuckDB
+    oracle, so every double is IEEE-reproducible. Scale: embarrassingly
+    parallel map over the corpus; the filter pushes nothing but a scan.
+    """
+    from .dedup import spread
+
+    quoted = ", ".join(f"'{m}'" for m in GOPHER_STOP_WORDS)
+    base = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("t"),
+        F.split(F.col(text_col), " ").alias("words"),
+    )
+    n_hash = F.length("t") - F.length(F.regexp_replace(F.col("t"), "#", ""))
+    n_ellipsis = F.floor(
+        (F.length("t") - F.length(F.regexp_replace(F.col("t"), r"\.\.\.", ""))).cast("double")
+        / F.lit(3.0)
+    )
+    feats = base.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        (F.length(F.regexp_replace(F.col("t"), " ", "")).cast("double") / F.size("words")).alias(
+            "mean_word_len"
+        ),
+        ((n_hash + n_ellipsis).cast("double") / F.size("words")).alias("symbol_ratio"),
+        (
+            F.expr("size(filter(words, w -> w rlike '[a-z]'))").cast("double") / F.size("words")
+        ).alias("alpha_word_ratio"),
+        F.expr(f"size(filter(words, w -> w IN ({quoted})))").cast("int").alias("n_stop_hits"),
+    )
+    return feats.select(
+        "*",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).alias("r_word_count"),
+        ((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)).alias(
+            "r_mean_word_len"
+        ),
+        (F.col("symbol_ratio") <= 0.1).alias("r_symbol_ratio"),
+        (F.col("alpha_word_ratio") >= 0.8).alias("r_alpha_words"),
+        (F.col("n_stop_hits") >= 2).alias("r_stop_words"),
+    ).select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio")
+            & F.col("r_alpha_words")
+            & F.col("r_stop_words")
+        ).alias("keep"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    (Robertson/Spärck Jones probabilistic model) — the retrieval scorer a
+    training pipeline uses for targeted corpus slicing ("give me the docs
+    about X") and quality-weighted sampling.
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the standard
+    Lucene-positive variant); per-(doc, term) contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is quantized to
+    integer micro-units BEFORE the per-document sum, so the aggregate is
+    order-independent exact integer arithmetic (the ``tfidf_top_terms``
+    float discipline — a float sum across shuffle partitions would be
+    rounding-order nondeterministic).
+
+    Scale: tf aggregates with map-side partials on (doc, term); the df/idf
+    table is |query_terms| rows and broadcasts; the two corpus scalars
+    (N, total token count) are a 1-row broadcast crossJoin. One shuffle on
+    doc_id for the final sum — nothing else moves.
+    """
+    from .dedup import spread
+
+    terms = [t.replace("'", "''") for t in query_terms]
+    base = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("words")
+    )
+    dl = base.select("doc_id", F.size("words").alias("dl"), "words")
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("words").alias("term"))
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("dfc"))
+    idf = dfreq.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.log(
+            (F.col("nd").cast("double") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5) + 1.0
+        ).alias("idf"),
+        (F.col("sum_dl").cast("double") / F.col("nd")).alias("avgdl"),
+    )
+    contrib = F.floor(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl")))
+        * 1000000.0
+        + 0.5
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .select("doc_id", contrib.alias("contrib_micros"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+            F.sum("contrib_micros").cast("bigint").alias("bm25_micros"),
+        )
+    )

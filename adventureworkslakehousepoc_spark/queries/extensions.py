@@ -3613,3 +3613,117 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return n_docs_rows.unionByName(tok_rows).unionByName(dup_row).unionByName(lang_row).unionByName(med_row)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: retrieval scoring + named corpus-filter rule sets + LSH tuning
+# ---------------------------------------------------------------------------
+
+# the five highest-signal content words in the synthetic corpus vocabulary
+_BM25_TERMS = ("spark", "join", "window", "merge", "stream")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "bm25_doc_relevance",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    scal AS (
+      SELECT COUNT(*) AS nd, SUM(len(string_split(text, ' '))) AS sum_dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT d.doc_id, d.dl, t.term, COUNT(*) AS tf
+      FROM dl d, unnest(d.words) AS t(term)
+      WHERE t.term IN ({_BM25_IN})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_matched_terms,
+           CAST(SUM(CAST(FLOOR(
+             ln((CAST(s.nd AS DOUBLE) - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                   / (CAST(s.sum_dl AS DOUBLE) / s.nd)))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micros
+    FROM tf JOIN dfreq d USING (term), scal s
+    GROUP BY 1
+    """,
+)
+def bm25_relevance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 score of every document against a fixed query-term set
+    (operators/text_analysis.py::bm25_scores) — retrieval-weighted corpus
+    slicing. Per-term contributions quantized to integer micros before the
+    per-doc sum, so the aggregate is shuffle-order-independent."""
+    from ..operators.text_analysis import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+_GOPHER_IN = ", ".join(f"'{t}'" for t in ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+
+@query(
+    "text_gopher_rules",
+    rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST((LENGTH(text) - LENGTH(replace(text, '#', '')))
+                  + FLOOR(CAST(LENGTH(text) - LENGTH(replace(text, '...', '')) AS DOUBLE) / 3.0)
+               AS DOUBLE) / len(string_split(text, ' ')) AS symbol_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS alpha_word_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_GOPHER_IN}))) AS INTEGER) AS n_stop_hits
+      FROM documents
+    )
+    SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio
+              AND r_alpha_words AND r_stop_words) AS keep
+    FROM (
+      SELECT *,
+             (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+             (symbol_ratio <= 0.1) AS r_symbol_ratio,
+             (alpha_word_ratio >= 0.8) AS r_alpha_words,
+             (n_stop_hits >= 2) AS r_stop_words
+      FROM feats
+    )
+    """,
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus gate (operators/text_analysis.py::
+    gopher_quality_flags): per-rule booleans + composite keep flag, the
+    named filter set (Rae et al. 2021) a pre-training pipeline ablates."""
+    from ..operators.text_analysis import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
+@query(
+    "lsh_band_selectivity",
+    """
+    SELECT CAST(s_pct AS INTEGER) AS s_pct,
+           CAST(8 AS INTEGER) AS bands,
+           CAST(2 AS INTEGER) AS rows_per_band,
+           CAST(FLOOR((1.0 - power(1.0 - power(CAST(s_pct AS DOUBLE) / 100.0, 2.0), 8.0))
+                      * 1000000.0 + 0.5) AS BIGINT) AS p_collide_micros
+    FROM generate_series(2, 100, 2) AS t(s_pct)
+    """,
+)
+def lsh_band_selectivity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theoretical LSH s-curve for the dedup banding defaults
+    (operators/dedup.py::band_selectivity_curve) — the tuning table behind
+    the b=8, r=2 choice (50% collision at s ≈ 0.35)."""
+    from ..operators.dedup import band_selectivity_curve
+
+    return band_selectivity_curve(spark, bands=8, rows_per_band=2, step_pct=2)

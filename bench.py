@@ -161,6 +161,10 @@ EXTRA_QUERIES = [
     "s10_jsonl_explicit_schema",
     "s11_orc_roundtrip",
     "corpus_datasheet",
+    # round-7 additions
+    "bm25_doc_relevance",
+    "text_gopher_rules",
+    "lsh_band_selectivity",
 ]
 
 

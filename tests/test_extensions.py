@@ -1047,3 +1047,79 @@ def test_containment_threshold_exact_on_boundary_rational(spark):
     r = rows[(1, 2)]
     assert r["n_inter"] == 1 and r["n_a"] == 3
     assert all(3 not in k for k in rows), "disjoint doc must not pair"
+
+
+def test_bm25_hand_computed_single_doc_corpus(spark):
+    """BM25 on a 3-doc corpus where one query term appears in exactly one
+    doc: contribution must equal the hand-derived closed form."""
+    import math
+
+    from adventureworkslakehousepoc_spark.operators.text_analysis import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark"),       # dl=3, tf(spark)=2, tf(join)=1
+            (2, "table scan filter sort"), # dl=4, no hits
+            (3, "join order"),             # dl=2, tf(join)=1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, ("spark", "join"), k1=1.2, b=0.75).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_matched_terms"] == 2 and out[3]["n_matched_terms"] == 1
+
+    n, avgdl = 3, 9.0 / 3
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+    def contrib(tf, dl, df_):
+        return math.floor(
+            idf(df_) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6 + 0.5
+        )
+    assert out[1]["bm25_micros"] == contrib(2, 3, 1) + contrib(1, 3, 2)
+    assert out[3]["bm25_micros"] == contrib(1, 2, 2)
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    good = "the of data " + " ".join(["word"] * 60)  # 63 words, all rules pass
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of short"),                        # word-count rule fails
+            (3, "the of " + " ".join(["ab"] * 60)),     # mean word len < 3
+            (4, "the of " + " ".join(["####"] * 60)),   # symbol + alpha fail
+            (5, " ".join(["word"] * 60)),               # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["r_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["r_mean_word_len"] is False
+    assert out[4]["r_symbol_ratio"] is False and out[4]["r_alpha_words"] is False
+    assert out[5]["keep"] is False and out[5]["r_stop_words"] is False
+    # ellipsis counting: 2 literal '...' runs over 60+2 words is under the
+    # 0.1 cap, 62 words * 0.1 = 6.2 > 2 hits
+    assert out[1]["symbol_ratio"] == 0.0
+
+
+def test_band_selectivity_curve_shape(spark):
+    """p(s) is monotone in s, ~0 at s=0.02, ~1 at s=1.0, and crosses 50%
+    near the (1/b)^(1/r) threshold (~0.35 for b=8, r=2)."""
+    from adventureworkslakehousepoc_spark.operators.dedup import band_selectivity_curve
+
+    rows = band_selectivity_curve(spark, bands=8, rows_per_band=2, step_pct=2).collect()
+    assert len(rows) == 50
+    by_s = {r["s_pct"]: r["p_collide_micros"] for r in rows}
+    assert by_s[100] == 1_000_000
+    assert by_s[2] < 4000
+    vals = [by_s[s] for s in sorted(by_s)]
+    assert vals == sorted(vals)
+    crossing = min(s for s in sorted(by_s) if by_s[s] >= 500_000)
+    assert 30 <= crossing <= 40
