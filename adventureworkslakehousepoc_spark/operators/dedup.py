@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "band_selectivity_curve",
+    "minhash_estimate_calibration",
     "minhash_near_duplicates",
     "simhash_fingerprints",
     "simhash_near_duplicates",
@@ -1045,4 +1046,77 @@ def band_selectivity_curve(
         F.lit(bands).cast("int").alias("bands"),
         F.lit(rows_per_band).cast("int").alias("rows_per_band"),
         F.floor(p * 1000000.0 + 0.5).cast("bigint").alias("p_collide_micros"),
+    )
+
+
+def minhash_estimate_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Estimator-calibration report for the MinHash/LSH dedup path: for every
+    LSH candidate pair, the signature-estimated Jaccard (matching lanes /
+    num_hashes) next to the EXACT shingle-set Jaccard, plus the signed error.
+    This is how a pipeline validates its banding/threshold choices before a
+    corpus-wide sweep — estimator bias here means the verify threshold in
+    ``minhash_near_duplicates`` is doing more (or less) work than the theory
+    (E[matches/k] = J) promises.
+
+    All quantities integer-exact: lane matches are integer counts, both
+    Jaccard figures quantized by integer division, the error their exact
+    difference — so the DuckDB oracle replays the report bit-for-bit.
+
+    Scale: candidate pairs only (never all-pairs); the signature table joins
+    twice by doc id (verified-pair-scale, AQE broadcasts the pair side);
+    the shingle frame is the same one-slot cached frame the dedup pipeline
+    shares, so the explode+distinct shuffle is not re-paid in-session.
+    """
+    shingles = _fresh_cache(
+        "minhash_shingles", word_shingles(docs, text_col, id_col, shingle_n)
+    )
+    sigs = minhash_signatures(shingles, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    n_matching = sum(
+        F.when(F.col(f"x.h{s}") == F.col(f"y.h{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    lanes = (
+        pairs.join(sigs.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sigs.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", n_matching.cast("int").alias("n_matching_lanes"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    sa, sb = shingles.alias("sa"), shingles.alias("sb")
+    inter = (
+        pairs.alias("c")
+        .join(sa, F.col("c.doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").alias("n_b"))
+    return (
+        lanes.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint")))
+        .join(za, F.col("doc_a") == F.col("ka"))
+        .join(zb, F.col("doc_b") == F.col("kb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching_lanes",
+            F.expr(f"(n_matching_lanes * cast(1000000 as bigint)) div {num_hashes}").alias(
+                "est_jaccard_micros"
+            ),
+            F.expr("(n_inter * 1000000) div (n_a + n_b - n_inter)").alias(
+                "exact_jaccard_micros"
+            ),
+        )
+        .withColumn(
+            "err_micros", F.col("est_jaccard_micros") - F.col("exact_jaccard_micros")
+        )
     )

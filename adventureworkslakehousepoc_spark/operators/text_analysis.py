@@ -25,6 +25,7 @@ __all__ = [
     "GOPHER_STOP_WORDS",
     "gopher_quality_flags",
     "bm25_scores",
+    "perplexity_buckets",
 ]
 
 # marker-stopword lists per language (n-gram-heuristic langid; tiny on purpose
@@ -958,4 +959,44 @@ def bm25_scores(
             F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
             F.sum("contrib_micros").cast("bigint").alias("bm25_micros"),
         )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    rank documents by unigram-LM mean -log10 p(token) and split the corpus
+    into exact tertiles — ``head`` (most fluent), ``middle``, ``tail``. The
+    canonical pre-training corpus partitioning: train on head+middle, mine
+    tail for recall, ablate by bucket.
+
+    Per-doc score is the integer-micro mean (bigint div — order-free); the
+    within-language rank uses ``grouped_exact_ranks`` (bucketed rank
+    selection, skew-proof — a 90%-English corpus never collapses onto one
+    task the way a whole-language window would), and the tertile is exact
+    integer arithmetic ``((rank-1)·3) div n``. Ties break on doc id, so the
+    assignment is deterministic and the DuckDB oracle replays it.
+    """
+    from .aggregates import grouped_exact_ranks
+
+    scores = unigram_lm_scores(docs, text_col, id_col).select(
+        "doc_id",
+        F.expr("sum_neglog_micros div n_tokens").cast("bigint").alias("mean_micros"),
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(scores, "doc_id")
+    ranks = grouped_exact_ranks(scored, "lang", "mean_micros", "doc_id")
+    bucket_idx = F.expr("((rank - 1) * 3) div n")
+    return ranks.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("mean_micros").cast("bigint").alias("mean_neglog_micros"),
+        F.col("rank"),
+        F.col("n"),
+        F.when(bucket_idx == 0, F.lit("head"))
+        .when(bucket_idx == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

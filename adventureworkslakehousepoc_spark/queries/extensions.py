@@ -3727,3 +3727,102 @@ def lsh_band_selectivity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import band_selectivity_curve
 
     return band_selectivity_curve(spark, bands=8, rows_per_band=2, step_pct=2)
+
+
+_LANE_MATCH = " + ".join(f"(CASE WHEN x.h{s} = y.h{s} THEN 1 ELSE 0 END)" for s in range(16))
+
+
+@query(
+    "minhash_estimate_error",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS_SQL}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON p.doc_a = sa.doc_id
+      JOIN sh sb ON p.doc_b = sb.doc_id AND sa.sh = sb.sh
+      GROUP BY 1, 2
+    ),
+    lanes AS (
+      SELECT p.doc_a, p.doc_b, ({_LANE_MATCH}) AS n_matching
+      FROM pairs p
+      JOIN sig x ON p.doc_a = x.doc_id
+      JOIN sig y ON p.doc_b = y.doc_id
+    )
+    SELECT l.doc_a, l.doc_b,
+           CAST(l.n_matching AS INTEGER) AS n_matching_lanes,
+           CAST((l.n_matching * CAST(1000000 AS BIGINT)) // 16 AS BIGINT)
+             AS est_jaccard_micros,
+           CAST((COALESCE(i.n_inter, 0) * 1000000)
+                // (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+             AS exact_jaccard_micros,
+           CAST((l.n_matching * CAST(1000000 AS BIGINT)) // 16
+                - (COALESCE(i.n_inter, 0) * 1000000)
+                  // (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+             AS err_micros
+    FROM lanes l
+    LEFT JOIN inter i ON l.doc_a = i.doc_a AND l.doc_b = i.doc_b
+    JOIN sizes za ON l.doc_a = za.doc_id
+    JOIN sizes zb ON l.doc_b = zb.doc_id
+    """,
+)
+def minhash_estimate_error_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate set
+    (operators/dedup.py::minhash_estimate_calibration): signature-estimated
+    vs exact Jaccard + signed error, all integer-exact."""
+    from ..operators.dedup import minhash_estimate_calibration
+
+    return minhash_estimate_calibration(_docs(spark, sf_dir))
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    cc AS (SELECT w, SUM(cnt) AS cw FROM wc GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS tot FROM cc),
+    probs AS (
+      SELECT w, CAST(FLOOR(-log10(CAST(cw AS DOUBLE) / tot) * 1000000 + 0.5) AS BIGINT)
+               AS nl_u
+      FROM cc, tot
+    ),
+    doc_scores AS (
+      SELECT wc.doc_id,
+             CAST(CAST(SUM(wc.cnt * p.nl_u) AS BIGINT) // CAST(SUM(wc.cnt) AS BIGINT)
+                  AS BIGINT) AS mean_micros
+      FROM wc JOIN probs p ON wc.w = p.w
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.mean_micros,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.mean_micros, s.doc_id) AS rank,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM doc_scores s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           CAST(mean_micros AS BIGINT) AS mean_neglog_micros,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(n AS BIGINT) AS n,
+           CASE ((rank - 1) * 3) // n
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ranked
+    """,
+)
+def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split per language
+    (operators/text_analysis.py::perplexity_buckets): exact within-language
+    tertiles by unigram-LM mean -log10 p, skew-proof bucketed ranks."""
+    from ..operators.text_analysis import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))

@@ -165,6 +165,8 @@ EXTRA_QUERIES = [
     "bm25_doc_relevance",
     "text_gopher_rules",
     "lsh_band_selectivity",
+    "minhash_estimate_error",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -1123,3 +1123,51 @@ def test_band_selectivity_curve_shape(spark):
     assert vals == sorted(vals)
     crossing = min(s for s in sorted(by_s) if by_s[s] >= 500_000)
     assert 30 <= crossing <= 40
+
+
+def test_minhash_calibration_identical_docs_estimate_exact_one(spark):
+    """Two identical docs: every lane matches, est == exact == 1.0; a
+    planted near-dup pair appears with exact <= est bounds sane."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        minhash_estimate_calibration,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra tail words here")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in minhash_estimate_calibration(docs).collect()}
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12["n_matching_lanes"] == 16
+    assert r12["est_jaccard_micros"] == 1_000_000
+    assert r12["exact_jaccard_micros"] == 1_000_000
+    assert r12["err_micros"] == 0
+    for r in rows.values():
+        assert 0 <= r["n_matching_lanes"] <= 16
+        assert r["err_micros"] == r["est_jaccard_micros"] - r["exact_jaccard_micros"]
+
+
+def test_perplexity_buckets_exact_tertiles_per_lang(spark):
+    """9 docs in one language split 3/3/3; rare-word docs land in tail."""
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    common = "the the the the"
+    rows = []
+    for i in range(6):
+        rows.append((i, common, "en"))          # all-common → head-ish
+    rows.append((6, "rare1 rare2 rare3 rare4", "en"))
+    rows.append((7, "rare5 rare6 rare7 rare8", "en"))
+    rows.append((8, "rare9 rareA rareB rareC", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 9
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_bucket.values()) == [3, 3, 3]
+    # the three all-rare docs score strictly higher neglog → tail
+    assert sorted(by_bucket["tail"]) == [6, 7, 8]
