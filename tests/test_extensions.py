@@ -1171,3 +1171,71 @@ def test_perplexity_buckets_exact_tertiles_per_lang(spark):
     assert sorted(len(v) for v in by_bucket.values()) == [3, 3, 3]
     # the three all-rare docs score strictly higher neglog → tail
     assert sorted(by_bucket["tail"]) == [6, 7, 8]
+
+
+def test_minhash_calibration_equals_naive_reference(spark):
+    """Family collapse must be invisible: on a corpus with planted duplicate
+    families, the report equals a pure-Python naive per-pair computation
+    (md5-lane signatures, band collisions, exact set Jaccard)."""
+    import hashlib
+    from itertools import combinations
+
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        minhash_estimate_calibration,
+    )
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i j",          # exact dup of 1
+        3: "a b c d e f g h i j",          # exact dup of 1
+        4: "a b c d e f g x y z",          # near dup of family {1,2,3}
+        5: "p q r s t u v w",              # unrelated
+        6: "p q r s t u v w",              # exact dup of 5
+        7: "m n o",                        # single-shingle doc
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def shingle_set(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def signature(ss):
+        lanes = []
+        for s in range(16):
+            digs = (
+                hashlib.md5(f"{s // 4}:{sh}".encode()).hexdigest() for sh in ss
+            )
+            lanes.append(min(d[8 * (s % 4) : 8 * (s % 4) + 8] for d in digs))
+        return lanes
+
+    sets = {i: shingle_set(t) for i, t in texts.items()}
+    sigs = {i: signature(ss) for i, ss in sets.items() if ss}
+    expected = {}
+    for a, b in combinations(sorted(sigs), 2):
+        banded = any(
+            sigs[a][2 * j] + sigs[a][2 * j + 1] == sigs[b][2 * j] + sigs[b][2 * j + 1]
+            for j in range(8)
+        )
+        if not banded:
+            continue
+        n_match = sum(1 for s in range(16) if sigs[a][s] == sigs[b][s])
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        expected[(a, b)] = (
+            n_match,
+            n_match * 1_000_000 // 16,
+            inter * 1_000_000 // union,
+        )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_matching_lanes"],
+            r["est_jaccard_micros"],
+            r["exact_jaccard_micros"],
+        )
+        for r in minhash_estimate_calibration(docs).collect()
+    }
+    assert got == expected
+    # sanity: the corpus actually exercises both expansion paths
+    assert expected[(1, 2)][2] == 1_000_000  # intra-family
+    assert any(v[2] < 1_000_000 for v in expected.values())  # cross-family
