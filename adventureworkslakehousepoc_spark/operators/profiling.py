@@ -107,3 +107,48 @@ def skew_key_diagnostics(
             counts.unpersist()
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+def cross_source_overlap(
+    docs, text_col: str = "text", id_col: str = "doc_id", source_col: str = "source"
+):
+    """Inter-source duplication matrix: for every source pair, how many
+    distinct content hashes they SHARE, plus the share as a fraction of each
+    side's distinct contents (integer micros, asymmetric like containment).
+    The report that decides mixture weights when two crawls overlap (e.g.
+    one corpus is largely a subset of another — dedup before weighting, or
+    the shared mass is double-counted).
+
+    Scale: one distinct on (source, md5) — corpus-scale but map-side
+    combinable; the pair join is keyed on the 32-hex digest (collision-free
+    for counting), and per-source totals are a |sources|-row broadcast.
+    Output is |sources|² at most — driver-light.
+    """
+    from pyspark.sql import functions as F
+
+    sh = (
+        docs.select(F.col(source_col).alias("src"), F.md5(F.col(text_col)).alias("h"))
+        .distinct()
+    )
+    totals = sh.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_distinct").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_distinct").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(n_shared * 1000000) div n_a").alias("overlap_a_micros"),
+            F.expr("(n_shared * 1000000) div n_b").alias("overlap_b_micros"),
+        )
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "gopher_quality_flags",
     "bm25_scores",
     "perplexity_buckets",
+    "novelty_rates",
 ]
 
 # marker-stopword lists per language (n-gram-heuristic langid; tiny on purpose
@@ -999,4 +1000,42 @@ def perplexity_buckets(
         .when(bucket_idx == 1, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def novelty_rates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word ``shingle_n``-grams that appear NOWHERE else in the corpus
+    (document frequency 1). High novelty = original content; low novelty =
+    boilerplate/templated/duplicated text — the complement of the dedup
+    family of signals, and a cheap memorization-risk proxy (a doc whose
+    shingles all recur elsewhere teaches the model nothing new).
+
+    Integer-exact micros; documents with fewer than ``shingle_n`` words have
+    no shingles and produce no row (same domain as the shingle table).
+    Scale: the document-frequency table is one map-side-combinable aggregate
+    over the (already distinct) shingle frame; the unique-flag join is
+    shingle-keyed and AQE-managed; one final doc-keyed aggregate.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, text_col, id_col, n=shingle_n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("(n_unique * 1000000) div n_shingles").alias("novelty_micros"),
+        )
     )

@@ -3826,3 +3826,56 @@ def ccnet_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import perplexity_buckets
 
     return perplexity_buckets(_docs(spark, sf_dir))
+
+
+@query(
+    "cross_source_overlap",
+    """
+    WITH sh AS (SELECT DISTINCT source AS src, md5(text) AS h FROM documents),
+    totals AS (SELECT src, COUNT(*) AS n_distinct FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(ta.n_distinct AS BIGINT) AS n_a,
+           CAST(tb.n_distinct AS BIGINT) AS n_b,
+           CAST((s.n_shared * 1000000) // ta.n_distinct AS BIGINT) AS overlap_a_micros,
+           CAST((s.n_shared * 1000000) // tb.n_distinct AS BIGINT) AS overlap_b_micros
+    FROM shared s
+    JOIN totals ta ON s.source_a = ta.src
+    JOIN totals tb ON s.source_b = tb.src
+    """,
+)
+def cross_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix (operators/profiling.py::
+    cross_source_overlap): shared distinct content hashes per source pair +
+    asymmetric overlap fractions — the mixture-weight double-count check."""
+    from ..operators.profiling import cross_source_overlap
+
+    return cross_source_overlap(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_novelty_rates",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST((SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS novelty_micros
+    FROM sh s JOIN dfreq d ON s.sh = d.sh
+    GROUP BY 1
+    """,
+)
+def doc_novelty_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (operators/text_analysis.py::novelty_rates):
+    fraction of a doc's distinct 3-gram shingles with corpus df = 1 —
+    original-content signal / memorization-risk proxy, integer micros."""
+    from ..operators.text_analysis import novelty_rates
+
+    return novelty_rates(_docs(spark, sf_dir))

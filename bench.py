@@ -167,6 +167,8 @@ EXTRA_QUERIES = [
     "lsh_band_selectivity",
     "minhash_estimate_error",
     "ccnet_perplexity_buckets",
+    "cross_source_overlap",
+    "doc_novelty_rates",
 ]
 
 

@@ -1239,3 +1239,49 @@ def test_minhash_calibration_equals_naive_reference(spark):
     # sanity: the corpus actually exercises both expansion paths
     assert expected[(1, 2)][2] == 1_000_000  # intra-family
     assert any(v[2] < 1_000_000 for v in expected.values())  # cross-family
+
+
+def test_cross_source_overlap_counts_shared_distinct_contents(spark):
+    from adventureworkslakehousepoc_spark.operators.profiling import (
+        cross_source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha", "s1"),
+            (2, "alpha", "s1"),   # duplicate WITHIN s1 — counts once
+            (3, "alpha", "s2"),   # shared with s1
+            (4, "beta", "s2"),
+            (5, "beta", "s3"),    # shared s2/s3
+            (6, "gamma", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r for r in cross_source_overlap(docs).collect()}
+    assert set(out) == {("s1", "s2"), ("s2", "s3")}
+    r = out[("s1", "s2")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 1, 2)
+    assert r["overlap_a_micros"] == 1_000_000  # s1 entirely contained in s2
+    assert r["overlap_b_micros"] == 500_000
+    r = out[("s2", "s3")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
+
+
+def test_novelty_rates_unique_vs_duplicated_shingles(spark):
+    from adventureworkslakehousepoc_spark.operators.text_analysis import novelty_rates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles {a b c, b c d}
+            (2, "a b c x"),        # shares 'a b c' with doc 1
+            (3, "p q r s t"),      # fully novel
+            (4, "xy"),             # < 3 words → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in novelty_rates(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_shingles"], out[1]["n_unique"]) == (2, 1)
+    assert out[1]["novelty_micros"] == 500_000
+    assert (out[2]["n_shingles"], out[2]["n_unique"]) == (2, 1)
+    assert out[3]["novelty_micros"] == 1_000_000
