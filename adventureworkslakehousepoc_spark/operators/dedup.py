@@ -744,7 +744,10 @@ def prefix_filter_jaccard_pairs(
     from pyspark.sql import Window
 
     threshold = t_num / t_den
-    sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
+    # hashed=True: every exchange/sort below carries 8-byte shingle ids, not
+    # ~6n-byte strings — output is counts only, so identity is all that
+    # matters (word_shingles documents the 2^-64 collision trade)
+    sh = word_shingles(docs, text_col, id_col, n=shingle_n, hashed=True).persist()
     # Prefix filtering assumes an exact-deduped input — on a duplicate-heavy
     # corpus (the 100 TB reality) identical shingle sets flood every prefix
     # collision list and the candidate join goes quadratic in the COPY
@@ -755,7 +758,9 @@ def prefix_filter_jaccard_pairs(
     # identical to the naive all-pairs join; compute is quadratic only in
     # DISTINCT similar sets.
     fams = sh.groupBy("doc_id").agg(
-        F.md5(F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")))).alias("sig")
+        F.md5(
+            F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>"))
+        ).alias("sig")
     ).persist()
     reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
     rsh = sh.join(
@@ -890,9 +895,13 @@ def containment_prefix_pairs(
     """
     from pyspark.sql import Window
 
-    sh = word_shingles(docs, text_col, id_col, n=shingle_n).persist()
+    # hashed shingle ids (8-byte ints) for the same reason as
+    # prefix_filter_jaccard_pairs: the output is pure counts
+    sh = word_shingles(docs, text_col, id_col, n=shingle_n, hashed=True).persist()
     fams = sh.groupBy("doc_id").agg(
-        F.md5(F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")))).alias("sig")
+        F.md5(
+            F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>"))
+        ).alias("sig")
     ).persist()
     reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
     rsh = sh.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id").persist()
