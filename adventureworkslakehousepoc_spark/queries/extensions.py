@@ -3879,3 +3879,117 @@ def doc_novelty_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import novelty_rates
 
     return novelty_rates(_docs(spark, sf_dir))
+
+
+_V5_SQL = f"""
+    WITH g AS (
+      SELECT * FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 50 AND 100000
+        AND CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')) BETWEEN 3.0 AND 10.0
+        AND CAST((LENGTH(text) - LENGTH(replace(text, '#', '')))
+              + FLOOR(CAST(LENGTH(text) - LENGTH(replace(text, '...', '')) AS DOUBLE) / 3.0)
+              AS DOUBLE) / len(string_split(text, ' ')) <= 0.1
+        AND CAST(len(list_filter(string_split(text, ' '),
+                                 w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.8
+        AND len(list_filter(string_split(text, ' '), w -> w IN ({_GOPHER_IN}))) >= 2
+    ),
+    reps AS (SELECT md5(text) AS ch, MIN(doc_id) AS kept_id FROM g GROUP BY 1),
+    s2 AS (SELECT g.* FROM g JOIN reps r ON g.doc_id = r.kept_id),
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s2),
+    wc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+    cc AS (SELECT w, SUM(cnt) AS cw FROM wc GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS tot FROM cc),
+    probs AS (
+      SELECT w, CAST(FLOOR(-log10(CAST(cw AS DOUBLE) / tot) * 1000000 + 0.5) AS BIGINT)
+               AS nl_u
+      FROM cc, tot
+    ),
+    doc_scores AS (
+      SELECT wc.doc_id,
+             CAST(CAST(SUM(wc.cnt * p.nl_u) AS BIGINT) // CAST(SUM(wc.cnt) AS BIGINT)
+                  AS BIGINT) AS mean_micros
+      FROM wc JOIN probs p ON wc.w = p.w
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.mean_micros,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.mean_micros, s.doc_id) AS rank,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM doc_scores s JOIN s2 d USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             CASE ((rank - 1) * 3) // n
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+             END AS bucket
+      FROM ranked
+    ),
+    sh AS (
+      SELECT DISTINCT d.doc_id,
+             d.words[i] || ' ' || d.words[i+1] || ' ' || d.words[i+2] AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM s2) d,
+           unnest(generate_series(1, len(d.words) - 2)) AS t(i)
+    ),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+    nov AS (
+      SELECT s.doc_id,
+             CAST((SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                  AS BIGINT) AS novelty_micros
+      FROM sh s JOIN dfreq d ON s.sh = d.sh
+      GROUP BY 1
+    )
+    SELECT b.lang, b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(s2.text, ' '))) AS BIGINT) AS n_tokens_total,
+           CAST(SUM(nov.novelty_micros) // COUNT(*) AS BIGINT) AS avg_novelty_micros
+    FROM bucketed b
+    JOIN s2 USING (doc_id)
+    JOIN nov USING (doc_id)
+    WHERE b.bucket <> 'tail'
+    GROUP BY 1, 2
+"""
+
+
+@query("training_corpus_pipeline_v5", _V5_SQL)
+def training_corpus_pipeline_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 corpus pipeline: Gopher-rule gate → exact dedup → CCNet
+    perplexity bucketing trained on the SURVIVING corpus (head+middle kept,
+    tail dropped) → per-(lang, bucket) accounting with mean n-gram novelty.
+    Every stage is the already-oracle-checked round-7 operator; ONE DuckDB
+    oracle replays the whole chain including the self-referential LM and
+    novelty statistics. Stage boundaries eager-checkpoint (the tables you'd
+    materialize at 100 TB)."""
+    from ..operators.dedup import exact_duplicate_groups
+    from ..operators.text_analysis import (
+        gopher_quality_flags,
+        novelty_rates,
+        perplexity_buckets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kept = gopher_quality_flags(docs).filter(F.col("keep")).select("doc_id")
+    s1 = docs.join(kept, "doc_id").localCheckpoint(eager=True)
+    reps = exact_duplicate_groups(s1).select(
+        F.col("representative_id").alias("doc_id")
+    )
+    s2 = s1.join(reps, "doc_id").localCheckpoint(eager=True)
+    buckets = perplexity_buckets(s2).filter(F.col("bucket") != "tail").select(
+        "doc_id", "lang", "bucket"
+    )
+    nov = novelty_rates(s2).select("doc_id", "novelty_micros")
+    toks = s2.select("doc_id", F.size(F.split("text", " ")).alias("n_ws"))
+    return (
+        buckets.join(toks, "doc_id")
+        .join(nov, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_ws").cast("bigint").alias("n_tokens_total"),
+            F.expr("sum(novelty_micros) div count(1)").cast("bigint").alias(
+                "avg_novelty_micros"
+            ),
+        )
+    )

@@ -169,6 +169,7 @@ EXTRA_QUERIES = [
     "ccnet_perplexity_buckets",
     "cross_source_overlap",
     "doc_novelty_rates",
+    "training_corpus_pipeline_v5",
 ]
 
 
