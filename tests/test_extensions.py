@@ -1285,3 +1285,21 @@ def test_novelty_rates_unique_vs_duplicated_shingles(spark):
     assert out[1]["novelty_micros"] == 500_000
     assert (out[2]["n_shingles"], out[2]["n_unique"]) == (2, 1)
     assert out[3]["novelty_micros"] == 1_000_000
+
+
+def test_perplexity_buckets_partition_invariant(spark, sf_dir):
+    """Bucket assignment is a pure function of the corpus — repartitioning
+    must not move any document (guards the bucketed-rank machinery against
+    partition-order leakage)."""
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = {r["doc_id"]: (r["bucket"], r["rank"]) for r in perplexity_buckets(docs).collect()}
+    b = {
+        r["doc_id"]: (r["bucket"], r["rank"])
+        for r in perplexity_buckets(docs.repartition(13)).collect()
+    }
+    assert a == b
