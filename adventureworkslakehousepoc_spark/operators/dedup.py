@@ -1202,3 +1202,64 @@ def minhash_estimate_calibration(
             rsh.unpersist()
     finally:
         fams.unpersist()
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, each copy
+    of a text repeated ``m`` times corpus-wide is DOWN-WEIGHTED to
+    ``1/m`` — total sampling mass per distinct text stays 1, so frequent
+    boilerplate stops dominating the token budget without discarding the
+    (sometimes highest-quality) duplicated pages outright. This is the
+    duplicate-aware loss/sampling weight used as an alternative to hard
+    dedup in training-mixture construction.
+
+    Per group: raw docs and tokens, effective (weight-summed) docs and
+    tokens in exact integer micros (``weight = 10⁶ div m`` — integer
+    division, so sums are order-independent bigints), and the dedup
+    pressure ratio raw/effective. A group of pristine unique text shows
+    ratio 1.0; a crawl that is 90% one template shows ~10×.
+
+    Scale (100 TB): family sizes come from one partial-aggregated groupBy
+    on the content digest; the weight rejoin is a digest-keyed equi-join
+    against that distinct-text-scale table (never all-pairs); the final
+    rollup is one group-key aggregate. All counts bigint-exact.
+    """
+    h = docs.select(
+        F.col(group_col).alias("group_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("toks"),
+    )
+    fam = h.groupBy("content_hash").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    j = h.join(fam, "content_hash").select(
+        "group_id",
+        "toks",
+        F.expr("1000000 div m").alias("w_u"),
+    )
+    return (
+        j.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").alias("raw_tokens"),
+            F.sum("w_u").alias("eff_docs_micros"),
+            F.sum(F.col("toks") * F.col("w_u")).alias("eff_tokens_micros"),
+        )
+        .select(
+            "group_id",
+            "n_docs",
+            "raw_tokens",
+            "eff_docs_micros",
+            "eff_tokens_micros",
+            # dedup pressure: raw token mass over effective token mass, micros.
+            # The effective mass is floored back to whole tokens first so the
+            # numerator stays ≤ raw_tokens·10⁶ — bigint-safe at 10¹² corpus
+            # tokens, where raw_tokens·10¹² would overflow
+            F.expr(
+                "(raw_tokens * 1000000) div greatest(eff_tokens_micros div 1000000, 1)"
+            ).alias("dedup_pressure_micros"),
+        )
+    )

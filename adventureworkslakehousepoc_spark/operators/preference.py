@@ -1,6 +1,7 @@
 """Preference-data / RLHF-prep operators: group-relative reward
-normalization (the GRPO/RLOO advantage computation) and DPO-style
-chosen/rejected pair mining.
+normalization (the GRPO/RLOO advantage computation), DPO-style
+chosen/rejected pair mining, Bradley-Terry strength fitting over pairwise
+outcomes, and length-bias removal from scalar rewards.
 
 Both follow the repo's exact-integer float discipline so every value is
 bit-reproducible across engines and partitionings: rewards quantize once to
@@ -20,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["reward_group_normalize", "dpo_pairs"]
+__all__ = [
+    "reward_group_normalize",
+    "dpo_pairs",
+    "bradley_terry_strengths",
+    "reward_length_debias",
+    "dpo_pairs_debiased",
+]
 
 
 def reward_group_normalize(
@@ -156,5 +163,268 @@ def dpo_pairs(
             "chosen_score_u",
             "rejected_score_u",
             (F.col("chosen_score_u") - F.col("rejected_score_u")).alias("margin_u"),
+        )
+    )
+
+
+def bradley_terry_strengths(
+    events: DataFrame,
+    item_col: str = "event_type",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    iterations: int = 3,
+) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise preference outcomes —
+    the rank-models-from-human-comparisons pass of RLHF data curation (the
+    Chatbot-Arena / reward-model-calibration shape). Each judge
+    (``group_col``) induces one decided comparison per item pair it scored:
+    the item with the larger exact milli-unit reward total wins, exact ties
+    are discarded. The MM update (Hunter 2004, "MM algorithms for
+    generalized Bradley-Terry models") then iterates
+    ``s_i ← w_i / Σ_j n_ij / (s_i + s_j)``, renormalized each round so
+    strengths sum to ``|items| · 10⁶`` micros.
+
+    Exactness: rewards quantize once to millis (bigint sums are exact);
+    every MM quantity stays in integer micros — the per-opponent term is
+    ``(n_ij · 10¹²) div (s_i + s_j)``, summed exactly, and the update and
+    renormalization are integer divisions — so the fixed-iteration run is
+    bit-reproducible in any engine and an unrolled SQL CTE replays it.
+    ``greatest(·, 1)`` guards the two denominators; items whose every
+    comparison tied are absent (no decided game → undefined strength).
+
+    Scale (100 TB): the corpus-sized work is ONE partial-aggregated
+    groupBy((group, item)); the per-judge self-join fans out ≤ |items|²/2
+    rows per judge (vocabulary-bounded), collapsing immediately to the
+    |items|²-bounded win matrix. The MM loop runs on that tiny matrix with
+    an eager per-round checkpoint (the pagerank idiom — keeps Catalyst from
+    re-planning a growing tree), and the normalization scalar is a 1-row
+    broadcast. No collect anywhere.
+    """
+    vu = F.floor(F.col(value_col).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    tot = (
+        events.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("item"), vu.alias("vu")
+        )
+        .groupBy("g", "item")
+        .agg(F.sum("vu").alias("vu"))
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    decided = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") < F.col("b.item"))
+            & (F.col("a.vu") != F.col("b.vu")),
+        )
+        .select(
+            F.col("a.item").alias("i"),
+            F.col("b.item").alias("j"),
+            F.when(F.col("a.vu") > F.col("b.vu"), F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
+        )
+    )
+    mat = (
+        decided.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("win_i").cast("bigint").alias("w_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym = mat.select("i", "j", "n").unionByName(
+        mat.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
+    )
+    wins = (
+        mat.select(F.col("i").alias("item"), F.col("w_i").alias("w"))
+        .unionByName(mat.select(F.col("j").alias("item"), (F.col("n") - F.col("w_i")).alias("w")))
+        .groupBy("item")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    games = sym.groupBy("i").agg(F.sum("n").alias("n_games")).withColumnRenamed("i", "item")
+    n_items = wins.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    s = wins.select("item", F.lit(1000000).cast("bigint").alias("s"))
+    for _ in range(iterations):
+        si = s.select(F.col("item").alias("i"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("item").alias("j"), F.col("s").alias("s_j"))
+        d = (
+            sym.join(si, "i")
+            .join(sj, "j")
+            .select(
+                F.col("i").alias("item"),
+                F.expr("(n * 1000000000000) div greatest(s_i + s_j, 1)").alias("t"),
+            )
+            .groupBy("item")
+            .agg(F.sum("t").alias("d"))
+        )
+        raw = wins.join(d, "item").select(
+            "item", F.expr("(w * 1000000000000) div greatest(d, 1)").alias("raw")
+        )
+        total = raw.agg(F.sum("raw").alias("total"))
+        s = (
+            raw.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(n_items))
+            .select(
+                "item",
+                F.expr("(raw * n_items * 1000000) div greatest(total, 1)").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        s.join(wins, "item")
+        .join(games, "item")
+        .select(
+            "item",
+            F.col("n_games").cast("bigint").alias("n_games"),
+            F.col("w").cast("bigint").alias("n_wins"),
+            F.col("s").alias("strength_micros"),
+        )
+    )
+    # rank WITHOUT a global window (a keyless window funnels one task —
+    # plan-gate-forbidden even on this tiny table): broadcast non-equi
+    # self-join counts strictly-stronger predecessors, the zipf idiom
+    r = out.select(F.col("item").alias("r_item"), F.col("strength_micros").alias("r_s"))
+    return (
+        out.join(
+            F.broadcast(r),
+            (F.col("r_s") > F.col("strength_micros"))
+            | (
+                (F.col("r_s") == F.col("strength_micros"))
+                & (F.col("r_item") < F.col("item"))
+            ),
+            "left",
+        )
+        .groupBy("item", "n_games", "n_wins", "strength_micros")
+        .agg((F.count("r_item") + 1).cast("int").alias("rank"))
+    )
+
+
+def reward_length_debias(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bias removal from a scalar reward — the debiasing pass that
+    keeps preference mining from learning "longer is better" (the classic
+    reward-model length exploit). Per group, ordinary least squares of the
+    reward (distinct-token-fraction score in micros, the repo's stand-in
+    judge) on document length in words; each document's training signal
+    becomes the RESIDUAL ``r = y − ŷ(len)``.
+
+    Exactness: scores quantize once to integer micros and lengths are
+    integer words, so the five group sums (n, Σx, Σy, Σx², Σxy) are exact
+    bigints (magnitudes < 2^57 even at 10⁹-doc groups with 10³-word docs).
+    The slope is the one IEEE division ``num/den`` of those exact integers,
+    and the prediction/residual chain (mean, centering, multiply, subtract)
+    runs the SAME operation sequence in every engine before a final
+    floor(·+0.5) micro-quantization — bit-reproducible, the
+    reward_group_normalize discipline. Degenerate groups (n == 1 or zero
+    length variance) fall back to slope 0 (residual = centered score).
+
+    Scale: one map-side-combined aggregate on the group key; the stats
+    table is group-scale and broadcast back — no corpus-sized rejoin, no
+    window.
+    """
+    words = F.split(F.col(text_col), " ")
+    score_u = F.floor(
+        F.size(F.array_distinct(words)).cast("double") / F.size(words) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    base = docs.select(
+        F.col(group_col).alias("group_id"),
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("bigint").alias("x"),
+        score_u.alias("y"),
+    )
+    stats = base.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    j = base.join(F.broadcast(stats), "group_id")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    # operation order mirrored verbatim in the oracle SQL: mean_y, centered
+    # x, multiply, add, subtract — identical IEEE sequence in both engines
+    pred = (F.col("sy").cast("double") / F.col("n").cast("double")) + slope * (
+        F.col("x").cast("double") - F.col("sx").cast("double") / F.col("n").cast("double")
+    )
+    resid = F.floor(F.col("y").cast("double") - pred + F.lit(0.5)).cast("bigint")
+    return j.select(
+        "group_id",
+        "doc_id",
+        F.col("x").alias("n_words"),
+        F.col("y").alias("score_u"),
+        F.floor(slope * 1000 + F.lit(0.5)).cast("bigint").alias("slope_milli_u_per_word"),
+        resid.alias("resid_micros"),
+    )
+
+
+def dpo_pairs_debiased(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs_per_group: int = 5,
+) -> DataFrame:
+    """DPO pair mining on the LENGTH-DEBIASED reward: chosen/rejected are
+    the top-m / bottom-m by OLS residual (``reward_length_debias``) instead
+    of the raw score, so pairs can no longer be won by verbosity alone —
+    composing the two passes the way a production preference pipeline
+    would. Each emitted pair also carries both documents' word counts and a
+    ``raw_agrees`` flag (would raw-score mining have ordered this pair the
+    same way?) so the bias the debiasing removed is auditable.
+
+    Same mirrored-total-order + grouped_topk machinery as ``dpo_pairs``:
+    (resid DESC, id ASC) vs (resid ASC, id DESC), ties on residual dropped.
+    """
+    from .similarity import grouped_topk
+
+    scored = reward_length_debias(docs, group_col, id_col, text_col).select(
+        "group_id", "doc_id", "n_words", "score_u", F.col("resid_micros").alias("r")
+    )
+    top = grouped_topk(
+        scored, ["group_id"], pairs_per_group, [F.desc("r"), F.asc("doc_id")],
+        rank_name="pair_rank",
+    )
+    bottom = grouped_topk(
+        scored, ["group_id"], pairs_per_group, [F.asc("r"), F.desc("doc_id")],
+        rank_name="pair_rank",
+    )
+    return (
+        top.select(
+            "group_id",
+            "pair_rank",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("r").alias("chosen_resid_u"),
+            F.col("score_u").alias("chosen_score_u"),
+            F.col("n_words").alias("chosen_words"),
+        )
+        .join(
+            bottom.select(
+                "group_id",
+                "pair_rank",
+                F.col("doc_id").alias("rejected_id"),
+                F.col("r").alias("rejected_resid_u"),
+                F.col("score_u").alias("rejected_score_u"),
+                F.col("n_words").alias("rejected_words"),
+            ),
+            ["group_id", "pair_rank"],
+        )
+        .filter(F.col("chosen_resid_u") > F.col("rejected_resid_u"))
+        .select(
+            "group_id",
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_resid_u",
+            "rejected_resid_u",
+            (F.col("chosen_resid_u") - F.col("rejected_resid_u")).alias("margin_u"),
+            "chosen_words",
+            "rejected_words",
+            (F.col("chosen_score_u") > F.col("rejected_score_u")).alias("raw_agrees"),
         )
     )

@@ -375,3 +375,76 @@ def reconcile_tables(
             ).alias("is_match"),
         )
     )
+
+
+def labeler_agreement_kappa(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairwise Cohen's kappa between the four weak labelers of
+    ``weak_label_votes`` — the inter-annotator-agreement audit run before
+    trusting programmatic labels (two labelers that agree no better than
+    chance add votes, not signal). One global aggregate computes every
+    pair's 2×2 confusion table (both-true / a-only / b-only / both-false)
+    as exact integer sums of boolean products in a single corpus scan —
+    zero shuffles beyond the 2-stage partial/final aggregate — then the six
+    |pairs|-scale rows are unpivoted from that one row.
+
+    κ = (p_o − p_e)/(1 − p_e) with p_o = (a+d)/n and
+    p_e = ((a+b)(a+c) + (c+d)(b+d))/n², i.e. the exact rational
+    ``(n·(a+d) − pe_num) / (n² − pe_num)``. Both numerator and denominator
+    are exact bigints (< 2^53 up to ~10⁸-doc corpora per partition-safe
+    sum; the squared-n term is the binding one), and the one IEEE division
+    happens on those exact integers before a floor(·+0.5) micro-quantize —
+    bit-reproducible across engines. Chance-degenerate pairs
+    (n² == pe_num, a constant labeler) emit κ = 0 by convention.
+
+    Returns (labeler_a, labeler_b, n_docs, both_true, a_only, b_only,
+    both_false, po_micros, pe_micros, kappa_micros), labeler_a < labeler_b.
+    """
+    labels = ["l_length", "l_stopword", "l_repetition", "l_alpha"]
+    v = weak_label_votes(docs, text_col, id_col)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    pairs = [(i, j) for i in range(len(labels)) for j in range(i + 1, len(labels))]
+    for i, j in pairs:
+        li, lj = F.col(labels[i]), F.col(labels[j])
+        aggs += [
+            F.sum(F.when(li & lj, 1).otherwise(0)).cast("bigint").alias(f"a_{i}{j}"),
+            F.sum(F.when(li & ~lj, 1).otherwise(0)).cast("bigint").alias(f"b_{i}{j}"),
+            F.sum(F.when(~li & lj, 1).otherwise(0)).cast("bigint").alias(f"c_{i}{j}"),
+        ]
+    one = v.agg(*aggs)
+    stack = ", ".join(
+        f"'{labels[i]}', '{labels[j]}', a_{i}{j}, b_{i}{j}, c_{i}{j}" for i, j in pairs
+    )
+    rows = one.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (labeler_a, labeler_b, a, b, c)"
+        ),
+    ).select("n", "labeler_a", "labeler_b", "a", "b", "c", (F.col("n") - F.col("a") - F.col("b") - F.col("c")).alias("d"))
+    po_num = F.col("a") + F.col("d")
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    k_num = F.col("n") * po_num - pe_num
+    k_den = F.col("n") * F.col("n") - pe_num
+    kappa = F.when(
+        k_den > 0,
+        F.floor(k_num.cast("double") / k_den.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return rows.select(
+        "labeler_a",
+        "labeler_b",
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("both_true"),
+        F.col("b").alias("a_only"),
+        F.col("c").alias("b_only"),
+        F.col("d").alias("both_false"),
+        F.expr("(1000000 * (a + d)) div n").alias("po_micros"),
+        F.expr(
+            "(1000000 * ((a + b) * (a + c) + (c + d) * (b + d))) div (n * n)"
+        ).alias("pe_micros"),
+        kappa.alias("kappa_micros"),
+    )

@@ -1039,3 +1039,51 @@ def novelty_rates(
             F.expr("(n_unique * 1000000) div n_shingles").alias("novelty_micros"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word (fertility — the multilingual-tokenizer-equity metric:
+    a language whose words fragment into 3× more subword tokens pays 3× the
+    sequence length for the same content) plus chars-per-token compression
+    and tokens-per-doc, all as exact integer-micro ratios of bigint sums.
+
+    One narrow scan (the same regex token counter as ``token_counts``) into
+    one partial-aggregated groupBy on the language key — language domain is
+    vocabulary-scale, so the output is tiny at any corpus size.
+    """
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("w"),
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("t"),
+        F.length(F.col(text_col)).cast("bigint").alias("c"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("c").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 1000000) div greatest(n_words, 1)").alias(
+                "fertility_micros"
+            ),
+            F.expr("(n_chars * 1000000) div greatest(n_tokens, 1)").alias(
+                "chars_per_token_micros"
+            ),
+            F.expr("(n_tokens * 1000000) div greatest(n_docs, 1)").alias(
+                "tokens_per_doc_micros"
+            ),
+        )
+    )

@@ -3993,3 +3993,296 @@ def training_corpus_pipeline_v5_q(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: preference-data / corpus-weighting family — Bradley-Terry strength
+# fitting, reward length-debiasing (+ debiased DPO mining), weak-labeler
+# agreement, soft dedup weighting, tokenizer fertility.
+# ---------------------------------------------------------------------------
+
+
+def _bt_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled MM iterations mirroring bradley_terry_strengths exactly:
+    every quantity integer micros, `//` == Spark `div` (operands are
+    non-negative throughout)."""
+    head = """
+    WITH tot AS (
+      SELECT user_id AS g, event_type AS item,
+             CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS vu
+      FROM events GROUP BY 1, 2
+    ),
+    pw AS (
+      SELECT a.item AS i, b.item AS j,
+             CASE WHEN a.vu > b.vu THEN 1 ELSE 0 END AS win_i
+      FROM tot a JOIN tot b ON a.g = b.g AND a.item < b.item AND a.vu <> b.vu
+    ),
+    mat AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(win_i) AS BIGINT) AS w_i
+            FROM pw GROUP BY 1, 2),
+    sym AS (SELECT i, j, n FROM mat UNION ALL SELECT j AS i, i AS j, n FROM mat),
+    wins AS (
+      SELECT item, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT i AS item, w_i AS w FROM mat
+        UNION ALL SELECT j AS item, n - w_i AS w FROM mat
+      ) GROUP BY 1
+    ),
+    games AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS n_games FROM sym GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM wins),
+    s0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s FROM wins)"""
+    iters = []
+    for k in range(1, iterations + 1):
+        prev = f"s{k - 1}"
+        iters.append(
+            f""",
+    d{k} AS (SELECT sym.i AS item,
+                   CAST(SUM((sym.n * 1000000000000) // GREATEST(si.s + sj.s, 1))
+                        AS BIGINT) AS d
+            FROM sym JOIN {prev} si ON si.item = sym.i
+                     JOIN {prev} sj ON sj.item = sym.j
+            GROUP BY 1),
+    r{k} AS (SELECT w.item,
+                   CAST((w.w * 1000000000000) // GREATEST(d.d, 1) AS BIGINT) AS raw
+            FROM wins w JOIN d{k} d ON d.item = w.item),
+    s{k} AS (SELECT r{k}.item,
+                   CAST((r{k}.raw * nn.n_items * 1000000)
+                        // GREATEST((SELECT CAST(SUM(raw) AS BIGINT) FROM r{k}), 1)
+                        AS BIGINT) AS s
+            FROM r{k}, nn)"""
+        )
+    tail = f"""
+    SELECT w.item AS item, g.n_games, w.w AS n_wins, s{iterations}.s AS strength_micros,
+           CAST(row_number() OVER (ORDER BY s{iterations}.s DESC, w.item ASC)
+                AS INTEGER) AS rank
+    FROM s{iterations} JOIN wins w ON w.item = s{iterations}.item
+         JOIN games g ON g.item = s{iterations}.item
+    """
+    return head + "".join(iters) + tail
+
+
+@query("bt_preference_strengths", _bt_oracle_sql())
+def bt_preference_strengths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry MM fit over per-user pairwise event-type outcomes:
+    corpus-scale work is one (user, item) aggregate; the MM loop runs on
+    the |items|²-bounded win matrix with eager per-round checkpoints."""
+    from ..operators.preference import bradley_terry_strengths
+
+    return bradley_terry_strengths(_events(spark, sf_dir))
+
+
+_DEBIAS_CTE = """
+    WITH b AS (
+      SELECT source AS group_id, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM b GROUP BY 1
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN n * sxx - sx * sx > 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)
+                     ELSE 0.0 END AS slope
+      FROM s
+    ),
+    r AS (
+      SELECT b.group_id, b.doc_id, b.x, b.y, s2.slope,
+             CAST(FLOOR(CAST(b.y AS DOUBLE)
+                  - (CAST(s2.sy AS DOUBLE) / CAST(s2.n AS DOUBLE)
+                     + s2.slope * (CAST(b.x AS DOUBLE)
+                                   - CAST(s2.sx AS DOUBLE) / CAST(s2.n AS DOUBLE)))
+                  + 0.5) AS BIGINT) AS resid
+      FROM b JOIN s2 USING (group_id)
+    )
+"""
+
+
+@query(
+    "reward_length_debias",
+    _DEBIAS_CTE
+    + """
+    SELECT group_id, doc_id, x AS n_words, y AS score_u,
+           CAST(FLOOR(slope * 1000 + 0.5) AS BIGINT) AS slope_milli_u_per_word,
+           resid AS resid_micros
+    FROM r
+    """,
+)
+def reward_length_debias_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS of reward on length; each doc's signal is the
+    residual — exact bigint regression sums, one IEEE division, mirrored
+    prediction chain (reward-model length-exploit guard)."""
+    from ..operators.preference import reward_length_debias
+
+    return reward_length_debias(_docs(spark, sf_dir))
+
+
+@query(
+    "dpo_pairs_debiased",
+    _DEBIAS_CTE
+    + """
+    , top AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                                           ORDER BY resid DESC, doc_id ASC) AS pair_rank
+              FROM r),
+    bot AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                                         ORDER BY resid ASC, doc_id DESC) AS pair_rank
+            FROM r)
+    SELECT t.group_id, CAST(t.pair_rank AS INTEGER) AS pair_rank,
+           t.doc_id AS chosen_id, bo.doc_id AS rejected_id,
+           t.resid AS chosen_resid_u, bo.resid AS rejected_resid_u,
+           t.resid - bo.resid AS margin_u,
+           t.x AS chosen_words, bo.x AS rejected_words,
+           t.y > bo.y AS raw_agrees
+    FROM top t JOIN bot bo USING (group_id, pair_rank)
+    WHERE t.pair_rank <= 5 AND t.resid > bo.resid
+    """,
+)
+def dpo_pairs_debiased_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO mining on the length-debiased reward (top/bottom-5 by OLS
+    residual), with a raw_agrees audit flag per pair — the two preference
+    passes composed the way a production pipeline would."""
+    from ..operators.preference import dpo_pairs_debiased
+
+    return dpo_pairs_debiased(_docs(spark, sf_dir))
+
+
+_WEAK_LABELERS = ["l_length", "l_stopword", "l_repetition", "l_alpha"]
+
+
+def _kappa_oracle_sql() -> str:
+    """Reuses the weak_label_votes labeler CTE, then one global confusion
+    aggregate unpivoted to the six labeler pairs."""
+    pairs = [
+        (i, j)
+        for i in range(len(_WEAK_LABELERS))
+        for j in range(i + 1, len(_WEAK_LABELERS))
+    ]
+    cells = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN {_WEAK_LABELERS[i]} AND {_WEAK_LABELERS[j]} THEN 1 ELSE 0 END) AS BIGINT) AS a_{i}{j},\n"
+        f"             CAST(SUM(CASE WHEN {_WEAK_LABELERS[i]} AND NOT {_WEAK_LABELERS[j]} THEN 1 ELSE 0 END) AS BIGINT) AS b_{i}{j},\n"
+        f"             CAST(SUM(CASE WHEN NOT {_WEAK_LABELERS[i]} AND {_WEAK_LABELERS[j]} THEN 1 ELSE 0 END) AS BIGINT) AS c_{i}{j}"
+        for i, j in pairs
+    )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT '{_WEAK_LABELERS[i]}' AS labeler_a, '{_WEAK_LABELERS[j]}' AS labeler_b,"
+        f" n, a_{i}{j} AS a, b_{i}{j} AS b, c_{i}{j} AS c FROM agg"
+        for i, j in pairs
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'and', 'of', 'is', 'a', 'to', 'in')))
+               AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_frac,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             COALESCE(n_words BETWEEN 20 AND 1000, FALSE) AS l_length,
+             COALESCE(CAST(stop_hits AS DOUBLE) / n_words >= 0.05, FALSE) AS l_stopword,
+             COALESCE(distinct_frac >= 0.3, FALSE) AS l_repetition,
+             COALESCE(alpha_ratio >= 0.5, FALSE) AS l_alpha
+      FROM f
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {cells}
+      FROM v
+    ),
+    p AS (
+      {union}
+    ),
+    q AS (SELECT *, n - a - b - c AS d FROM p),
+    pe AS (SELECT *, (a + b) * (a + c) + (c + d) * (b + d) AS pe_num FROM q)
+    SELECT labeler_a, labeler_b, n AS n_docs, a AS both_true, b AS a_only,
+           c AS b_only, d AS both_false,
+           (1000000 * (a + d)) // n AS po_micros,
+           (1000000 * pe_num) // (n * n) AS pe_micros,
+           CASE WHEN n * n - pe_num > 0
+                THEN CAST(FLOOR(CAST(n * (a + d) - pe_num AS DOUBLE)
+                     / CAST(n * n - pe_num AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS kappa_micros
+    FROM pe
+    """
+
+
+@query("labeler_agreement_kappa", _kappa_oracle_sql())
+def labeler_agreement_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between the four weak labelers: one global
+    confusion aggregate in a single scan, unpivoted to 6 pair rows."""
+    from ..operators.quality import labeler_agreement_kappa
+
+    return labeler_agreement_kappa(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_soft_weights",
+    """
+    WITH h AS (
+      SELECT source AS group_id, md5(text) AS content_hash,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    fam AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS m FROM h GROUP BY 1),
+    j AS (SELECT h.group_id, h.toks, 1000000 // fam.m AS w_u
+          FROM h JOIN fam USING (content_hash))
+    SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+           CAST(SUM(w_u) AS BIGINT) AS eff_docs_micros,
+           CAST(SUM(toks * w_u) AS BIGINT) AS eff_tokens_micros,
+           (CAST(SUM(toks) AS BIGINT) * 1000000)
+             // GREATEST(CAST(SUM(toks * w_u) AS BIGINT) // 1000000, 1)
+             AS dedup_pressure_micros
+    FROM j GROUP BY 1
+    """,
+)
+def dedup_soft_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: copies of an m-times-repeated text each weigh 1/m —
+    per-source raw vs effective doc/token mass and dedup pressure."""
+    from ..operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir))
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                  AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           (CAST(SUM(t) AS BIGINT) * 1000000) // GREATEST(CAST(SUM(w) AS BIGINT), 1)
+             AS fertility_micros,
+           (CAST(SUM(c) AS BIGINT) * 1000000) // GREATEST(CAST(SUM(t) AS BIGINT), 1)
+             AS chars_per_token_micros,
+           (CAST(SUM(t) AS BIGINT) * 1000000) // GREATEST(CAST(COUNT(*) AS BIGINT), 1)
+             AS tokens_per_doc_micros
+    FROM d GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subword tokens per word),
+    chars-per-token, tokens-per-doc — the multilingual tokenizer-equity
+    audit, one keyed aggregate."""
+    from ..operators.text_analysis import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))

@@ -170,6 +170,13 @@ EXTRA_QUERIES = [
     "cross_source_overlap",
     "doc_novelty_rates",
     "training_corpus_pipeline_v5",
+    # round-8 additions
+    "bt_preference_strengths",
+    "reward_length_debias",
+    "dpo_pairs_debiased",
+    "labeler_agreement_kappa",
+    "dedup_soft_weights",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -1303,3 +1303,219 @@ def test_perplexity_buckets_partition_invariant(spark, sf_dir):
         for r in perplexity_buckets(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round 8: preference family (Bradley-Terry, length debias, kappa, soft
+# dedup, fertility)
+# ---------------------------------------------------------------------------
+
+
+def _bt_naive(rows, iterations=3):
+    """Pure-Python replay of bradley_terry_strengths' exact integer
+    arithmetic: (strengths, wins, games) keyed by item."""
+    import math
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for g, item, v in rows:
+        tot[(g, item)] += math.floor(float(v) * 1000 + 0.5)
+    by_g = defaultdict(dict)
+    for (g, item), vu in tot.items():
+        by_g[g][item] = vu
+    mat = defaultdict(lambda: [0, 0])
+    for d in by_g.values():
+        items = sorted(d)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                i, j = items[x], items[y]
+                if d[i] == d[j]:
+                    continue
+                m = mat[(i, j)]
+                m[0] += 1
+                if d[i] > d[j]:
+                    m[1] += 1
+    wins, games, sym = defaultdict(int), defaultdict(int), {}
+    for (i, j), (n, w_i) in mat.items():
+        wins[i] += w_i
+        wins[j] += n - w_i
+        games[i] += n
+        games[j] += n
+        sym[(i, j)] = n
+        sym[(j, i)] = n
+    items = sorted(wins)
+    n_items = len(items)
+    s = {i: 1000000 for i in items}
+    for _ in range(iterations):
+        den = {i: 0 for i in items}
+        for (i, j), n in sym.items():
+            den[i] += (n * 10**12) // max(s[i] + s[j], 1)
+        raw = {i: (wins[i] * 10**12) // max(den[i], 1) for i in items}
+        total = sum(raw.values())
+        s = {i: (raw[i] * n_items * 1000000) // max(total, 1) for i in items}
+    return s, dict(wins), dict(games)
+
+
+def test_bradley_terry_equals_naive_reference(spark):
+    """The distributed MM fit must reproduce a pure-Python replay of the
+    same integer arithmetic bit-for-bit, including a zero-win item."""
+    rows = [
+        # judge 1: a > b > c   judge 2: a > b, b > c   judge 3: b > a
+        (1, "a", 9.0), (1, "b", 5.0), (1, "c", 1.0),
+        (2, "a", 7.5), (2, "b", 3.25), (2, "c", 0.5),
+        (3, "a", 2.0), (3, "b", 6.0),
+        # judge 4: ties everywhere -> discarded
+        (4, "a", 4.0), (4, "b", 4.0), (4, "c", 4.0),
+        # item d loses every decided game
+        (1, "d", 0.25), (2, "d", 0.125),
+    ]
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    df = spark.createDataFrame(rows, "user_id int, event_type string, value double")
+    got = {
+        r["item"]: (r["strength_micros"], r["n_wins"], r["n_games"], r["rank"])
+        for r in bradley_terry_strengths(df).collect()
+    }
+    s, wins, games = _bt_naive(rows)
+    assert set(got) == set(s)
+    order = sorted(s, key=lambda i: (-s[i], i))
+    for item in s:
+        assert got[item] == (
+            s[item],
+            wins[item],
+            games[item],
+            order.index(item) + 1,
+        ), item
+    # the all-ties judge contributed nothing; d lost every decided game
+    assert wins["d"] == 0 and got["d"][0] < got["a"][0]
+
+
+def test_reward_length_debias_degenerate_groups(spark):
+    """n == 1 and zero-length-variance groups take the slope-0 fallback:
+    residual is the exactly-centered score (0 for the singleton)."""
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        reward_length_debias,
+    )
+
+    rows = [
+        ("solo", 1, "alpha beta gamma"),
+        # same length (3 words) everywhere -> den == 0 -> slope 0
+        ("flat", 2, "a a a"),
+        ("flat", 3, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in reward_length_debias(df).collect()}
+    assert got[1]["resid_micros"] == 0 and got[1]["slope_milli_u_per_word"] == 0
+    # flat group: scores 333333 (a a a -> 1/3) and 1000000 -> mean 666666.5
+    assert got[2]["slope_milli_u_per_word"] == 0
+    assert got[2]["resid_micros"] + got[3]["resid_micros"] in (0, 1)  # floor(x+.5) pair
+    assert got[3]["resid_micros"] > 0 > got[2]["resid_micros"]
+
+
+def test_dpo_debiased_overrules_length_bias(spark):
+    """A verbose doc that wins on raw score but owes it to length loses the
+    debiased ranking — the emitted pair flags raw disagreement."""
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        dpo_pairs_debiased,
+    )
+
+    # strong positive length->score trend; doc 30 sits far ABOVE the trend
+    # at the short end, doc 10 far below it at the long end
+    rows = []
+    rows.append(("s", 10, " ".join(f"w{i % 12}" for i in range(40))))  # long, low distinct
+    rows.append(("s", 20, " ".join(f"v{i}" for i in range(36))))       # long, high distinct
+    rows.append(("s", 30, "q r s t"))                                   # short, all distinct
+    rows.append(("s", 40, "m m n n"))                                   # short, half distinct
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    pairs = dpo_pairs_debiased(df, pairs_per_group=1).collect()
+    assert len(pairs) == 1
+    p = pairs[0].asDict()
+    assert p["chosen_resid_u"] > p["rejected_resid_u"]
+    assert p["margin_u"] == p["chosen_resid_u"] - p["rejected_resid_u"]
+
+
+def test_labeler_agreement_kappa_matches_python_recompute(spark, sf_dir):
+    """The one-scan confusion aggregate must equal a row-by-row Python
+    recomputation of Cohen's kappa over the collected vote table."""
+    import math
+    from collections import Counter
+
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.quality import (
+        labeler_agreement_kappa,
+        weak_label_votes,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    votes = weak_label_votes(docs).collect()
+    labels = ["l_length", "l_stopword", "l_repetition", "l_alpha"]
+    got = {
+        (r["labeler_a"], r["labeler_b"]): r.asDict()
+        for r in labeler_agreement_kappa(docs).collect()
+    }
+    assert len(got) == 6
+    n = len(votes)
+    for ii in range(4):
+        for jj in range(ii + 1, 4):
+            c = Counter((bool(r[labels[ii]]), bool(r[labels[jj]])) for r in votes)
+            a, b, cc, d = c[(True, True)], c[(True, False)], c[(False, True)], c[(False, False)]
+            row = got[(labels[ii], labels[jj])]
+            assert (row["both_true"], row["a_only"], row["b_only"], row["both_false"]) == (a, b, cc, d)
+            assert row["n_docs"] == n
+            pe_num = (a + b) * (a + cc) + (cc + d) * (b + d)
+            assert row["po_micros"] == (1000000 * (a + d)) // n
+            assert row["pe_micros"] == (1000000 * pe_num) // (n * n)
+            k_den = n * n - pe_num
+            want = (
+                math.floor((n * (a + d) - pe_num) / k_den * 1000000 + 0.5)
+                if k_den > 0
+                else 0
+            )
+            assert row["kappa_micros"] == want
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Each m-copy family carries total weight m·(10⁶ div m) ≤ 10⁶ and the
+    per-source rollup reflects cross-source family sizes."""
+    from adventureworkslakehousepoc_spark.operators.dedup import soft_dedup_weights
+
+    rows = [
+        ("s1", 1, "dup text here"),
+        ("s1", 2, "dup text here"),
+        ("s2", 3, "dup text here"),   # m = 3 across sources
+        ("s2", 4, "unique two words"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["group_id"]: r.asDict() for r in soft_dedup_weights(df).collect()}
+    w3 = 1000000 // 3
+    assert got["s1"]["eff_docs_micros"] == 2 * w3
+    assert got["s2"]["eff_docs_micros"] == w3 + 1000000
+    assert got["s1"]["raw_tokens"] == 6 and got["s2"]["raw_tokens"] == 6
+    assert got["s1"]["eff_tokens_micros"] == 2 * 3 * w3
+    assert got["s2"]["eff_tokens_micros"] == 3 * w3 + 3 * 1000000
+    # pressure: s1 is pure duplicates -> ~3x; s2 mixed -> between 1x and 3x
+    assert got["s1"]["dedup_pressure_micros"] == (6 * 1000000) // max((6 * w3) // 1000000, 1)
+    assert 1000000 < got["s2"]["dedup_pressure_micros"] < got["s1"]["dedup_pressure_micros"]
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from adventureworkslakehousepoc_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        ("en", 1, "hello world"),          # 2 words, 2 bpe tokens, 11 chars
+        ("en", 2, "it's x1"),              # 2 words, 5 bpe tokens (it,',s,x,1), 7 chars
+        ("zh", 3, "abc def ghi"),          # 3 words, 3 tokens, 11 chars
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    got = {r["lang"]: r.asDict() for r in tokenizer_fertility(df).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_words"], en["n_tokens"], en["n_chars"]) == (2, 4, 7, 18)
+    assert en["fertility_micros"] == (7 * 1000000) // 4
+    assert en["chars_per_token_micros"] == (18 * 1000000) // 7
+    assert en["tokens_per_doc_micros"] == (7 * 1000000) // 2
+    zh = got["zh"]
+    assert zh["fertility_micros"] == 1000000
