@@ -1234,19 +1234,30 @@ def soft_dedup_weights(
         F.md5(F.col(text_col)).alias("content_hash"),
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("toks"),
     )
-    fam = h.groupBy("content_hash").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    j = h.join(fam, "content_hash").select(
+    # collapse to (group, distinct text) FIRST — map-side combine absorbs
+    # copies before any exchange, and the weight join then runs at
+    # distinct-text scale instead of re-shuffling the whole corpus (on a
+    # duplicate-heavy crawl the combine collapses most rows before they
+    # ever cross the wire). Copies of one text have identical token
+    # counts, so Σ_copies toks·w == sum_toks_g · w.
+    g1 = h.groupBy("group_id", "content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("toks").alias("sum_toks"),
+    )
+    fam = g1.groupBy("content_hash").agg(F.sum("n_g").alias("m"))
+    j = g1.join(fam, "content_hash").select(
         "group_id",
-        "toks",
+        "n_g",
+        "sum_toks",
         F.expr("1000000 div m").alias("w_u"),
     )
     return (
         j.groupBy("group_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("toks").alias("raw_tokens"),
-            F.sum("w_u").alias("eff_docs_micros"),
-            F.sum(F.col("toks") * F.col("w_u")).alias("eff_tokens_micros"),
+            F.sum("n_g").alias("n_docs"),
+            F.sum("sum_toks").alias("raw_tokens"),
+            F.sum(F.col("n_g") * F.col("w_u")).alias("eff_docs_micros"),
+            F.sum(F.col("sum_toks") * F.col("w_u")).alias("eff_tokens_micros"),
         )
         .select(
             "group_id",

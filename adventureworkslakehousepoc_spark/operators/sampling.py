@@ -317,3 +317,107 @@ def weighted_systematic_sample(
             "times_selected",
         )
     )
+
+
+def unimax_language_budget(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    epochs_cap: int = 2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): spread a total
+    training-token budget (``budget_num/budget_den`` of the corpus) as
+    uniformly as possible across languages, but never sample any language
+    past ``epochs_cap`` epochs of its available tokens — the water-filling
+    solution where low-resource languages are fully capped and the
+    remaining budget splits evenly among the rest. The closed form replaces
+    the greedy loop: in ascending cap order, language at rank i is capped
+    iff ``cap_i · (L − i + 1) + Σ_{j<i} cap_j ≤ B``.
+
+    Exactness: all quantities are bigint token counts; the budget, rank,
+    prefix sums, and the even split are exact integer arithmetic (the
+    uncapped share uses integer div; the sub-|langs| remainder is simply
+    unallocated, deterministically). Rank and prefix come from a broadcast
+    non-equi self-join over the |langs|-scale table — no keyless window
+    funnels a task even though the table is tiny (plan-gate discipline).
+
+    Scale: ONE partial-aggregated groupBy on the language key touches the
+    corpus; everything after runs on the |langs|-row frame with 1-row
+    broadcast scalars.
+
+    Returns (lang, n_tokens, cap_tokens, capped, alloc_tokens,
+    epochs_micros) — epochs_micros = alloc·10⁶ div available, the realized
+    sampling epochs per language.
+    """
+    per_lang = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("n_tokens")
+    )
+    return unimax_fill(per_lang, budget_num, budget_den, epochs_cap)
+
+
+def unimax_fill(
+    per_lang: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    epochs_cap: int = 2,
+) -> DataFrame:
+    """The water-filling core of ``unimax_language_budget`` over an
+    already-aggregated (lang, n_tokens) frame — reused by pipelines that
+    allocate a budget over EFFECTIVE (e.g. soft-dedup-weighted) token
+    counts rather than raw ones."""
+    caps = per_lang.select(
+        "lang", "n_tokens", (F.lit(epochs_cap) * F.col("n_tokens")).alias("cap")
+    )
+    tot = caps.agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).cast("bigint").alias("n_langs")
+    ).select(
+        F.expr(f"(tot * {budget_num}) div {budget_den}").alias("budget"), "n_langs"
+    )
+    r = caps.select(F.col("lang").alias("r_lang"), F.col("cap").alias("r_cap"))
+    pred = (F.col("r_cap") < F.col("cap")) | (
+        (F.col("r_cap") == F.col("cap")) & (F.col("r_lang") < F.col("lang"))
+    )
+    pre = (
+        caps.join(F.broadcast(r), pred, "left")
+        .groupBy("lang", "n_tokens", "cap")
+        .agg(
+            F.count("r_lang").cast("bigint").alias("n_pred"),
+            F.coalesce(F.sum("r_cap"), F.lit(0)).cast("bigint").alias("prefix"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("n_langs") - F.col("n_pred")) + F.col("prefix")
+            <= F.col("budget"),
+        )
+    )
+    filled = pre.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0))
+        .cast("bigint")
+        .alias("cap_sum"),
+        F.coalesce(F.sum(F.when(F.col("capped"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(filled))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped"), F.col("cap")).otherwise(
+                F.expr("(budget - cap_sum) div greatest(n_langs - k, 1)")
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("cap").alias("cap_tokens"),
+            "capped",
+            "alloc_tokens",
+            F.expr("(alloc_tokens * 1000000) div greatest(n_tokens, 1)").alias(
+                "epochs_micros"
+            ),
+        )
+    )

@@ -4286,3 +4286,160 @@ def tokenizer_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.text_analysis import tokenizer_fertility
 
     return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+@query(
+    "unimax_language_budget",
+    """
+    WITH per AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    c AS (SELECT lang, n_tokens, 2 * n_tokens AS cap FROM per),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs FROM c),
+    b AS (SELECT (tot * 2) // 5 AS budget, n_langs FROM t),
+    o AS (
+      SELECT c.*, CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix
+      FROM c
+    ),
+    f AS (SELECT o.*, b.budget, b.n_langs,
+                 (o.cap * (b.n_langs - o.i + 1) + o.prefix <= b.budget) AS capped
+          FROM o, b),
+    s AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+                   AS cap_sum,
+                 CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k
+          FROM f)
+    SELECT f.lang, f.n_tokens, f.cap AS cap_tokens, f.capped,
+           CASE WHEN f.capped THEN f.cap
+                ELSE (f.budget - s.cap_sum) // GREATEST(f.n_langs - s.k, 1)
+           END AS alloc_tokens,
+           ((CASE WHEN f.capped THEN f.cap
+                  ELSE (f.budget - s.cap_sum) // GREATEST(f.n_langs - s.k, 1)
+             END) * 1000000) // GREATEST(f.n_tokens, 1) AS epochs_micros
+    FROM f, s
+    """,
+)
+def unimax_language_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling: 40% corpus-token budget spread uniformly
+    across languages with a 2-epoch per-language cap; closed-form capped
+    set via broadcast non-equi rank on the |langs|-scale table."""
+    from ..operators.sampling import unimax_language_budget
+
+    return unimax_language_budget(_docs(spark, sf_dir))
+
+
+_V6_SQL = rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+             CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST((LENGTH(text) - LENGTH(replace(text, '#', '')))
+                  + FLOOR(CAST(LENGTH(text) - LENGTH(replace(text, '...', '')) AS DOUBLE) / 3.0)
+               AS DOUBLE) / len(string_split(text, ' ')) AS symbol_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS alpha_word_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_GOPHER_IN}))) AS INTEGER) AS n_stop_hits
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id FROM feats
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND n_stop_hits >= 2
+    ),
+    s1 AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+    h AS (SELECT lang, md5(text) AS content_hash,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM s1),
+    g1 AS (SELECT lang, content_hash, CAST(COUNT(*) AS BIGINT) AS n_g,
+                  CAST(SUM(toks) AS BIGINT) AS sum_toks
+           FROM h GROUP BY 1, 2),
+    fam AS (SELECT content_hash, CAST(SUM(n_g) AS BIGINT) AS m FROM g1 GROUP BY 1),
+    eff AS (SELECT lang, CAST(SUM(n_g) AS BIGINT) AS n_docs,
+                   CAST(SUM(sum_toks) AS BIGINT) AS raw_tokens,
+                   CAST(SUM(sum_toks * (1000000 // m)) AS BIGINT) AS eff_tokens_micros
+            FROM g1 JOIN fam USING (content_hash) GROUP BY 1),
+    per AS (SELECT lang, n_docs, raw_tokens,
+                   eff_tokens_micros // 1000000 AS n_tokens
+            FROM eff),
+    c AS (SELECT lang, n_tokens, 2 * n_tokens AS cap FROM per),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs FROM c),
+    b AS (SELECT (tot * 2) // 5 AS budget, n_langs FROM t),
+    o AS (
+      SELECT c.*, CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix
+      FROM c
+    ),
+    f AS (SELECT o.*, b.budget, b.n_langs,
+                 (o.cap * (b.n_langs - o.i + 1) + o.prefix <= b.budget) AS capped
+          FROM o, b),
+    s AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+                   AS cap_sum,
+                 CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS k
+          FROM f)
+    SELECT per.lang, per.n_docs, per.raw_tokens, per.n_tokens AS eff_tokens, f.capped,
+           CASE WHEN f.capped THEN f.cap
+                ELSE (f.budget - s.cap_sum) // GREATEST(f.n_langs - s.k, 1)
+           END AS alloc_tokens,
+           ((CASE WHEN f.capped THEN f.cap
+                  ELSE (f.budget - s.cap_sum) // GREATEST(f.n_langs - s.k, 1)
+             END) * 1000000) // GREATEST(per.n_tokens, 1) AS epochs_micros
+    FROM per JOIN f USING (lang), s
+    """
+
+
+@query("training_corpus_pipeline_v6", _V6_SQL)
+def training_corpus_pipeline_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 corpus pipeline: Gopher-rule gate → SOFT dedup (copies of an
+    m-times-repeated text weigh 1/m instead of being dropped) → UniMax
+    water-filling of a 40% token budget over per-language EFFECTIVE token
+    mass. The duplicate-aware alternative to the v5 hard-dedup chain: one
+    oracle replays gate + weighting + allocation end-to-end. Corpus-scale
+    work is two keyed aggregates behind one checkpoint boundary; the
+    water-fill runs on the |langs|-row frame."""
+    from ..operators.sampling import unimax_fill
+    from ..operators.text_analysis import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir)
+    kept = gopher_quality_flags(docs).filter(F.col("keep")).select("doc_id")
+    s1 = docs.join(kept, "doc_id").localCheckpoint(eager=True)
+    h = s1.select(
+        "lang",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    g1 = h.groupBy("lang", "content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("toks").alias("sum_toks"),
+    )
+    fam = g1.groupBy("content_hash").agg(F.sum("n_g").alias("m"))
+    eff = (
+        g1.join(fam, "content_hash")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_g").alias("n_docs"),
+            F.sum("sum_toks").alias("raw_tokens"),
+            F.sum(F.expr("sum_toks * (1000000 div m)")).alias("eff_tokens_micros"),
+        )
+    )
+    per_lang = eff.select("lang", F.expr("eff_tokens_micros div 1000000").alias("n_tokens"))
+    alloc = unimax_fill(per_lang)
+    return eff.join(alloc, "lang").select(
+        "lang",
+        "n_docs",
+        "raw_tokens",
+        F.col("n_tokens").alias("eff_tokens"),
+        "capped",
+        "alloc_tokens",
+        "epochs_micros",
+    )

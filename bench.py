@@ -177,6 +177,8 @@ EXTRA_QUERIES = [
     "labeler_agreement_kappa",
     "dedup_soft_weights",
     "tokenizer_fertility_by_lang",
+    "unimax_language_budget",
+    "training_corpus_pipeline_v6",
 ]
 
 

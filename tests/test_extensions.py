@@ -1519,3 +1519,41 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert en["tokens_per_doc_micros"] == (7 * 1000000) // 2
     zh = got["zh"]
     assert zh["fertility_micros"] == 1000000
+
+
+def test_unimax_budget_water_filling_matches_greedy(spark):
+    """Closed-form capped set == the greedy water-filling loop, and the
+    allocation exhausts the budget up to the integer-div remainder."""
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        unimax_language_budget,
+    )
+
+    rows = []
+    sizes = {"aa": 10, "bb": 40, "cc": 400, "dd": 1000}
+    did = 0
+    for lang, n in sizes.items():
+        # one doc of n words per language
+        rows.append((lang, did, " ".join(f"w{i}" for i in range(n))))
+        did += 1
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    got = {r["lang"]: r.asDict() for r in unimax_language_budget(df).collect()}
+    # greedy replay: B = 40% of 1450 = 580, caps = 2n ascending
+    budget, remaining = (sum(sizes.values()) * 2) // 5, dict(sizes)
+    caps = {k: 2 * v for k, v in sizes.items()}
+    alloc = {}
+    langs = sorted(caps, key=lambda k: (caps[k], k))
+    b, m = budget, len(langs)
+    for idx, lang in enumerate(langs):
+        if caps[lang] * (m - idx) <= b:
+            alloc[lang] = caps[lang]
+            b -= caps[lang]
+        else:
+            share = b // (m - idx)
+            for rest in langs[idx:]:
+                alloc[rest] = share
+            break
+    for lang in sizes:
+        assert got[lang]["alloc_tokens"] == alloc[lang], (lang, got[lang], alloc)
+        assert got[lang]["capped"] == (alloc[lang] == caps[lang]) or alloc[lang] == caps[lang]
+        assert got[lang]["epochs_micros"] == alloc[lang] * 1000000 // sizes[lang]
+        assert got[lang]["epochs_micros"] <= 2_000_000
