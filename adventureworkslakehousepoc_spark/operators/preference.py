@@ -27,6 +27,7 @@ __all__ = [
     "bradley_terry_strengths",
     "reward_length_debias",
     "dpo_pairs_debiased",
+    "bt_winrate_calibration",
 ]
 
 
@@ -427,4 +428,72 @@ def dpo_pairs_debiased(
             "rejected_words",
             (F.col("chosen_score_u") > F.col("rejected_score_u")).alias("raw_agrees"),
         )
+    )
+
+
+def bt_winrate_calibration(
+    events: DataFrame,
+    item_col: str = "event_type",
+    group_col: str = "user_id",
+    value_col: str = "value",
+    iterations: int = 3,
+) -> DataFrame:
+    """Calibration audit of the Bradley-Terry fit: for every item pair with
+    decided games, the OBSERVED win rate ``w_ij/n_ij`` against the
+    fit-PREDICTED probability ``s_i/(s_i + s_j)``, plus the absolute
+    calibration gap — the reward-model-quality check run before trusting
+    fitted strengths to mine preference pairs (a pair whose prediction is
+    far from its empirical rate marks intransitive or under-sampled
+    comparisons).
+
+    Reuses ``bradley_terry_strengths`` (same corpus pass); everything
+    downstream is |items|²-bounded integer-micro arithmetic: observed and
+    predicted rates are integer divisions of exact counts/strengths, the
+    gap is their absolute difference.
+
+    Returns (item_i, item_j, n_games, wins_i, obs_micros, pred_micros,
+    abs_gap_micros), item_i < item_j.
+    """
+    vu = F.floor(F.col(value_col).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    tot = (
+        events.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("item"), vu.alias("vu")
+        )
+        .groupBy("g", "item")
+        .agg(F.sum("vu").alias("vu"))
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    mat = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") < F.col("b.item"))
+            & (F.col("a.vu") != F.col("b.vu")),
+        )
+        .select(
+            F.col("a.item").alias("item_i"),
+            F.col("b.item").alias("item_j"),
+            F.when(F.col("a.vu") > F.col("b.vu"), F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
+        )
+        .groupBy("item_i", "item_j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_games"),
+            F.sum("win_i").cast("bigint").alias("wins_i"),
+        )
+    )
+    s = bradley_terry_strengths(events, item_col, group_col, value_col, iterations)
+    si = s.select(F.col("item").alias("item_i"), F.col("strength_micros").alias("s_i"))
+    sj = s.select(F.col("item").alias("item_j"), F.col("strength_micros").alias("s_j"))
+    return (
+        mat.join(F.broadcast(si), "item_i")
+        .join(F.broadcast(sj), "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            "n_games",
+            "wins_i",
+            F.expr("(wins_i * 1000000) div n_games").alias("obs_micros"),
+            F.expr("(s_i * 1000000) div greatest(s_i + s_j, 1)").alias("pred_micros"),
+        )
+        .withColumn("abs_gap_micros", F.abs(F.col("obs_micros") - F.col("pred_micros")))
     )

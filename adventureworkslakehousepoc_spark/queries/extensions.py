@@ -4061,6 +4061,21 @@ def _bt_oracle_sql(iterations: int = 3) -> str:
     return head + "".join(iters) + tail
 
 
+def _bt_calibration_oracle_sql(iterations: int = 3) -> str:
+    """Same unrolled MM CTEs, with the calibration tail: observed vs
+    BT-predicted win rate per decided pair."""
+    full = _bt_oracle_sql(iterations)
+    head = full[: full.rindex("SELECT w.item AS item")]
+    return head + f"""SELECT m.i AS item_i, m.j AS item_j, m.n AS n_games, m.w_i AS wins_i,
+           (m.w_i * 1000000) // m.n AS obs_micros,
+           (si.s * 1000000) // GREATEST(si.s + sj.s, 1) AS pred_micros,
+           ABS((m.w_i * 1000000) // m.n
+               - (si.s * 1000000) // GREATEST(si.s + sj.s, 1)) AS abs_gap_micros
+    FROM mat m JOIN s{iterations} si ON si.item = m.i
+         JOIN s{iterations} sj ON sj.item = m.j
+    """
+
+
 @query("bt_preference_strengths", _bt_oracle_sql())
 def bt_preference_strengths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry MM fit over per-user pairwise event-type outcomes:
@@ -4443,3 +4458,13 @@ def training_corpus_pipeline_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "alloc_tokens",
         "epochs_micros",
     )
+
+
+@query("bt_winrate_calibration", _bt_calibration_oracle_sql())
+def bt_winrate_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed vs Bradley-Terry-predicted win rate per decided item pair
+    with the absolute calibration gap — the fit-quality audit before the
+    strengths drive preference mining."""
+    from ..operators.preference import bt_winrate_calibration
+
+    return bt_winrate_calibration(_events(spark, sf_dir))

@@ -179,6 +179,7 @@ EXTRA_QUERIES = [
     "tokenizer_fertility_by_lang",
     "unimax_language_budget",
     "training_corpus_pipeline_v6",
+    "bt_winrate_calibration",
 ]
 
 

@@ -1557,3 +1557,53 @@ def test_unimax_budget_water_filling_matches_greedy(spark):
         assert got[lang]["capped"] == (alloc[lang] == caps[lang]) or alloc[lang] == caps[lang]
         assert got[lang]["epochs_micros"] == alloc[lang] * 1000000 // sizes[lang]
         assert got[lang]["epochs_micros"] <= 2_000_000
+
+
+def test_bt_strengths_partition_invariant(spark):
+    """Integer-micro MM arithmetic makes the fit independent of input
+    partitioning: 1 partition vs 13 give identical strengths and ranks."""
+    import random
+
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        bradley_terry_strengths,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (u, t, round(rng.uniform(0, 10), 3))
+        for u in range(40)
+        for t in ["a", "b", "c", "d", "e"]
+        if rng.random() < 0.8
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, value double")
+    one = {r["item"]: r.asDict() for r in bradley_terry_strengths(df.coalesce(1)).collect()}
+    many = {
+        r["item"]: r.asDict()
+        for r in bradley_terry_strengths(df.repartition(13)).collect()
+    }
+    assert one == many
+
+
+def test_bt_calibration_gap_consistency(spark):
+    """obs/pred/gap columns are internally consistent and pred matches the
+    strengths table's s_i/(s_i+s_j) for every emitted pair."""
+    from adventureworkslakehousepoc_spark.operators.preference import (
+        bradley_terry_strengths,
+        bt_winrate_calibration,
+    )
+
+    rows = [
+        (1, "a", 9.0), (1, "b", 5.0), (1, "c", 1.0),
+        (2, "a", 7.5), (2, "b", 3.25), (2, "c", 0.5),
+        (3, "a", 2.0), (3, "b", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, value double")
+    s = {r["item"]: r["strength_micros"] for r in bradley_terry_strengths(df).collect()}
+    for r in bt_winrate_calibration(df).collect():
+        d = r.asDict()
+        assert d["item_i"] < d["item_j"]
+        assert d["obs_micros"] == d["wins_i"] * 1000000 // d["n_games"]
+        assert d["pred_micros"] == s[d["item_i"]] * 1000000 // max(
+            s[d["item_i"]] + s[d["item_j"]], 1
+        )
+        assert d["abs_gap_micros"] == abs(d["obs_micros"] - d["pred_micros"])
