@@ -190,6 +190,10 @@ def bradley_terry_strengths(
     ``(n_ij · 10¹²) div (s_i + s_j)``, summed exactly, and the update and
     renormalization are integer divisions — so the fixed-iteration run is
     bit-reproducible in any engine and an unrolled SQL CTE replays it.
+    Bigint headroom: the ``·10¹²`` lift bounds per-pair decided games at
+    n_ij ≤ ~9·10⁶ (Chatbot-Arena-scale battle counts sit well inside;
+    beyond that, pre-scale n_ij or drop the term lift to 10⁹ at 10⁻³
+    relative precision).
     ``greatest(·, 1)`` guards the two denominators; items whose every
     comparison tied are absent (no decided game → undefined strength).
 
@@ -314,7 +318,9 @@ def reward_length_debias(
 
     Exactness: scores quantize once to integer micros and lengths are
     integer words, so the five group sums (n, Σx, Σy, Σx², Σxy) are exact
-    bigints (magnitudes < 2^57 even at 10⁹-doc groups with 10³-word docs).
+    bigints — the binding product ``n·Σxy`` stays under 2^63 for groups up
+    to ~10⁷ docs of 10³ words; larger groups need per-group mean-centering
+    first (two passes) or a milli-unit score.
     The slope is the one IEEE division ``num/den`` of those exact integers,
     and the prediction/residual chain (mean, centering, multiply, subtract)
     runs the SAME operation sequence in every engine before a final

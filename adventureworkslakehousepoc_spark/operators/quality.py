@@ -390,13 +390,16 @@ def labeler_agreement_kappa(
     |pairs|-scale rows are unpivoted from that one row.
 
     κ = (p_o − p_e)/(1 − p_e) with p_o = (a+d)/n and
-    p_e = ((a+b)(a+c) + (c+d)(b+d))/n², i.e. the exact rational
-    ``(n·(a+d) − pe_num) / (n² − pe_num)``. Both numerator and denominator
-    are exact bigints (< 2^53 up to ~10⁸-doc corpora per partition-safe
-    sum; the squared-n term is the binding one), and the one IEEE division
-    happens on those exact integers before a floor(·+0.5) micro-quantize —
-    bit-reproducible across engines. Chance-degenerate pairs
-    (n² == pe_num, a constant labeler) emit κ = 0 by convention.
+    p_e = p₁p₂ + (1−p₁)(1−p₂) (the marginal true-rates product). All rates
+    are quantized to integer micros BEFORE they combine — p_o and the
+    marginals are single ``·10⁶ div n`` divisions (safe to n ≈ 9·10¹²
+    docs; the naive ``pe_num/n²`` form overflows bigints at n ≈ 3·10⁶,
+    far below a corpus audit), the chance term multiplies micro-rates
+    (≤ 10¹², exact), and κ is the one IEEE division of the two exact
+    micro-integers before a floor(·+0.5) quantize — bit-reproducible
+    across engines. Quantization error in κ is bounded by ~2/n + 1 µ.
+    Chance-degenerate pairs (pe == 10⁶, a constant labeler) emit κ = 0 by
+    convention.
 
     Returns (labeler_a, labeler_b, n_docs, both_true, a_only, b_only,
     both_false, po_micros, pe_micros, kappa_micros), labeler_a < labeler_b.
@@ -422,19 +425,27 @@ def labeler_agreement_kappa(
             f"stack({len(pairs)}, {stack}) AS (labeler_a, labeler_b, a, b, c)"
         ),
     ).select("n", "labeler_a", "labeler_b", "a", "b", "c", (F.col("n") - F.col("a") - F.col("b") - F.col("c")).alias("d"))
-    po_num = F.col("a") + F.col("d")
-    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
-        F.col("c") + F.col("d")
-    ) * (F.col("b") + F.col("d"))
-    k_num = F.col("n") * po_num - pe_num
-    k_den = F.col("n") * F.col("n") - pe_num
-    kappa = F.when(
-        k_den > 0,
-        F.floor(k_num.cast("double") / k_den.cast("double") * 1000000 + F.lit(0.5)).cast(
-            "bigint"
+    with_rates = rows.select(
+        "*",
+        F.expr("(1000000 * (a + d)) div n").alias("po_u"),
+        F.expr("(1000000 * (a + b)) div n").alias("p1_u"),
+        F.expr("(1000000 * (a + c)) div n").alias("p2_u"),
+    ).withColumn(
+        "pe_u",
+        F.expr(
+            "(p1_u * p2_u + (1000000 - p1_u) * (1000000 - p2_u)) div 1000000"
         ),
+    )
+    kappa = F.when(
+        F.col("pe_u") < 1000000,
+        F.floor(
+            (F.col("po_u") - F.col("pe_u")).cast("double")
+            / (F.lit(1000000) - F.col("pe_u")).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint"),
     ).otherwise(F.lit(0).cast("bigint"))
-    return rows.select(
+    return with_rates.select(
         "labeler_a",
         "labeler_b",
         F.col("n").alias("n_docs"),
@@ -442,9 +453,7 @@ def labeler_agreement_kappa(
         F.col("b").alias("a_only"),
         F.col("c").alias("b_only"),
         F.col("d").alias("both_false"),
-        F.expr("(1000000 * (a + d)) div n").alias("po_micros"),
-        F.expr(
-            "(1000000 * ((a + b) * (a + c) + (c + d) * (b + d))) div (n * n)"
-        ).alias("pe_micros"),
+        F.col("po_u").alias("po_micros"),
+        F.col("pe_u").alias("pe_micros"),
         kappa.alias("kappa_micros"),
     )

@@ -4219,14 +4219,17 @@ def _kappa_oracle_sql() -> str:
       {union}
     ),
     q AS (SELECT *, n - a - b - c AS d FROM p),
-    pe AS (SELECT *, (a + b) * (a + c) + (c + d) * (b + d) AS pe_num FROM q)
+    rates AS (SELECT *, (1000000 * (a + d)) // n AS po_u,
+                     (1000000 * (a + b)) // n AS p1_u,
+                     (1000000 * (a + c)) // n AS p2_u FROM q),
+    pe AS (SELECT *, (p1_u * p2_u + (1000000 - p1_u) * (1000000 - p2_u))
+                       // 1000000 AS pe_u FROM rates)
     SELECT labeler_a, labeler_b, n AS n_docs, a AS both_true, b AS a_only,
            c AS b_only, d AS both_false,
-           (1000000 * (a + d)) // n AS po_micros,
-           (1000000 * pe_num) // (n * n) AS pe_micros,
-           CASE WHEN n * n - pe_num > 0
-                THEN CAST(FLOOR(CAST(n * (a + d) - pe_num AS DOUBLE)
-                     / CAST(n * n - pe_num AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           po_u AS po_micros, pe_u AS pe_micros,
+           CASE WHEN pe_u < 1000000
+                THEN CAST(FLOOR(CAST(po_u - pe_u AS DOUBLE)
+                     / CAST(1000000 - pe_u AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
                 ELSE 0 END AS kappa_micros
     FROM pe
     """

@@ -1464,13 +1464,15 @@ def test_labeler_agreement_kappa_matches_python_recompute(spark, sf_dir):
             row = got[(labels[ii], labels[jj])]
             assert (row["both_true"], row["a_only"], row["b_only"], row["both_false"]) == (a, b, cc, d)
             assert row["n_docs"] == n
-            pe_num = (a + b) * (a + cc) + (cc + d) * (b + d)
-            assert row["po_micros"] == (1000000 * (a + d)) // n
-            assert row["pe_micros"] == (1000000 * pe_num) // (n * n)
-            k_den = n * n - pe_num
+            po = (1000000 * (a + d)) // n
+            p1 = (1000000 * (a + b)) // n
+            p2 = (1000000 * (a + cc)) // n
+            pe = (p1 * p2 + (1000000 - p1) * (1000000 - p2)) // 1000000
+            assert row["po_micros"] == po
+            assert row["pe_micros"] == pe
             want = (
-                math.floor((n * (a + d) - pe_num) / k_den * 1000000 + 0.5)
-                if k_den > 0
+                math.floor((po - pe) / (1000000 - pe) * 1000000 + 0.5)
+                if pe < 1000000
                 else 0
             )
             assert row["kappa_micros"] == want
