@@ -26,6 +26,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_representatives",
     "semantic_prune_pairs",
+    "mmr_diverse_topk",
 ]
 
 
@@ -175,4 +176,137 @@ def semantic_prune_pairs(
             score.alias("score"),
         )
         .filter(F.col("score") >= threshold)
+    )
+
+
+def mmr_diverse_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    per group, greedily pick k vectors maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-selected`` — the
+    diversity-aware sampling pass that keeps a curated subset from
+    collapsing onto near-duplicate cluster cores (relevance here: cosine
+    to the group centroid).
+
+    Exactness: coordinates quantize once to micro-units, so every dot
+    product is an exact integer (≤ dim·10¹² < 2^53 — exact even through a
+    double, any summation order); cosines take one sqrt+divide on those
+    exact integers then quantize to micros; the MMR score stays UNDIVIDED
+    in deci-micro units (``lam_num·rel − (lam_den−lam_num)·maxsim``), so
+    no integer-division-of-negatives semantics can diverge between
+    engines. Argmax ties break on the smaller vector id. Fixed k steps,
+    each selecting one vector per group.
+
+    Scale: centroids are one (group, dim)-keyed partial aggregate; each
+    greedy step is one broadcast join of the ≤(step−1)-per-group selected
+    set against the remaining candidates plus a per-group argmax
+    aggregate — never an intra-group all-pairs join. The selected set is
+    eager-checkpointed per step (the iterative-loop idiom).
+
+    Returns (group_id, step, vec_id, rel_micros, maxsim_micros,
+    score_deci_micros); step 1 has maxsim 0 by definition.
+    """
+    eu = quantize_vectors(embeddings, id_col, vec_col)
+    grp = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(group_col).alias("group_id")
+    )
+    base = eu.join(grp, "vec_id")
+    cj = base.select("group_id", F.posexplode("v").alias("pos", "val"))
+    cagg = cj.groupBy("group_id", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    coord = F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint")
+    cent = (
+        cagg.select("group_id", F.struct("pos", coord.alias("val")).alias("pv"))
+        .groupBy("group_id")
+        .agg(F.array_sort(F.collect_list("pv")).alias("pvs"))
+        .select("group_id", F.transform("pvs", lambda s: s["val"]).alias("c"))
+    )
+
+    def idot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def cos_u(a: str, b: str):
+        return F.floor(
+            idot(a, b).cast("double")
+            / (F.sqrt(idot(a, a).cast("double")) * F.sqrt(idot(b, b).cast("double")))
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    scored = (
+        base.join(F.broadcast(cent), "group_id")
+        .select("group_id", "vec_id", "v", cos_u("v", "c").alias("rel_u"))
+        .localCheckpoint(eager=True)
+    )
+    sel = None
+    out = []
+    for step in range(1, k + 1):
+        if sel is None:
+            cand = scored.withColumn("maxsim_u", F.lit(0).cast("bigint"))
+        else:
+            remaining = scored.join(
+                sel.select("group_id", F.col("vec_id").alias("s_id")),
+                (F.col("vec_id") == F.col("s_id")),
+                "left_anti",
+            )
+            s_vecs = sel.select(
+                F.col("group_id").alias("sg"), F.col("v").alias("sv")
+            )
+            cand = (
+                remaining.join(
+                    F.broadcast(s_vecs), F.col("group_id") == F.col("sg")
+                )
+                .select(
+                    "group_id", "vec_id", "v", "rel_u", cos_u("v", "sv").alias("sim_u")
+                )
+                .groupBy("group_id", "vec_id", "v", "rel_u")
+                .agg(F.max("sim_u").alias("maxsim_u"))
+            )
+        score = (
+            F.lit(lam_num) * F.col("rel_u")
+            - F.lit(lam_den - lam_num) * F.col("maxsim_u")
+        ).alias("score_du")
+        picked = (
+            cand.select("group_id", "vec_id", "v", "rel_u", "maxsim_u", score)
+            .groupBy("group_id")
+            .agg(F.min(F.struct((-F.col("score_du")).alias("ns"), "vec_id")).alias("m"))
+            .select("group_id", F.col("m.vec_id").alias("vec_id"))
+        )
+        sel_step = (
+            cand.join(picked, ["group_id", "vec_id"])
+            .select(
+                "group_id",
+                F.lit(step).cast("int").alias("step"),
+                "vec_id",
+                "v",
+                "rel_u",
+                "maxsim_u",
+                score,
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.append(sel_step)
+        sel = sel_step if sel is None else sel.unionByName(sel_step)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "group_id",
+        "step",
+        "vec_id",
+        F.col("rel_u").alias("rel_micros"),
+        F.col("maxsim_u").alias("maxsim_micros"),
+        F.col("score_du").alias("score_deci_micros"),
     )

@@ -4471,3 +4471,88 @@ def bt_winrate_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.preference import bt_winrate_calibration
 
     return bt_winrate_calibration(_events(spark, sf_dir))
+
+
+def _mmr_oracle_sql(k: int = 3, lam_num: int = 7, lam_den: int = 10) -> str:
+    """Unrolled greedy MMR selection mirroring mmr_diverse_topk: integer
+    micro-vectors (dot products exact in doubles), undivided deci-micro
+    scores, (score DESC, vec_id) argmax per group per step."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CAST(FLOOR(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+            f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+            f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+            f" * 1000000 + 0.5) AS BIGINT)"
+        )
+
+    mu = lam_den - lam_num
+    head = f"""
+    WITH vv AS (
+      SELECT vec_id, label AS group_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    ce AS (
+      SELECT group_id, t.i AS pos,
+             CAST(FLOOR(CAST(SUM(v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      FROM vv, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT group_id, list(val ORDER BY pos) AS c FROM ce GROUP BY 1),
+    rel AS (
+      SELECT vv.vec_id, vv.group_id, vv.v, {cos("vv.v", "ct.c")} AS rel_u
+      FROM vv JOIN cent ct USING (group_id)
+    ),
+    s1 AS (
+      SELECT group_id, vec_id, v, rel_u, CAST(0 AS BIGINT) AS maxsim_u,
+             {lam_num} * rel_u AS score_du
+      FROM (SELECT *, row_number() OVER (PARTITION BY group_id
+                 ORDER BY {lam_num} * rel_u DESC, vec_id) AS rn FROM rel)
+      WHERE rn = 1
+    )"""
+    steps = []
+    prev_sel = "s1"
+    for step in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT vec_id FROM s{i}" for i in range(1, step))
+        sel_union = " UNION ALL ".join(
+            f"SELECT group_id, v FROM s{i}" for i in range(1, step)
+        )
+        steps.append(f""",
+    c{step} AS (
+      SELECT r.group_id, r.vec_id, r.v, r.rel_u,
+             MAX({cos("r.v", "s.v")}) AS maxsim_u
+      FROM rel r JOIN ({sel_union}) s USING (group_id)
+      WHERE r.vec_id NOT IN ({union})
+      GROUP BY 1, 2, 3, 4
+    ),
+    s{step} AS (
+      SELECT group_id, vec_id, v, rel_u, maxsim_u,
+             {lam_num} * rel_u - {mu} * maxsim_u AS score_du
+      FROM (SELECT *, row_number() OVER (PARTITION BY group_id
+                 ORDER BY {lam_num} * rel_u - {mu} * maxsim_u DESC, vec_id) AS rn
+            FROM c{step})
+      WHERE rn = 1
+    )""")
+        prev_sel = f"s{step}"
+    tail_union = "\n      UNION ALL ".join(
+        f"SELECT group_id, CAST({i} AS INTEGER) AS step, vec_id, rel_u, maxsim_u,"
+        f" score_du FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "".join(steps) + f"""
+    SELECT group_id, step, vec_id, rel_u AS rel_micros, maxsim_u AS maxsim_micros,
+           score_du AS score_deci_micros
+    FROM ({tail_union})
+    """
+
+
+@query("mmr_diverse_topk", _mmr_oracle_sql())
+def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label MMR selection of 3 diverse high-relevance vectors
+    (λ = 0.7): centroid relevance, greedy max-marginal steps with the
+    selected set broadcast — never an intra-group all-pairs join."""
+    from ..operators.clustering import mmr_diverse_topk
+
+    return mmr_diverse_topk(_emb(spark, sf_dir))

@@ -180,6 +180,7 @@ EXTRA_QUERIES = [
     "unimax_language_budget",
     "training_corpus_pipeline_v6",
     "bt_winrate_calibration",
+    "mmr_diverse_topk",
 ]
 
 

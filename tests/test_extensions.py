@@ -1609,3 +1609,63 @@ def test_bt_calibration_gap_consistency(spark):
             s[d["item_i"]] + s[d["item_j"]], 1
         )
         assert d["abs_gap_micros"] == abs(d["obs_micros"] - d["pred_micros"])
+
+
+def test_mmr_equals_greedy_reference(spark):
+    """MMR selection must equal a pure-Python greedy replay of the same
+    integer arithmetic (micro-quantized vectors, deci-micro scores)."""
+    import math
+    import random
+
+    from adventureworkslakehousepoc_spark.operators.clustering import mmr_diverse_topk
+
+    rng = random.Random(88)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = sorted(
+        (r["group_id"], r["step"], r["vec_id"], r["rel_micros"],
+         r["maxsim_micros"], r["score_deci_micros"])
+        for r in mmr_diverse_topk(df, k=3).collect()
+    )
+
+    # pure-Python replay — NOTE: quantize through float32 first, as the
+    # array<float> column does
+    import struct as _s
+
+    def f32(x):
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    q = {i: [math.floor(f32(x) * 1e6 + 0.5) for x in v] for i, v, _ in rows}
+    grp = {i: g for i, _, g in rows}
+
+    def cos_u(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return math.floor(
+            dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+            * 1e6 + 0.5
+        )
+
+    want = []
+    for g in (0, 1):
+        members = [i for i in q if grp[i] == g]
+        n = len(members)
+        cent = [
+            math.floor(sum(q[i][p] for i in members) / n) for p in range(8)
+        ]
+        rel = {i: cos_u(q[i], cent) for i in members}
+        sel = []
+        for step in range(1, 4):
+            best = None
+            for i in members:
+                if i in sel:
+                    continue
+                ms = max((cos_u(q[i], q[j]) for j in sel), default=0)
+                sc = 7 * rel[i] - 3 * ms
+                key = (-sc, i)
+                if best is None or key < best[0]:
+                    best = (key, i, ms, sc)
+            sel.append(best[1])
+            want.append((g, step, best[1], rel[best[1]], best[2], best[3]))
+    assert got == sorted(want)
