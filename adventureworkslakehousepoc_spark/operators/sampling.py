@@ -421,3 +421,65 @@ def unimax_fill(
             ),
         )
     )
+
+
+def temperature_sampling_weights(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights: each language's
+    sampling probability is proportional to ``share**alpha`` with
+    ``alpha = 1/2`` (temperature T = 2) — the exponentiated-smoothing
+    scheme of multilingual pretraining (mBERT's exponent-smoothed
+    sampling; mT5/XLM-R use the same p_i^alpha family), which lifts
+    low-resource languages without flattening the mixture to uniform the
+    way UniMax's hard cap does.
+
+    alpha is fixed at 1/2 deliberately: ``sqrt`` is correctly rounded
+    under IEEE 754 on every engine, while ``pow(x, 0.3)`` is libm-
+    dependent in its last ulp — a fractional-alpha variant could not be
+    hash-matched cross-engine. With alpha = 1/2 the smoothed mass is
+    ``floor(sqrt(n_i)·10³ + 0.5)`` (exact: sqrt correctly rounded, the
+    product ≤ ~3·10¹⁰ « 2⁵³), and every share/boost below is exact
+    integer division on bigints.
+
+    Scale: ONE partial-aggregated groupBy on the language key touches the
+    corpus; the normalization total is a 1-row broadcast over the
+    |langs|-row frame.
+
+    Returns (lang, n_tokens, raw_share_micros, smoothed_share_micros,
+    boost_micros) — boost = smoothed/raw in micros; > 10⁶ means the
+    language is up-sampled relative to its natural frequency.
+    """
+    per = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("n_tokens")
+    )
+    sm = per.withColumn(
+        "s_milli",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    tot = sm.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s_milli").alias("tot_s")
+    )
+    return (
+        sm.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div greatest(tot_tokens, 1)").alias(
+                "raw_share_micros"
+            ),
+            F.expr("(s_milli * 1000000) div greatest(tot_s, 1)").alias(
+                "smoothed_share_micros"
+            ),
+        )
+        .withColumn(
+            "boost_micros",
+            F.expr(
+                "(smoothed_share_micros * 1000000) div greatest(raw_share_micros, 1)"
+            ),
+        )
+    )

@@ -4556,3 +4556,37 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import mmr_diverse_topk
 
     return mmr_diverse_topk(_emb(spark, sf_dir))
+
+
+@query(
+    "temperature_sampling_weights",
+    """
+    WITH per AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    sm AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS s_milli
+      FROM per
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                 CAST(SUM(s_milli) AS BIGINT) AS tot_s FROM sm)
+    SELECT lang, n_tokens,
+           (n_tokens * 1000000) // GREATEST(tot_tokens, 1) AS raw_share_micros,
+           (s_milli * 1000000) // GREATEST(tot_s, 1) AS smoothed_share_micros,
+           (((s_milli * 1000000) // GREATEST(tot_s, 1)) * 1000000)
+             // GREATEST((n_tokens * 1000000) // GREATEST(tot_tokens, 1), 1)
+             AS boost_micros
+    FROM sm, t
+    """,
+)
+def temperature_sampling_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-smoothed (alpha = 1/2) sampling weights —
+    the exponentiated-smoothing mixture lever between natural frequency
+    and UniMax's hard cap; one language-keyed aggregate + a 1-row
+    broadcast total."""
+    from ..operators.sampling import temperature_sampling_weights
+
+    return temperature_sampling_weights(_docs(spark, sf_dir))

@@ -181,6 +181,7 @@ EXTRA_QUERIES = [
     "training_corpus_pipeline_v6",
     "bt_winrate_calibration",
     "mmr_diverse_topk",
+    "temperature_sampling_weights",
 ]
 
 

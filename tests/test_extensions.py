@@ -1669,3 +1669,45 @@ def test_mmr_equals_greedy_reference(spark):
             sel.append(best[1])
             want.append((g, step, best[1], rel[best[1]], best[2], best[3]))
     assert got == sorted(want)
+
+
+def test_temperature_weights_replay_and_flattening(spark):
+    """alpha=1/2 weights must equal an integer-exact Python replay, keep
+    the size ordering, and sit closer to uniform than the raw shares."""
+    import math
+
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        temperature_sampling_weights,
+    )
+
+    rows = []
+    doc = 0
+    for lang, n_docs, n_words in (("en", 40, 12), ("fr", 9, 7), ("zh", 2, 5)):
+        for _ in range(n_docs):
+            rows.append((doc, " ".join(["w"] * n_words), lang))
+            doc += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: (
+            r["n_tokens"], r["raw_share_micros"], r["smoothed_share_micros"],
+            r["boost_micros"],
+        )
+        for r in temperature_sampling_weights(df).collect()
+    }
+
+    toks = {"en": 40 * 12, "fr": 9 * 7, "zh": 2 * 5}
+    tot = sum(toks.values())
+    s = {k: math.floor(math.sqrt(v) * 1000 + 0.5) for k, v in toks.items()}
+    tot_s = sum(s.values())
+    for k in toks:
+        raw = toks[k] * 1_000_000 // tot
+        smo = s[k] * 1_000_000 // tot_s
+        assert got[k] == (toks[k], raw, smo, smo * 1_000_000 // max(raw, 1))
+
+    uniform = 1_000_000 // 3
+    for k in toks:
+        raw, smo = got[k][1], got[k][2]
+        assert abs(smo - uniform) <= abs(raw - uniform)
+    assert got["zh"][3] > got["fr"][3] > got["en"][3]
+    order = sorted(toks, key=toks.get)
+    assert sorted(order, key=lambda k: got[k][2]) == order
