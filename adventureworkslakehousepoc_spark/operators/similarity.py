@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dot_product",
+    "rrf_rank",
+    "hybrid_rrf_retrieval",
     "cosine_similarity",
     "quantize",
     "ranked_topk",
@@ -458,4 +460,78 @@ def int8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFram
             "codes",
             F.expr(f"recon_sse_u div size(`{vec_col}`)").alias("recon_mse_micros"),
         )
+    )
+
+
+def rrf_rank(scored: DataFrame, id_col: str, score_col: str, n: int) -> DataFrame:
+    """Top-``n`` rows of (id, score) by (score DESC, id ASC) with their
+    1-based rank. The cut is a TakeOrderedAndProject (distributed-safe);
+    the rank is a broadcast non-equi self-join count over the ≤n-row
+    result — no keyless window funnels a task even on the small frame
+    (plan-gate discipline)."""
+    top = (
+        scored.select(F.col(id_col).alias("id"), F.col(score_col).alias("s"))
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(n)
+    )
+    r = top.select(F.col("id").alias("r_id"), F.col("s").alias("r_s"))
+    ahead = (F.col("r_s") > F.col("s")) | (
+        (F.col("r_s") == F.col("s")) & (F.col("r_id") < F.col("id"))
+    )
+    return (
+        top.join(F.broadcast(r), ahead, "left")
+        .groupBy("id", "s")
+        .agg((F.count("r_id") + 1).cast("int").alias("rank"))
+    )
+
+
+def hybrid_rrf_retrieval(
+    lex_scored: DataFrame,
+    dense_scored: DataFrame,
+    id_col: str = "doc_id",
+    lex_score_col: str = "bm25_micros",
+    dense_score_col: str = "cos_micros",
+    n: int = 50,
+    k_rrf: int = 60,
+    out_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009): fuse
+    a lexical (BM25) and a dense (embedding-cosine) top-``n`` list into
+    one ranking by ``Σ 1/(k + rank)`` — the standard sparse+dense fusion
+    that needs no score calibration because it only consumes ranks.
+
+    Exactness: each leg's rank is a deterministic total order
+    (score DESC, id ASC); a leg's contribution is the exact integer
+    ``10⁶ div (k + rank)`` (docs outside a leg's top-n contribute 0, as in
+    real RRF over retrieved lists); the fused sum, final order, and
+    ``out_k`` cut are all integer arithmetic with id tie-breaks.
+
+    Scale: each leg is already scored corpus-wide by its own
+    scale-credible operator (BM25 one doc-keyed shuffle, cosine one scan
+    × broadcast query); this fusion only ever touches the two ≤n-row
+    lists — rank joins are broadcast non-equi self-joins, the full-outer
+    alignment joins two n-row frames.
+
+    Returns (doc_id, lex_rank, dense_rank, rrf_micros) — ranks NULL when
+    the doc made only the other leg's list.
+    """
+    lr = rrf_rank(lex_scored, id_col, lex_score_col, n).select(
+        F.col("id").alias("l_id"), F.col("rank").alias("lex_rank")
+    )
+    dr = rrf_rank(dense_scored, id_col, dense_score_col, n).select(
+        F.col("id").alias("d_id"), F.col("rank").alias("dense_rank")
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div ({k_rrf} + {c})"), F.lit(0)
+    ).cast("bigint")
+    return (
+        lr.join(dr, F.col("l_id") == F.col("d_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("l_id"), F.col("d_id")).alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            (contrib("lex_rank") + contrib("dense_rank")).alias("rrf_micros"),
+        )
+        .orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
+        .limit(out_k)
     )

@@ -4590,3 +4590,103 @@ def temperature_sampling_weights_q(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.sampling import temperature_sampling_weights
 
     return temperature_sampling_weights(_docs(spark, sf_dir))
+
+
+_RRF_COS_Q = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS dl
+      FROM documents WHERE doc_id <> 0
+    ),
+    scal AS (
+      SELECT COUNT(*) AS nd, SUM(len(string_split(text, ' '))) AS sum_dl
+      FROM documents WHERE doc_id <> 0
+    ),
+    tf AS (
+      SELECT d.doc_id, d.dl, t.term, COUNT(*) AS tf
+      FROM dl d, unnest(d.words) AS t(term)
+      WHERE t.term IN ({_BM25_IN})
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    lex AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               ln((CAST(s.nd AS DOUBLE) - d.dfc + 0.5) / (d.dfc + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                     / (CAST(s.sum_dl AS DOUBLE) / s.nd)))
+                 * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM tf JOIN dfreq d USING (term), scal s
+      GROUP BY 1
+    ),
+    dense AS (
+      SELECT a.vec_id AS doc_id,
+             CAST(FLOOR({_RRF_COS_Q} * 1000000 + 0.5) AS BIGINT) AS s
+      FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id <> 0
+    ),
+    lt AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS lex_rank
+      FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+            FROM lex)
+      WHERE rn <= 50
+    ),
+    dt AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS dense_rank
+      FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+            FROM dense)
+      WHERE rn <= 50
+    )
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+           CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+              + COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT)
+             AS rrf_micros
+    FROM lt l FULL OUTER JOIN dt d USING (doc_id)
+    ORDER BY rrf_micros DESC, doc_id
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid retrieval: BM25 (fixed query terms) and
+    embedding-cosine (query = vector 0) top-50 lists fused by reciprocal
+    rank (k = 60) — rank fusion needs no score calibration; doc/vec 0
+    plays the query and sits out both corpora. Corpus-scale work is the
+    two leg scorers; the fusion itself only touches the two 50-row lists.
+    See operators/similarity.py::hybrid_rrf_retrieval."""
+    from ..operators.similarity import hybrid_rrf_retrieval
+    from ..operators.text_analysis import bm25_scores
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") != 0)
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .alias("a")
+        .crossJoin(F.broadcast(q.alias("b")))
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            F.floor(
+                dot_product("a.embedding", "b.q_emb")
+                / (
+                    F.sqrt(dot_product("a.embedding", "a.embedding"))
+                    * F.sqrt(dot_product("b.q_emb", "b.q_emb"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_micros"),
+        )
+    )
+    lex = bm25_scores(docs, _BM25_TERMS)
+    return hybrid_rrf_retrieval(lex, dense)

@@ -182,6 +182,7 @@ EXTRA_QUERIES = [
     "bt_winrate_calibration",
     "mmr_diverse_topk",
     "temperature_sampling_weights",
+    "hybrid_rrf_retrieval",
 ]
 
 

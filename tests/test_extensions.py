@@ -1711,3 +1711,40 @@ def test_temperature_weights_replay_and_flattening(spark):
     assert got["zh"][3] > got["fr"][3] > got["en"][3]
     order = sorted(toks, key=toks.get)
     assert sorted(order, key=lambda k: got[k][2]) == order
+
+
+def test_rrf_fusion_matches_replay(spark):
+    """Fused ranking must equal a pure-Python RRF replay, including docs
+    present in only one leg and integer-division contribution arithmetic."""
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        hybrid_rrf_retrieval,
+    )
+
+    lex_rows = [(i, (97 * i) % 41) for i in range(30)]
+    dense_rows = [(i, (53 * i) % 37) for i in range(10, 40)]
+    lex = spark.createDataFrame(lex_rows, "doc_id long, bm25_micros long")
+    dense = spark.createDataFrame(dense_rows, "doc_id long, cos_micros long")
+    got = [
+        (r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_micros"])
+        for r in hybrid_rrf_retrieval(lex, dense, n=15, out_k=10).collect()
+    ]
+
+    def ranks(rows, n):
+        order = sorted(rows, key=lambda t: (-t[1], t[0]))[:n]
+        return {d: i + 1 for i, (d, _) in enumerate(order)}
+
+    lr, dr = ranks(lex_rows, 15), ranks(dense_rows, 15)
+    fused = {}
+    for d in set(lr) | set(dr):
+        c = 0
+        if d in lr:
+            c += 1_000_000 // (60 + lr[d])
+        if d in dr:
+            c += 1_000_000 // (60 + dr[d])
+        fused[d] = c
+    want = [
+        (d, lr.get(d), dr.get(d), fused[d])
+        for d in sorted(fused, key=lambda d: (-fused[d], d))[:10]
+    ]
+    assert sorted(got) == sorted(want)
+    assert any(r[1] is None or r[2] is None for r in got)
