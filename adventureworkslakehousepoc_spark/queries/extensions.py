@@ -4690,3 +4690,49 @@ def hybrid_rrf_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = bm25_scores(docs, _BM25_TERMS)
     return hybrid_rrf_retrieval(lex, dense)
+
+
+@query(
+    "cms_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT t.w AS token
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+           unnest(d.ws) AS t(w)
+    ),
+    cells AS (
+      SELECT u.j,
+             CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || token), 1, 15))
+                  AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS c
+      FROM tok, unnest([0, 1, 2, 3]) AS u(j)
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY 1
+      ORDER BY exact_count DESC, token
+      LIMIT 20
+    ),
+    probe AS (
+      SELECT tk.token, tk.exact_count, u.j,
+             CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || tk.token), 1, 15))
+                  AS BIGINT) % 256 AS bucket
+      FROM topk tk, unnest([0, 1, 2, 3]) AS u(j)
+    )
+    SELECT p.token, p.exact_count,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.exact_count AS BIGINT) AS overestimate
+    FROM probe p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: the corpus's exact top-20
+    tokens probed against the d=4 × w=256 mergeable sketch grid —
+    estimate ≥ exact (one-sided CM guarantee) with the overestimate
+    surfaced; the grid is a constant-size map-side-combined aggregate.
+    See operators/sketches.py::cms_heavy_hitters."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))

@@ -183,6 +183,7 @@ EXTRA_QUERIES = [
     "mmr_diverse_topk",
     "temperature_sampling_weights",
     "hybrid_rrf_retrieval",
+    "cms_heavy_hitters",
 ]
 
 

@@ -1748,3 +1748,50 @@ def test_rrf_fusion_matches_replay(spark):
     ]
     assert sorted(got) == sorted(want)
     assert any(r[1] is None or r[2] is None for r in got)
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """Every point estimate must be >= the exact count (CM guarantee), and
+    the sketch built on the whole corpus must equal the cell-wise sum of
+    the sketches of two disjoint halves (mergeability)."""
+    import random
+
+    from adventureworkslakehousepoc_spark.operators.sketches import (
+        cms_cells,
+        cms_heavy_hitters,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights=range(1, 301), k=30)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hits = cms_heavy_hitters(df, d=4, w=64, k=300).collect()
+    exact = {}
+    for _, text in rows:
+        for t in text.split(" "):
+            exact[t] = exact.get(t, 0) + 1
+    assert len(hits) == len(exact) and all(r["overestimate"] >= 0 for r in hits)
+    for r in hits:
+        assert r["exact_count"] == exact[r["token"]]
+        assert r["cms_estimate"] >= r["exact_count"]
+
+    toks = df.select(F.explode(F.split("text", " ")).alias("token"))
+    half_a = df.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    half_b = df.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    whole = {
+        (r["j"], r["bucket"]): r["c"] for r in cms_cells(toks, w=64).collect()
+    }
+    merged: dict = {}
+    for half in (half_a, half_b):
+        for r in cms_cells(half, w=64).collect():
+            key = (r["j"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["c"]
+    assert merged == whole
