@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dsir_importance_weights", "bigram_lm_scores"]
+__all__ = [
+    "dsir_importance_weights",
+    "bigram_lm_scores",
+    "kneser_ney_bigram_scores",
+]
 
 _LOG_U = 1000000
 
@@ -148,5 +152,100 @@ def bigram_lm_scores(
         .withColumn(
             "avg_nll_micros",
             F.expr("nll_sum_micros div n_bigrams").cast("bigint"),
+        )
+    )
+
+
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the input corpus and
+    scoring the same corpus — the smoothing KenLM uses, i.e. the actual
+    CCNet/CC-MAIN "perplexity filter" model family, one notch above the
+    add-one bigram in ``bigram_lm_scores``:
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1·)
+                 + (d·N1+(w1·)/c(w1·)) · N1+(·w2)/|bigram types|
+
+    with absolute discount ``d = discount[0]/discount[1]`` (default ¾),
+    ``N1+(w1·)`` the fan-out (distinct successors of w1), ``N1+(·w2)`` the
+    CONTINUATION count (distinct predecessors of w2 — "how many contexts
+    does w2 complete", the KN insight that demotes frequent-but-bound words
+    like "Francisco"). Every scored bigram is observed (train = score
+    corpus), so the discounted term is always positive and no backoff-only
+    branch is needed.
+
+    Cross-engine exactness: with d = n/m every term is a ratio of exact
+    bigint counts — ``(m·c2 − n)/(m·c1) + (n·N1f/(m·c1)) · (N1p/NT)`` — so
+    both engines evaluate the identical IEEE-754 expression (two exact-int
+    divisions, one multiply, one add; all correctly rounded), and only the
+    final log10 is libm (the repo-wide quantize-once discipline of
+    ``_log10_u``). Per-bigram NLL is quantized to micros, documents
+    integer-sum — order-free, hash-stable.
+
+    Scale posture: mirrors ``bigram_lm_scores`` — the model is |bigram
+    types|-bounded, built from ONE partial-aggregated shuffle of bigram
+    instances; the w1-fanout/w2-continuation tables derive from the TYPE
+    table (vocabulary-sized, not instance-sized); NT is a 1-row broadcast;
+    scoring co-partitions instances against the model on the bigram key.
+    Raw text never shuffles.
+
+    Returns ``(doc_id, n_bigrams, kn_nll_sum_micros, kn_avg_nll_micros)``;
+    docs with fewer than 2 tokens produce no row.
+    """
+    d_num, d_den = discount
+    if not (0 < d_num < d_den):
+        raise ValueError(f"discount must be a fraction in (0,1), got {discount}")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    big = words.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    ).localCheckpoint(eager=True)
+    lead = c2.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    nt = c2.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    p_expr = (
+        f"CAST({d_den} * c2 - {d_num} AS DOUBLE) / CAST({d_den} * c1 AS DOUBLE)"
+        f" + (CAST({d_num} * n1f AS DOUBLE) * CAST(n1p AS DOUBLE))"
+        f" / (CAST({d_den} * c1 AS DOUBLE) * CAST(nt AS DOUBLE))"
+    )
+    model = (
+        c2.join(lead, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            (-F.floor(F.log10(F.expr(p_expr)) * _LOG_U + F.lit(0.5)))
+            .cast("bigint")
+            .alias("nll_u"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll_u").cast("bigint").alias("kn_nll_sum_micros"),
+        )
+        .withColumn(
+            "kn_avg_nll_micros",
+            F.expr("kn_nll_sum_micros div n_bigrams").cast("bigint"),
         )
     )

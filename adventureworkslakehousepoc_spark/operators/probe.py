@@ -1,0 +1,215 @@
+"""Distributed linear quality probe: batch-GD logistic regression.
+
+The fastText-style quality classifier is a corpus-curation staple (GPT-3's
+WebText-similarity filter, LLaMA's fasttext gate): train a cheap linear
+model on labeled seed data, score the whole corpus, keep by threshold.
+This module trains that probe END-TO-END inside the engine — each gradient
+step is ONE corpus scan aggregated to a 5-number gradient — instead of
+collecting features to the driver.
+
+Cross-engine exactness (the oracle unrolls every iteration):
+- Features are integer micros in [0, 10⁶] (capped/scaled surface stats).
+- The sigmoid is the PIECEWISE-LINEAR "hard sigmoid" σ(z) = clamp(½ + z/4,
+  0, 1): IEEE exp() is libm-dependent in its last ulp, a clamp of exact
+  integer arithmetic is not.
+- All divisions are bigint `div`, which truncates toward zero in BOTH
+  Spark and DuckDB (verified: (-7) div 4 = -1 = (-7)//4), so signed
+  gradients need no floor-shift trick.
+- Per-row gradient contributions are quantized to micros BEFORE the sum
+  (the repo-wide discipline): the summand stays ≤ 10⁶, so the bigint
+  accumulator survives 10¹² rows where a raw err·x sum would overflow
+  around 10⁶ rows-per-partition scales.
+
+Scale posture: the feature frame is computed once and eager-checkpointed;
+each of the T iterations is one scan of it with a map-side-combined sum to
+a 1-row gradient frame that broadcasts back — weights never touch the
+driver (n lives in a 1-row broadcast frame, not a collected scalar), state
+per iteration is 5 bigints, and the loop eager-checkpoints per round (the
+iterative-loop idiom shared with PageRank/k-means/BPE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["probe_features", "logistic_probe_fit", "PROBE_STOPWORDS"]
+
+# the Gopher stop set (operators/text_analysis.py::GOPHER_STOP_WORDS) — the
+# probe DISTILLS the hand-written Gopher keep gate into a calibrated linear
+# scorer: hard AND-of-thresholds in, soft rankable quality score out (the
+# gate you can threshold-sweep for ablations without re-running rules)
+PROBE_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_FEATS = ("bias", "len_words", "mean_word_len", "stopword_ratio", "stop_hits")
+
+
+def probe_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc feature vector (integer micros, each capped to [0, 10⁶]) and
+    binary label: x0 bias, x1 length (words/200), x2 mean word length (/10),
+    x3 Gopher-stop-word ratio, x4 stop-hit count (/20 capped); y = 10⁶ iff
+    the doc passes the composite Gopher keep gate (same word-count /
+    mean-word-length / symbol / alpha / stop-hit thresholds as
+    text_analysis.gopher_quality_flags — the label IS the rule, which is
+    the point of distillation). One codegen'd projection, no shuffle."""
+    stop_in = ", ".join(f"'{s}'" for s in PROBE_STOPWORDS)
+    mwl = "length(replace(_t, ' ', '')) / size(_ws)"
+    n_hash = "length(_t) - length(replace(_t, '#', ''))"
+    n_ell = "floor(CAST(length(_t) - length(replace(_t, '...', '')) AS DOUBLE) / 3.0)"
+    keep = (
+        "size(_ws) >= 50 AND size(_ws) <= 100000"
+        f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" AND ({n_hash} + {n_ell}) / size(_ws) <= 0.1"
+        " AND size(filter(_ws, w -> w rlike '[a-z]')) / size(_ws) >= 0.8"
+        f" AND size(filter(_ws, w -> w IN ({stop_in}))) >= 2"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.expr(f"split(`{text_col}`, ' ')").alias("_ws"),
+    ).select(
+        "doc_id",
+        "_ws",
+        F.expr(
+            f"CAST(CASE WHEN {keep} THEN 1000000 ELSE 0 END AS BIGINT)"
+        ).alias("y"),
+    ).select(
+        "doc_id",
+        "y",
+        F.lit(1000000).cast("bigint").alias("x0"),
+        F.expr("least(size(_ws), 200) * CAST(5000 AS BIGINT)").alias("x1"),
+        F.expr(
+            "least((aggregate(_ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
+            " * 1000000) div greatest(size(_ws), 1), CAST(10000000 AS BIGINT))"
+            " div 10"
+        ).alias("x2"),
+        F.expr(
+            f"(size(filter(_ws, w -> w IN ({stop_in}))) * CAST(1000000 AS BIGINT))"
+            " div greatest(size(_ws), 1)"
+        ).alias("x3"),
+        F.expr(
+            f"least(size(filter(_ws, w -> w IN ({stop_in}))), 20)"
+            " * CAST(50000 AS BIGINT)"
+        ).alias("x4"),
+    )
+
+
+def logistic_probe_fit(
+    docs: DataFrame,
+    iterations: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit the linear probe by ``iterations`` full-batch gradient steps
+    (η = ½) and report the weight trajectory with post-update training
+    accuracy:
+
+      z_i   = (Σ_f w_f·x_if) div 10⁶                 (micros)
+      σ_i   = clamp(500000 + z_i div 4, 0, 10⁶)      (hard sigmoid)
+      c_if  = ((σ_i − y_i)·x_if) div 10⁶             (per-row, quantized)
+      g_f   = (Σ_i c_if) div n                       (micros)
+      w_f  −= g_f div 2
+
+    Returns (iteration, feature, weight_micros, train_acc_micros) — one
+    row per (iteration 1..T, feature), accuracy evaluated with that
+    iteration's updated weights at the 500000 threshold.
+    """
+    raw = probe_features(docs, text_col, id_col)
+    # center the non-bias features on the corpus mean (1-row broadcast):
+    # with all-positive features every gradient component shares the label
+    # mean's sign and the probe degenerates to the majority class —
+    # centering is what lets the discriminative features earn opposite-
+    # signed weights (and it's the standard preprocessing for GD anyway)
+    means = raw.agg(
+        *[
+            F.expr(f"sum(x{f}) div count(1)").alias(f"m{f}")
+            for f in range(1, 5)
+        ]
+    )
+    feats = (
+        raw.crossJoin(F.broadcast(means))
+        .select(
+            "doc_id",
+            "y",
+            "x0",
+            # ×4 after centering: the raw spans are ~±2.5·10⁵ micros while
+            # the bias input is exactly 10⁶, so without the rescale the bias
+            # coordinate descends ~4-5× faster than every discriminative one
+            # and the probe sits at the majority class for dozens of epochs
+            *[F.expr(f"(x{f} - m{f}) * 4").alias(f"x{f}") for f in range(1, 5)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    nf = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    z_expr = (
+        "(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) div CAST(1000000 AS BIGINT)"
+    )
+    sig_expr = (
+        "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+        f" 500000 + ({z_expr}) div 4))"
+    )
+
+    w = feats.sparkSession.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{f}") for f in range(5)]
+    )
+    out = []
+    for it in range(1, iterations + 1):
+        joined = feats.crossJoin(F.broadcast(w)).withColumn(
+            "sig", F.expr(sig_expr)
+        )
+        grad = joined.agg(
+            *[
+                F.sum(
+                    F.expr(f"((sig - y) * x{f}) div CAST(1000000 AS BIGINT)")
+                ).alias(f"g{f}")
+                for f in range(5)
+            ]
+        )
+        w = (
+            w.crossJoin(F.broadcast(grad))
+            .crossJoin(F.broadcast(nf))
+            .select(
+                *[
+                    F.expr(f"w{f} - (g{f} div n) div 2").alias(f"w{f}")
+                    for f in range(5)
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = (
+            feats.crossJoin(F.broadcast(w))
+            .withColumn("sig", F.expr(sig_expr))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (sig >= 500000) = (y = 1000000)"
+                        " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+                    )
+                ).alias("n_right")
+            )
+            .crossJoin(F.broadcast(nf))
+            .select(
+                F.expr("(n_right * CAST(1000000 AS BIGINT)) div n").alias(
+                    "train_acc_micros"
+                )
+            )
+        )
+        row = w.crossJoin(F.broadcast(acc)).select(
+            F.lit(it).cast("int").alias("iteration"),
+            F.expr(
+                "stack(5, "
+                + ", ".join(f"'{name}', w{f}" for f, name in enumerate(_FEATS))
+                + ") AS (feature, weight_micros)"
+            ),
+            "train_acc_micros",
+        )
+        out.append(row)
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.select("iteration", "feature", "weight_micros", "train_acc_micros")

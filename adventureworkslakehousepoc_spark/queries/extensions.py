@@ -4736,3 +4736,146 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import cms_heavy_hitters
 
     return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _probe_oracle_sql(iters: int = 5) -> str:
+    """Unrolled batch-GD replay of logistic_probe_fit: same integer-micro
+    features, hard sigmoid, per-row-quantized gradients, truncating `//`
+    (verified identical to Spark's `div` on negatives)."""
+    from ..operators.probe import PROBE_STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in PROBE_STOPWORDS)
+    mwl = "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)"
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ell = "floor(CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)"
+    keep = (
+        "len(ws) >= 50 AND len(ws) <= 100000"
+        f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" AND ({n_hash} + {n_ell}) / len(ws) <= 0.1"
+        " AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)"
+        "     / len(ws) >= 0.8"
+        f" AND len(list_filter(ws, w -> w IN ({stop_in}))) >= 2"
+    )
+
+    def sig(w: str) -> str:
+        dot = " + ".join(f"{w}.w{f} * x{f}" for f in range(5))
+        return (
+            f"LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),"
+            f" 500000 + (({dot}) // 1000000) // 4))"
+        )
+
+    head = f"""
+    WITH f0 AS (
+      SELECT doc_id,
+             CAST(CASE WHEN {keep} THEN 1000000 ELSE 0 END AS BIGINT) AS y,
+             CAST(1000000 AS BIGINT) AS x0,
+             CAST(LEAST(len(ws), 200) * 5000 AS BIGINT) AS x1,
+             CAST(LEAST((CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+                         * 1000000) // GREATEST(len(ws), 1),
+                        10000000) // 10 AS BIGINT) AS x2,
+             CAST((len(list_filter(ws, w -> w IN ({stop_in}))) * 1000000)
+                  // GREATEST(len(ws), 1) AS BIGINT) AS x3,
+             CAST(LEAST(len(list_filter(ws, w -> w IN ({stop_in}))), 20)
+                  * 50000 AS BIGINT) AS x4
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ),
+    m AS (SELECT SUM(x1) // COUNT(*) AS m1, SUM(x2) // COUNT(*) AS m2,
+                 SUM(x3) // COUNT(*) AS m3, SUM(x4) // COUNT(*) AS m4
+          FROM f0),
+    f AS (SELECT doc_id, y, x0,
+                 CAST((x1 - m1) * 4 AS BIGINT) AS x1, CAST((x2 - m2) * 4 AS BIGINT) AS x2,
+                 CAST((x3 - m3) * 4 AS BIGINT) AS x3, CAST((x4 - m4) * 4 AS BIGINT) AS x4
+          FROM f0, m),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        if t == 1:
+            scored = "SELECT f.*, CAST(500000 AS BIGINT) AS sig FROM f"
+            prev_w = ", ".join("CAST(0 AS BIGINT)" for _ in range(5))
+            upd = ", ".join(
+                f"CAST(0 AS BIGINT) - (g{f} // n) // 2 AS w{f}" for f in range(5)
+            )
+            w_from = f"g{t}, nn"
+        else:
+            scored = f"SELECT f.*, {sig(f'w{t-1}')} AS sig FROM f, w{t-1}"
+            upd = ", ".join(
+                f"w{t-1}.w{f} - (g{f} // n) // 2 AS w{f}" for f in range(5)
+            )
+            w_from = f"g{t}, w{t-1}, nn"
+        gsums = ", ".join(
+            f"CAST(SUM(((sig - y) * x{f}) // 1000000) AS BIGINT) AS g{f}" for f in range(5)
+        )
+        parts.append(f""",
+    g{t} AS (SELECT {gsums} FROM ({scored})),
+    w{t} AS (SELECT {upd} FROM {w_from}),
+    a{t} AS (
+      SELECT CAST((SUM(CASE WHEN ({sig(f'w{t}')} >= 500000) = (y = 1000000)
+                       THEN 1 ELSE 0 END) * 1000000) // MAX(nn.n) AS BIGINT)
+               AS train_acc_micros
+      FROM f, w{t}, nn
+    )""")
+    feats = ("bias", "len_words", "mean_word_len", "stopword_ratio",
+             "stop_hits")
+    tails = []
+    for t in range(1, iters + 1):
+        for fidx, name in enumerate(feats):
+            tails.append(
+                f"SELECT CAST({t} AS INTEGER) AS iteration, '{name}' AS feature,"
+                f" CAST(w{fidx} AS BIGINT) AS weight_micros, train_acc_micros"
+                f" FROM w{t}, a{t}"
+            )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(tails)
+
+
+@query("logistic_quality_probe", _probe_oracle_sql())
+def logistic_quality_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality probe trained end-to-end in the
+    engine: 3 full-batch GD steps predicting lang='en' from surface
+    stats (hard-sigmoid logistic, integer-micro arithmetic); each step is
+    one scan of the checkpointed feature frame reduced to a broadcast
+    1-row gradient. See operators/probe.py::logistic_probe_fit."""
+    from ..operators.probe import logistic_probe_fit
+
+    return logistic_probe_fit(_docs(spark, sf_dir))
+
+
+@query(
+    "kneser_ney_bigram_scores",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM words, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    lead_t AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+                      CAST(COUNT(*) AS BIGINT) AS n1f
+               FROM c2 GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c2),
+    model AS (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(
+                 CAST(4 * c2 - 3 AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+                 + (CAST(3 * n1f AS DOUBLE) * CAST(n1p AS DOUBLE))
+                   / (CAST(4 * c1 AS DOUBLE) * CAST(nt AS DOUBLE))
+               ) * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM c2 JOIN lead_t USING (w1) JOIN cont USING (w2), tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_u) AS BIGINT) AS kn_nll_sum_micros,
+           CAST(SUM(nll_u) // COUNT(*) AS BIGINT) AS kn_avg_nll_micros
+    FROM big JOIN model USING (w1, w2)
+    GROUP BY 1
+    """,
+)
+def kneser_ney_bigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (absolute discount 3/4, exact
+    continuation counts) scoring per-doc NLL — the KenLM/CCNet perplexity
+    filter one smoothing class above the add-one bigram; model table is
+    |bigram types|-bounded, NT broadcasts as a 1-row frame.
+    See operators/importance.py::kneser_ney_bigram_scores."""
+    from ..operators.importance import kneser_ney_bigram_scores
+
+    return kneser_ney_bigram_scores(_docs(spark, sf_dir))

@@ -184,6 +184,7 @@ EXTRA_QUERIES = [
     "temperature_sampling_weights",
     "hybrid_rrf_retrieval",
     "cms_heavy_hitters",
+    "logistic_quality_probe",
 ]
 
 

@@ -1795,3 +1795,89 @@ def test_cms_one_sided_and_mergeable(spark):
             key = (r["j"], r["bucket"])
             merged[key] = merged.get(key, 0) + r["c"]
     assert merged == whole
+
+
+def test_logistic_probe_matches_replay_and_learns(spark):
+    """The probe's weight trajectory must equal an integer-exact Python
+    replay of the batch-GD recurrence, and final accuracy must beat the
+    majority class (the probe actually distills the Gopher gate)."""
+    import random
+
+    from adventureworkslakehousepoc_spark.operators.probe import (
+        PROBE_STOPWORDS,
+        logistic_probe_fit,
+    )
+
+    rng = random.Random(5)
+    vocab = ["data", "spark", "query", "merge", "row", "scan"]
+    rows = []
+    for i in range(80):
+        n = rng.choice((20, 30, 40, 60, 80, 90))
+        words = rng.choices(vocab, k=n)
+        for _ in range(rng.choice((2, 3))):
+            words[rng.randrange(n)] = rng.choice(PROBE_STOPWORDS)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    T = 4
+    got = {
+        (r["iteration"], r["feature"]): (r["weight_micros"], r["train_acc_micros"])
+        for r in logistic_probe_fit(df, iterations=T).collect()
+    }
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    feats, ys = [], []
+    for _, text in rows:
+        ws = text.split(" ")
+        nw = len(ws)
+        sum_chars = sum(len(w) for w in ws)
+        mwl = sum_chars / nw
+        stop = sum(1 for w in ws if w in PROBE_STOPWORDS)
+        alpha = sum(1 for w in ws if any("a" <= c <= "z" for c in w))
+        keep = (
+            50 <= nw <= 100000
+            and 3.0 <= (len(text.replace(" ", "")) / nw) <= 10.0
+            and alpha / nw >= 0.8
+            and stop >= 2
+        )
+        ys.append(1_000_000 if keep else 0)
+        feats.append(
+            [
+                1_000_000,
+                min(nw, 200) * 5000,
+                tdiv(min(tdiv(sum_chars * 1_000_000, max(nw, 1)), 10_000_000), 10),
+                tdiv(stop * 1_000_000, max(nw, 1)),
+                min(stop, 20) * 50_000,
+            ]
+        )
+        assert mwl is not None
+    n = len(rows)
+    means = [tdiv(sum(f[j] for f in feats), n) for j in range(1, 5)]
+    X = [[f[0]] + [(f[j] - means[j - 1]) * 4 for j in range(1, 5)] for f in feats]
+    w = [0] * 5
+    names = ("bias", "len_words", "mean_word_len", "stopword_ratio", "stop_hits")
+    for t in range(1, T + 1):
+        sigs = [
+            max(0, min(1_000_000, 500_000 + tdiv(tdiv(sum(wf * xf for wf, xf in zip(w, x)), 1_000_000), 4)))
+            for x in X
+        ]
+        g = [
+            tdiv(sum(tdiv((s - y) * x[j], 1_000_000) for s, y, x in zip(sigs, ys, X)), n)
+            for j in range(5)
+        ]
+        w = [wf - tdiv(gf, 2) for wf, gf in zip(w, g)]
+        sigs2 = [
+            max(0, min(1_000_000, 500_000 + tdiv(tdiv(sum(wf * xf for wf, xf in zip(w, x)), 1_000_000), 4)))
+            for x in X
+        ]
+        acc = tdiv(
+            sum(1 for s, y in zip(sigs2, ys) if (s >= 500_000) == (y == 1_000_000))
+            * 1_000_000,
+            n,
+        )
+        for j, name in enumerate(names):
+            assert got[(t, name)] == (w[j], acc), (t, name)
+    majority = max(sum(1 for y in ys if y), n - sum(1 for y in ys if y)) * 1_000_000 // n
+    assert got[(T, "bias")][1] > majority
