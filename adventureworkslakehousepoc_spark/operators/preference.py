@@ -168,12 +168,50 @@ def dpo_pairs(
     )
 
 
+def _bt_win_matrix(
+    events: DataFrame, item_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Decided-pair win matrix ``(i, j, n, w_i)`` with ``i < j`` — the ONE
+    corpus-scale pass (groupBy((judge, item)) then the per-judge pairwise
+    join) shared by ``bradley_terry_strengths`` and
+    ``bt_winrate_calibration``. Eagerly checkpointed so both consumers read
+    the materialized |items|²-bounded matrix, never the events frame twice."""
+    vu = F.floor(F.col(value_col).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    tot = (
+        events.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("item"), vu.alias("vu")
+        )
+        .groupBy("g", "item")
+        .agg(F.sum("vu").alias("vu"))
+    )
+    a, b = tot.alias("a"), tot.alias("b")
+    decided = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.item") < F.col("b.item"))
+        & (F.col("a.vu") != F.col("b.vu")),
+    ).select(
+        F.col("a.item").alias("i"),
+        F.col("b.item").alias("j"),
+        F.when(F.col("a.vu") > F.col("b.vu"), F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
+    )
+    return (
+        decided.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("win_i").cast("bigint").alias("w_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def bradley_terry_strengths(
     events: DataFrame,
     item_col: str = "event_type",
     group_col: str = "user_id",
     value_col: str = "value",
     iterations: int = 3,
+    _mat: DataFrame | None = None,
 ) -> DataFrame:
     """Bradley-Terry strength fitting over pairwise preference outcomes —
     the rank-models-from-human-comparisons pass of RLHF data curation (the
@@ -193,7 +231,10 @@ def bradley_terry_strengths(
     Bigint headroom: the ``·10¹²`` lift bounds per-pair decided games at
     n_ij ≤ ~9·10⁶ (Chatbot-Arena-scale battle counts sit well inside;
     beyond that, pre-scale n_ij or drop the term lift to 10⁹ at 10⁻³
-    relative precision).
+    relative precision). The renormalization product ``raw·|items|·10⁶``
+    is widened to DECIMAL(38,0) (HUGEINT in the oracle) before the
+    division, so there is no |items| bound — the quotient itself is
+    ≤ |items|·10⁶ and lands safely back in bigint.
     ``greatest(·, 1)`` guards the two denominators; items whose every
     comparison tied are absent (no decided game → undefined strength).
 
@@ -205,35 +246,10 @@ def bradley_terry_strengths(
     re-planning a growing tree), and the normalization scalar is a 1-row
     broadcast. No collect anywhere.
     """
-    vu = F.floor(F.col(value_col).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
-    tot = (
-        events.select(
-            F.col(group_col).alias("g"), F.col(item_col).alias("item"), vu.alias("vu")
-        )
-        .groupBy("g", "item")
-        .agg(F.sum("vu").alias("vu"))
-    )
-    a, b = tot.alias("a"), tot.alias("b")
-    decided = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.item") < F.col("b.item"))
-            & (F.col("a.vu") != F.col("b.vu")),
-        )
-        .select(
-            F.col("a.item").alias("i"),
-            F.col("b.item").alias("j"),
-            F.when(F.col("a.vu") > F.col("b.vu"), F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
-        )
-    )
     mat = (
-        decided.groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("win_i").cast("bigint").alias("w_i"),
-        )
-        .localCheckpoint(eager=True)
+        _mat
+        if _mat is not None
+        else _bt_win_matrix(events, item_col, group_col, value_col)
     )
     sym = mat.select("i", "j", "n").unionByName(
         mat.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
@@ -270,7 +286,14 @@ def bradley_terry_strengths(
             .crossJoin(F.broadcast(n_items))
             .select(
                 "item",
-                F.expr("(raw * n_items * 1000000) div greatest(total, 1)").alias("s"),
+                # DECIMAL(38,0) widening: raw*n_items*10^6 wraps bigint once
+                # |items| ≳ 3000 in non-ANSI Spark; the decimal product can't,
+                # and `div` lands back in bigint (the quotient itself is
+                # bounded by |items|·10^6). DuckDB oracle mirrors via HUGEINT.
+                F.expr(
+                    "(CAST(raw AS DECIMAL(38,0)) * n_items * 1000000)"
+                    " div greatest(total, 1)"
+                ).alias("s"),
             )
             .localCheckpoint(eager=True)
         )
@@ -452,7 +475,10 @@ def bt_winrate_calibration(
     far from its empirical rate marks intransitive or under-sampled
     comparisons).
 
-    Reuses ``bradley_terry_strengths`` (same corpus pass); everything
+    Shares the single corpus pass with ``bradley_terry_strengths``: the
+    decided-pair win matrix is built once (``_bt_win_matrix``, eagerly
+    checkpointed) and handed to the fit via ``_mat``, so the events frame
+    is never scanned a second time; everything
     downstream is |items|²-bounded integer-micro arithmetic: observed and
     predicted rates are integer divisions of exact counts/strengths, the
     gap is their absolute difference.
@@ -460,34 +486,16 @@ def bt_winrate_calibration(
     Returns (item_i, item_j, n_games, wins_i, obs_micros, pred_micros,
     abs_gap_micros), item_i < item_j.
     """
-    vu = F.floor(F.col(value_col).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
-    tot = (
-        events.select(
-            F.col(group_col).alias("g"), F.col(item_col).alias("item"), vu.alias("vu")
-        )
-        .groupBy("g", "item")
-        .agg(F.sum("vu").alias("vu"))
+    shared = _bt_win_matrix(events, item_col, group_col, value_col)
+    mat = shared.select(
+        F.col("i").alias("item_i"),
+        F.col("j").alias("item_j"),
+        F.col("n").alias("n_games"),
+        F.col("w_i").alias("wins_i"),
     )
-    a, b = tot.alias("a"), tot.alias("b")
-    mat = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.item") < F.col("b.item"))
-            & (F.col("a.vu") != F.col("b.vu")),
-        )
-        .select(
-            F.col("a.item").alias("item_i"),
-            F.col("b.item").alias("item_j"),
-            F.when(F.col("a.vu") > F.col("b.vu"), F.lit(1)).otherwise(F.lit(0)).alias("win_i"),
-        )
-        .groupBy("item_i", "item_j")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_games"),
-            F.sum("win_i").cast("bigint").alias("wins_i"),
-        )
+    s = bradley_terry_strengths(
+        events, item_col, group_col, value_col, iterations, _mat=shared
     )
-    s = bradley_terry_strengths(events, item_col, group_col, value_col, iterations)
     si = s.select(F.col("item").alias("item_i"), F.col("strength_micros").alias("s_i"))
     sj = s.select(F.col("item").alias("item_j"), F.col("strength_micros").alias("s_j"))
     return (

@@ -4046,7 +4046,7 @@ def _bt_oracle_sql(iterations: int = 3) -> str:
                    CAST((w.w * 1000000000000) // GREATEST(d.d, 1) AS BIGINT) AS raw
             FROM wins w JOIN d{k} d ON d.item = w.item),
     s{k} AS (SELECT r{k}.item,
-                   CAST((r{k}.raw * nn.n_items * 1000000)
+                   CAST((CAST(r{k}.raw AS HUGEINT) * nn.n_items * 1000000)
                         // GREATEST((SELECT CAST(SUM(raw) AS BIGINT) FROM r{k}), 1)
                         AS BIGINT) AS s
             FROM r{k}, nn)"""
@@ -4830,10 +4830,11 @@ def _probe_oracle_sql(iters: int = 5) -> str:
 @query("logistic_quality_probe", _probe_oracle_sql())
 def logistic_quality_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality probe trained end-to-end in the
-    engine: 3 full-batch GD steps predicting lang='en' from surface
-    stats (hard-sigmoid logistic, integer-micro arithmetic); each step is
-    one scan of the checkpointed feature frame reduced to a broadcast
-    1-row gradient. See operators/probe.py::logistic_probe_fit."""
+    engine: 5 full-batch GD steps (the operator default) distilling the
+    composite Gopher keep gate into surface stats (hard-sigmoid logistic,
+    integer-micro arithmetic); each step is one scan of the checkpointed
+    feature frame reduced to a broadcast 1-row gradient. See
+    operators/probe.py::logistic_probe_fit."""
     from ..operators.probe import logistic_probe_fit
 
     return logistic_probe_fit(_docs(spark, sf_dir))
