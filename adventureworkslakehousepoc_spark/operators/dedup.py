@@ -889,37 +889,77 @@ def containment_prefix_pairs(
     side of each potential pair (where the pigeonhole guarantee lives —
     halves the match stream at zero recall loss). At t = 0.7 each
     distinct set contributes ~30% of its shingles as prefix — the cost of
-    full recall on an unbounded-asymmetry measure. PPJoin positional and
-    suffix bounds were measured and rejected for this measure/corpus
-    (see candidate-generation comment below).
+    full recall on an unbounded-asymmetry measure. Each distinct set is
+    materialized ONCE as a rarest-first-sorted array row (one doc-keyed
+    aggregate): prefixes are positional slices, posexplode hands both join
+    sides their global ranks for free — enabling the PPJoin positional
+    bound (Xiao et al. 2011) that an earlier window-based cut rejected as
+    not worth its extra full-table window — and pair verification is a
+    codegen'd ``array_intersect`` over pair-list-sized joins instead of
+    two more full-shingle-table shuffles.
     """
-    from pyspark.sql import Window
-
     # hashed shingle ids (8-byte ints) for the same reason as
     # prefix_filter_jaccard_pairs: the output is pure counts
     sh = word_shingles(docs, text_col, id_col, n=shingle_n, hashed=True).persist()
-    fams = sh.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>"))
-        ).alias("sig")
-    ).persist()
+    from ..plans.audit import eager_checkpoint
+
+    # family collapse BEFORE any df work: the corpus-scale pass reduces
+    # each doc to a 16-byte set signature ONLY — the sorted array is an
+    # aggregation intermediate, never materialized per MEMBER doc (a
+    # first cut that checkpointed member-level set arrays paid ~4× at the
+    # 30× probe for exactly that). Everything downstream (df table, rank
+    # arrays, candidate generation, verification) is bounded by DISTINCT
+    # sets, which is what keeps the copy-heavy 30× probe linear.
+    fams = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>")
+                )
+            ).alias("sig")
+        )
+        .persist()
+    )
     reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
     rsh = sh.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id").persist()
-    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = rsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-    prefix = (
+    # df over distinct sets = the global rarest-first order; aggregating
+    # at REPRESENTATIVE scale turns each distinct set into one row whose
+    # shingles are in that order (array_sort over (df, sh) structs == a
+    # rank window's orderBy(df, sh), minus the window's own exchange+sort)
+    # — this row then serves prefix extraction, full-side candidate
+    # explosion, AND pair verification, replacing the former separate
+    # sizes aggregate and the two full-shingle-table verify shuffles with
+    # pair-list-sized joins against it.
+    doc_arr = eager_checkpoint(
         rsh.join(freq, "sh")
-        .withColumn("r", F.row_number().over(wd))
-        .join(sizes, "doc_id")
-        # p = n − ⌈t·n⌉ + 1, with ⌈n·num/den⌉ = (n·num + den − 1) div den
-        .filter(
-            F.col("r")
-            <= F.col("n_sh")
-            - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
-            + 1
-        )
-        .select("doc_id", "sh", F.col("n_sh").alias("n_p"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("ts"))
+        .select(
+            "doc_id",
+            F.expr("transform(ts, t -> t.sh)").alias("arr"),
+            F.size("ts").alias("n_sh"),
+        ),
+        "containment_doc_arrays",
+    )
+    # t_a = ⌈t·n⌉ (the overlap a qualifying pair must reach on its smaller
+    # side), prefix length p = n − t_a + 1, with ⌈n·num/den⌉ =
+    # (n·num + den − 1) div den. posexplode positions are 0-based GLOBAL
+    # ranks — the prefix is a positional slice of the full order.
+    t_a = F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
+    prefix = doc_arr.select(
+        "doc_id",
+        F.col("n_sh").alias("n_p"),
+        t_a.alias("t_a"),
+        F.posexplode(F.slice("arr", F.lit(1), F.col("n_sh") - t_a + 1)).alias(
+            "i", "sh"
+        ),
+    )
+    full = doc_arr.select(
+        "doc_id",
+        F.col("n_sh").alias("n_s"),
+        F.posexplode("arr").alias("j", "sh"),
     )
     # SMALLER-SIDE candidate generation: the pigeonhole guarantee is
     # one-sided — for a qualifying pair, max-direction containment is over
@@ -927,41 +967,52 @@ def containment_prefix_pairs(
     # doc's prefix specifically. Generating candidates only where the
     # prefix side is the smaller doc (ties broken by id) halves the match
     # stream with zero recall loss (measured sf0.1: 501 k → 254 k matches,
-    # 281 k → 245 k distinct pairs). Positional PPJoin-style pruning was
-    # ALSO measured and rejected: it needs a rank column on the unrestricted
-    # side (extra full-table window) yet removed only ~9% of matches /
-    # ~15% of pairs on this corpus, and the pair-level suffix bound pruned
-    # <0.1% — candidate collisions here sit on early rare tokens, where
-    # positional bounds are vacuous.
-    s_sized = rsh.join(sizes, "doc_id").select(
-        "doc_id", "sh", F.col("n_sh").alias("n_s")
+    # 281 k → 245 k distinct pairs).
+    smaller = (F.col("p.n_p") < F.col("f.n_s")) | (
+        (F.col("p.n_p") == F.col("f.n_s")) & (F.col("p.doc_id") < F.col("f.doc_id"))
     )
-    smaller = (F.col("p.n_p") < F.col("s.n_s")) | (
-        (F.col("p.n_p") == F.col("s.n_s")) & (F.col("p.doc_id") < F.col("s.doc_id"))
+    # PPJoin positional bound (Xiao et al. 2011), affordable now that BOTH
+    # sides carry global ranks straight out of posexplode (an earlier cut
+    # rejected it because the unrestricted side needed its own full-table
+    # rank window). Both arrays share one global order, so a qualifying
+    # pair's FIRST common token is first on both sides and bounds the true
+    # overlap by min(n_p − i, n_s − j); keeping only matches where that
+    # bound reaches t_a keeps the first-token row of every qualifying
+    # pair — match-stream pruning at zero recall loss.
+    positional = (F.col("p.n_p") - F.col("p.i") >= F.col("p.t_a")) & (
+        F.col("f.n_s") - F.col("f.j") >= F.col("p.t_a")
     )
     cands = (
         prefix.alias("p")
-        .join(s_sized.alias("s"), F.col("p.sh") == F.col("s.sh"))
-        .filter(smaller)
+        .join(full.alias("f"), F.col("p.sh") == F.col("f.sh"))
+        .filter(smaller & positional)
         .select(
-            F.least("p.doc_id", "s.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "s.doc_id").alias("doc_b"),
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
         )
         .distinct()
     )
-    sa, sb = rsh.alias("sa"), rsh.alias("sb")
-    inter = (
-        cands.alias("c")
-        .join(sa, F.col("c.doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("c.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    # pair verification at PAIR-LIST scale: two joins hang each candidate
+    # pair's shingle arrays on the row and the exact intersection count is
+    # a codegen'd array_intersect — the shingle table itself never
+    # shuffles again (the former path re-shuffled it twice and then
+    # re-aggregated the match stream).
+    aa = doc_arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").cast("bigint").alias("n_a"),
     )
-    za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
+    bb = doc_arr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").cast("bigint").alias("n_b"),
+    )
     rep_pairs = (
-        inter.join(za, F.col("doc_a") == F.col("ka"))
-        .join(zb, F.col("doc_b") == F.col("kb"))
+        cands.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+        )
         # compare the rational directly — flooring to micros first loses
         # exactness whenever t_num·10^6 is not divisible by t_den (e.g.
         # t=1/3 would reject a pair with containment exactly 1/3); the
@@ -975,9 +1026,8 @@ def containment_prefix_pairs(
     # family expansion — containment is a set-level quantity, so every
     # member pair inherits its representatives' (n_inter, n_a, n_b);
     # orient counts by which member id becomes doc_a after least/greatest
-    rep_sig = fams.join(reps, "sig").filter(F.col("doc_id") == F.col("rep_id"))
-    ra = rep_sig.select(F.col("rep_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    rb = rep_sig.select(F.col("rep_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ra = reps.select(F.col("rep_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    rb = reps.select(F.col("rep_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     ma = fams.select(F.col("sig").alias("sig_a"), F.col("doc_id").alias("m_a"))
     mb = fams.select(F.col("sig").alias("sig_b"), F.col("doc_id").alias("m_b"))
     cross = (
@@ -994,7 +1044,9 @@ def containment_prefix_pairs(
         )
     )
     fam_sizes = reps.join(
-        sizes.select(F.col("doc_id").alias("rep_id"), F.col("n_sh").cast("bigint").alias("n_set")),
+        doc_arr.select(
+            F.col("doc_id").alias("rep_id"), F.col("n_sh").cast("bigint").alias("n_set")
+        ),
         "rep_id",
     ).select("sig", "n_set")
     f1, f2 = fams.alias("f1"), fams.alias("f2")
@@ -1021,8 +1073,6 @@ def containment_prefix_pairs(
     try:
         # verified-pair-list-sized: materialize eagerly so the shingle
         # caches can be released before returning
-        from ..plans.audit import eager_checkpoint
-
         return eager_checkpoint(out, "containment_prefix_pairs")
     finally:
         sh.unpersist()
