@@ -535,3 +535,146 @@ def hybrid_rrf_retrieval(
         .orderBy(F.desc("rrf_micros"), F.asc("doc_id"))
         .limit(out_k)
     )
+
+
+def ann_recall_calibration(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+) -> DataFrame:
+    """Estimator-vs-exact audit for the ANN stack (the vector twin of
+    ``minhash_estimate_error``): for each of ``n_queries`` query vectors,
+    run IVF multi-probe search and PQ asymmetric-distance search against
+    the brute-force cosine ground truth and report recall@k plus total
+    rank displacement — the numbers a corpus operator reads before
+    trusting ``ann_ivf_topk`` / ``ann_pq_adc_topk`` for semantic dedup at
+    scale. Self-matches are excluded on every leg (a query trivially
+    retrieves itself and would inflate recall by 1/k).
+
+    Exactness: all three legs rank by (quantized-micros score, vec_id) —
+    total orders in exact integer/quantized arithmetic — so ranks,
+    hit counts, recall micros and displacement sums are all
+    integer-exact and oracle-replayable.
+
+    Scale: ground truth and both estimator legs are the multi-query forms
+    of the existing operators — one corpus scan × broadcast query set
+    each (IVF scans only probed cells), ranked via ``grouped_topk`` so no
+    per-query window ever funnels the corpus; the calibration joins then
+    run at (n_queries × k)-row scale, with the exact top-k list broadcast.
+
+    Returns (method, q_id, n_hits, recall_at_k_micros, rank_displacement),
+    one row per (method ∈ {ivf, pq}, query).
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    order = [F.desc("score"), F.asc("vec_id")]
+
+    # exact ground truth: brute-force cosine top-k per query, self excluded
+    gt_scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    exact = grouped_topk(gt_scored, ["q_id"], k, order, rank_name="rank_exact").select(
+        "q_id", "vec_id", "rank_exact"
+    )
+
+    # IVF leg: one cell assignment, per-query nprobe cells, exact cosine
+    # inside the probed candidates only
+    cells = ivf_assign_cells(embeddings, n_centroids)
+    probe_scored = (
+        _centroids(embeddings, n_centroids)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("cent_id").cast("int").alias("p_cell"),
+            quantize(cosine_similarity("c_embedding", "q_embedding")).alias("p_score"),
+        )
+    )
+    probes = grouped_topk(
+        probe_scored, ["q_id"], nprobe, [F.desc("p_score"), F.asc("p_cell")]
+    ).select("q_id", "p_cell")
+    ivf_scored = (
+        cells.join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            quantize(cosine_similarity("embedding", "q_embedding")).alias("score"),
+        )
+    )
+    ivf_top = grouped_topk(ivf_scored, ["q_id"], k, order, rank_name="rank_approx").select(
+        "q_id", "vec_id", "rank_approx"
+    )
+
+    # PQ-ADC leg: one code table, per-query distance tables (n_queries *
+    # m * n_centroids rows - broadcast), approximate distance = exact
+    # bigint micro sum of m lookups
+    d = _subdim(embeddings, m, None)
+    codes = pq_encode(embeddings, m, n_centroids, dim=d * m)
+    q_subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"), F.slice("q_embedding", s * d + 1, d).alias("q_sub")
+            )
+            for s in range(m)
+        ]
+    )
+    qs = q.select("q_id", F.explode(q_subs).alias("x")).select(
+        "q_id", F.col("x.sub").alias("sub"), F.col("x.q_sub").alias("q_sub")
+    )
+    dtable = qs.join(
+        F.broadcast(pq_codebook(embeddings, m, n_centroids, dim=d * m)), "sub"
+    ).select(
+        "q_id",
+        "sub",
+        F.col("cent_id").cast("int").alias("code"),
+        F.floor(squared_l2("q_sub", "c_vec") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qd2"),
+    )
+    pq_scored = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qd2").alias("d2_micros"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    pq_top = grouped_topk(
+        pq_scored, ["q_id"], k, [F.asc("d2_micros"), F.asc("vec_id")],
+        rank_name="rank_approx",
+    ).select("q_id", "vec_id", "rank_approx")
+
+    def calibrate(top: DataFrame, method: str) -> DataFrame:
+        hits = top.join(F.broadcast(exact), ["q_id", "vec_id"], "left")
+        agg = hits.groupBy("q_id").agg(
+            F.count("rank_exact").alias("n_hits"),
+            F.coalesce(
+                F.sum(F.abs(F.col("rank_approx") - F.col("rank_exact"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rank_displacement"),
+        )
+        # left-join from the query list so a query whose probed cells hold
+        # nothing but itself still reports a (0-recall) row
+        return q.select("q_id").join(agg, "q_id", "left").select(
+            F.lit(method).alias("method"),
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"(coalesce(n_hits, 0) * 1000000) div {k}")
+            .cast("bigint")
+            .alias("recall_at_k_micros"),
+            F.coalesce(F.col("rank_displacement"), F.lit(0))
+            .cast("bigint")
+            .alias("rank_displacement"),
+        )
+
+    return calibrate(ivf_top, "ivf").unionByName(calibrate(pq_top, "pq"))

@@ -4880,3 +4880,129 @@ def kneser_ney_bigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.importance import kneser_ney_bigram_scores
 
     return kneser_ney_bigram_scores(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall calibration (estimator-vs-exact audit for the vector stack)
+# ---------------------------------------------------------------------------
+
+_ANN_CAL_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    exact AS (
+      SELECT q_id, vec_id, rank_exact FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_qcos_sql('e.embedding', 'q.qe')} DESC, e.vec_id)
+                 AS rank_exact
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id
+      ) WHERE rank_exact <= 10
+    ),
+    cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_qcos_sql('e.embedding', 'c.ce')} DESC, c.cent_id)
+               AS rn
+      FROM embeddings e, cent c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM assign WHERE rn = 1
+    ),
+    probe AS (
+      SELECT q_id, p_cell FROM (
+        SELECT q.q_id, CAST(c.cent_id AS INTEGER) AS p_cell,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_qcos_sql('c.ce', 'q.qe')} DESC, c.cent_id) AS prn
+        FROM cent c, q
+      ) WHERE prn <= 4
+    ),
+    ivf_top AS (
+      SELECT q_id, vec_id, rank_approx FROM (
+        SELECT p.q_id, cl.vec_id,
+               row_number() OVER (PARTITION BY p.q_id
+                                  ORDER BY {_qcos_sql('cl.embedding', 'q.qe')} DESC, cl.vec_id)
+                 AS rank_approx
+        FROM cells cl JOIN probe p ON cl.cell = p.p_cell JOIN q ON q.q_id = p.q_id
+        WHERE cl.vec_id <> p.q_id
+      ) WHERE rank_approx <= 10
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT s.sub, e.vec_id AS cent_id,
+             CAST(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS DOUBLE[]) AS c_vec
+      FROM embeddings e, subs s WHERE e.vec_id < 16
+    ),
+    sv AS (
+      SELECT e.vec_id, s.sub,
+             CAST(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS DOUBLE[]) AS v_sub
+      FROM embeddings e, subs s
+    ),
+    codes AS (
+      SELECT vec_id, sub, CAST(cent_id AS INTEGER) AS code FROM (
+        SELECT sv.vec_id, sv.sub, cb.cent_id,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.sub
+                 ORDER BY {_PQ_L2.format(a="sv.v_sub", b="cb.c_vec")}, cb.cent_id) AS rn
+        FROM sv JOIN cb ON sv.sub = cb.sub
+      ) WHERE rn = 1
+    ),
+    dt AS (
+      SELECT qq.q_id, cb.sub, CAST(cb.cent_id AS INTEGER) AS code,
+             CAST({_PQ_L2.format(a="qq.q_sub", b="cb.c_vec")} AS BIGINT) AS qd2
+      FROM (SELECT q.q_id, s.sub,
+                   CAST(q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS DOUBLE[]) AS q_sub
+            FROM q, subs s) qq
+      JOIN cb ON qq.sub = cb.sub
+    ),
+    pq_top AS (
+      SELECT q_id, vec_id, rank_approx FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2_micros, vec_id)
+                 AS rank_approx
+        FROM (
+          SELECT dt.q_id, c.vec_id, CAST(SUM(dt.qd2) AS BIGINT) AS d2_micros
+          FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+          GROUP BY 1, 2
+        ) WHERE vec_id <> q_id
+      ) WHERE rank_approx <= 10
+    ),
+    ivf_cal AS (
+      SELECT q.q_id, COUNT(e.rank_exact) AS n_hits,
+             COALESCE(SUM(ABS(t.rank_approx - e.rank_exact)), 0) AS rank_disp
+      FROM q
+      LEFT JOIN ivf_top t ON t.q_id = q.q_id
+      LEFT JOIN exact e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+      GROUP BY 1
+    ),
+    pq_cal AS (
+      SELECT q.q_id, COUNT(e.rank_exact) AS n_hits,
+             COALESCE(SUM(ABS(t.rank_approx - e.rank_exact)), 0) AS rank_disp
+      FROM q
+      LEFT JOIN pq_top t ON t.q_id = q.q_id
+      LEFT JOIN exact e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+      GROUP BY 1
+    )
+    SELECT method, q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 1000000) // 10 AS BIGINT) AS recall_at_k_micros,
+           CAST(rank_disp AS BIGINT) AS rank_displacement
+    FROM (
+      SELECT 'ivf' AS method, * FROM ivf_cal
+      UNION ALL
+      SELECT 'pq' AS method, * FROM pq_cal
+    )
+"""
+
+
+@query("ann_recall_calibration", _ANN_CAL_SQL)
+def ann_recall_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-vs-exact audit for the ANN stack (the vector twin of
+    minhash_estimate_error): 8 query vectors, IVF 4-probe and PQ-ADC
+    top-10 each scored against brute-force cosine ground truth —
+    recall@10 and total rank displacement per (method, query) in exact
+    integers. The audit a 100 TB corpus runs before trusting ann_ivf_topk
+    for semantic dedup. See operators/similarity.py::ann_recall_calibration."""
+    from ..operators.similarity import ann_recall_calibration
+
+    return ann_recall_calibration(
+        _emb(spark, sf_dir), n_queries=8, k=10, n_centroids=16, nprobe=4, m=8
+    )

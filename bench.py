@@ -191,6 +191,8 @@ EXTRA_QUERIES = [
     "cms_heavy_hitters",
     "logistic_quality_probe",
     "kneser_ney_bigram_scores",
+    # round-9 additions
+    "ann_recall_calibration",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

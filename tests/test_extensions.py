@@ -1881,3 +1881,34 @@ def test_logistic_probe_matches_replay_and_learns(spark):
             assert got[(t, name)] == (w[j], acc), (t, name)
     majority = max(sum(1 for y in ys if y), n - sum(1 for y in ys if y)) * 1_000_000 // n
     assert got[(T, "bias")][1] > majority
+
+
+def test_ann_recall_calibration_full_probe_is_exact(spark):
+    """IVF with nprobe = n_centroids scans every cell, so the 'ivf' rows
+    must report perfect recall and zero displacement — the estimator
+    degenerates to the ground truth it is calibrated against. PQ rows are
+    lossy by construction but must stay within [0, k] hits and report
+    recall micros consistent with the hit count."""
+    import random
+
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        ann_recall_calibration,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = ann_recall_calibration(
+        df, n_queries=4, k=5, n_centroids=8, nprobe=8, m=4
+    ).collect()
+    assert len(out) == 8  # 2 methods x 4 queries
+    for r in out:
+        d = r.asDict()
+        assert 0 <= d["n_hits"] <= 5
+        assert d["recall_at_k_micros"] == d["n_hits"] * 1000000 // 5
+        assert d["rank_displacement"] >= 0
+        if d["method"] == "ivf":
+            assert d["n_hits"] == 5, f"full-probe IVF must be exact: {d}"
+            assert d["rank_displacement"] == 0, f"full-probe IVF must be exact: {d}"
