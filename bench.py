@@ -193,6 +193,7 @@ EXTRA_QUERIES = [
     "kneser_ney_bigram_scores",
     # round-9 additions
     "ann_recall_calibration",
+    "multimodal_ppm_decode",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
