@@ -1,0 +1,174 @@
+"""Distributed spectral decomposition: matrix-free power iteration over the
+embedding covariance.
+
+The top principal direction of a 10⁹-vector embedding table is curation
+raw material (dominant-variance axis for whitening, anisotropy audits,
+"rogue dimension" detection — Timkey & van Schijndel 2021; all-but-the-top
+post-processing — Mu & Viswanath 2018). The naive route materializes the
+d×d Gram matrix (one shuffle of d² cells per partition) — fine for d=64,
+dead for d=4096. The matrix-free route never forms G at all:
+
+    G·v = Σ_rows (x − m) · ((x − m)ᵀ v)
+
+so ONE corpus scan per iteration reduces map-side to a d-number vector —
+exactly the distributed-GD shape `operators/probe.py` uses, with d bigints
+of state instead of 5. Normalization is by the L∞ norm (max |component|),
+which keeps power iteration convergent while staying in exact integer
+arithmetic (an L2 norm would need a float sqrt — libm-dependent in its
+last ulp); the Rayleigh quotient at the end is one exact rational.
+
+Cross-engine exactness: embeddings quantize to integer micros through
+float32 (the repo-wide discipline); per-row projections and per-row
+per-dim contributions are quantized to micros BEFORE their sums; the
+renormalization widens to DECIMAL(38,0) (HUGEINT in the oracle) so
+``g_i · 10⁶`` cannot wrap bigint; truncating ``div`` matches DuckDB ``//``
+on negatives (verified repo-wide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["embedding_pca_power"]
+
+
+def embedding_pca_power(
+    embeddings: DataFrame,
+    iterations: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the (centered) embedding set by
+    ``iterations`` matrix-free power-iteration steps.
+
+    Per iteration (one corpus scan each):
+      s_r  = (Σ_i (x_ri − m_i)·v_i) div 10⁶            (row projection)
+      g_i  = Σ_r ((x_ri − m_i)·s_r) div 10⁶            (map-side combined)
+      v'_i = (g_i · 10⁶) div max_j |g_j|               (L∞ renormalize)
+
+    After the final renormalized v, one more scan computes w = G·v and the
+    Rayleigh quotient λ = (vᵀw · 10⁶) div (vᵀv) — the dominant eigenvalue
+    in raw covariance-sum micros (not divided by n; divide by the corpus
+    count for per-vector variance).
+
+    Returns (dim, eigvec_micros, gv_micros, eigenvalue_micros) — ``dim``
+    0-based, one row per dimension, eigenvalue repeated on every row.
+
+    Scale: iteration state is d bigints in a 1-row broadcast frame; the
+    corpus is scanned T+2 times (means, T power steps, Rayleigh), each
+    scan reducing map-side to ≤ d numbers. Nothing touches the driver, no
+    shuffle wider than d columns, d×d never materializes.
+    """
+    xm = F.expr(
+        f"transform({vec_col}, e -> cast(floor(cast(e as double) * 1000000 + 0.5) as bigint))"
+    )
+    base = embeddings.select(xm.alias("xm")).localCheckpoint(eager=True)
+
+    means = (
+        base.agg(
+            *[
+                F.expr(f"sum(element_at(xm, {i + 1})) div count(1)").alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(F.array(*[f"m{i}" for i in range(dim)]).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+
+    # deterministic seed, symmetry-broken so a symmetric dataset cannot
+    # start orthogonal to every data direction by construction
+    state = means.select(
+        "m",
+        F.array(
+            *[F.lit(1000000 - 1000 * i).cast("bigint") for i in range(dim)]
+        ).alias("v"),
+    )
+
+    def one_pass(st: DataFrame) -> DataFrame:
+        """One corpus scan → 1-row frame (g0..g{d-1}) = G·v in micros."""
+        st = st.withColumn(
+            "mv",
+            F.expr(
+                "aggregate(zip_with(m, v, (a, b) -> a * b), cast(0 as bigint),"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        scored = base.crossJoin(F.broadcast(st)).withColumn(
+            "s",
+            F.expr(
+                "(aggregate(zip_with(xm, v, (a, b) -> a * b), cast(0 as bigint),"
+                " (acc, x) -> acc + x) - mv) div cast(1000000 as bigint)"
+            ),
+        )
+        return scored.agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"((element_at(xm, {i + 1}) - element_at(m, {i + 1})) * s)"
+                        " div cast(1000000 as bigint)"
+                    )
+                ).alias(f"g{i}")
+                for i in range(dim)
+            ]
+        )
+
+    for _ in range(iterations):
+        g = one_pass(state)
+        mx = F.greatest(*[F.abs(F.col(f"g{i}")) for i in range(dim)])
+        state = (
+            means.crossJoin(F.broadcast(g.withColumn("mx", mx)))
+            .select(
+                "m",
+                F.array(
+                    *[
+                        F.expr(
+                            f"cast((cast(g{i} as decimal(38,0)) * 1000000)"
+                            " div greatest(mx, cast(1 as bigint)) as bigint)"
+                        )
+                        for i in range(dim)
+                    ]
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    w = one_pass(state)  # w = G·v for the FINAL v
+    final = (
+        state.crossJoin(F.broadcast(w))
+        .withColumn("garr", F.array(*[F.col(f"g{i}") for i in range(dim)]))
+        .withColumn(
+            "vv",
+            F.expr(
+                "aggregate(zip_with(v, v, (a, b) -> a * b), cast(0 as bigint),"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "vw",
+            sum(
+                [
+                    F.expr(
+                        f"cast(element_at(v, {i + 1}) as decimal(38,0)) * g{i}"
+                    )
+                    for i in range(dim)
+                ],
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+        )
+        .withColumn(
+            "eigenvalue_micros",
+            F.expr(
+                "cast((vw * 1000000) div greatest(vv, cast(1 as bigint)) as bigint)"
+            ),
+        )
+    )
+    return final.select(
+        F.posexplode(F.arrays_zip("v", "garr")).alias("dim", "z"),
+        "eigenvalue_micros",
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("z.v").alias("eigvec_micros"),
+        F.col("z.garr").alias("gv_micros"),
+        "eigenvalue_micros",
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["probe_features", "logistic_probe_fit", "PROBE_STOPWORDS"]
+__all__ = ["probe_features", "logistic_probe_fit", "probe_calibration", "PROBE_STOPWORDS"]
 
 # the Gopher stop set (operators/text_analysis.py::GOPHER_STOP_WORDS) — the
 # probe DISTILLS the hand-written Gopher keep gate into a calibrated linear
@@ -98,6 +98,74 @@ def probe_features(
     )
 
 
+_Z_EXPR = (
+    "(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) div CAST(1000000 AS BIGINT)"
+)
+_SIG_EXPR = (
+    "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT),"
+    f" 500000 + ({_Z_EXPR}) div 4))"
+)
+
+
+def _centered_features(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Centered, rescaled, eager-checkpointed feature frame shared by the
+    fit and the calibration audit. Centering on the corpus mean (1-row
+    broadcast) is what lets discriminative features earn opposite-signed
+    weights — with all-positive features every gradient component shares
+    the label mean's sign and the probe degenerates to the majority
+    class. The ×4 rescale equalizes descent speed against the 10⁶ bias
+    input (raw spans are ~±2.5·10⁵ micros)."""
+    raw = probe_features(docs, text_col, id_col)
+    means = raw.agg(
+        *[
+            F.expr(f"sum(x{f}) div count(1)").alias(f"m{f}")
+            for f in range(1, 5)
+        ]
+    )
+    return (
+        raw.crossJoin(F.broadcast(means))
+        .select(
+            "doc_id",
+            "y",
+            "x0",
+            *[F.expr(f"(x{f} - m{f}) * 4").alias(f"x{f}") for f in range(1, 5)],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _zero_weights(feats: DataFrame) -> DataFrame:
+    return feats.sparkSession.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{f}") for f in range(5)]
+    )
+
+
+def _gd_step(feats: DataFrame, nf: DataFrame, w: DataFrame) -> DataFrame:
+    """One full-batch GD step: one scan of ``feats`` map-side-combined to a
+    5-number gradient, broadcast back into the 1-row weight frame (η = ½);
+    eager checkpoint per round (the shared iterative-loop idiom)."""
+    joined = feats.crossJoin(F.broadcast(w)).withColumn("sig", F.expr(_SIG_EXPR))
+    grad = joined.agg(
+        *[
+            F.sum(
+                F.expr(f"((sig - y) * x{f}) div CAST(1000000 AS BIGINT)")
+            ).alias(f"g{f}")
+            for f in range(5)
+        ]
+    )
+    return (
+        w.crossJoin(F.broadcast(grad))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            *[
+                F.expr(f"w{f} - (g{f} div n) div 2").alias(f"w{f}")
+                for f in range(5)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def logistic_probe_fit(
     docs: DataFrame,
     iterations: int = 5,
@@ -118,69 +186,15 @@ def logistic_probe_fit(
     row per (iteration 1..T, feature), accuracy evaluated with that
     iteration's updated weights at the 500000 threshold.
     """
-    raw = probe_features(docs, text_col, id_col)
-    # center the non-bias features on the corpus mean (1-row broadcast):
-    # with all-positive features every gradient component shares the label
-    # mean's sign and the probe degenerates to the majority class —
-    # centering is what lets the discriminative features earn opposite-
-    # signed weights (and it's the standard preprocessing for GD anyway)
-    means = raw.agg(
-        *[
-            F.expr(f"sum(x{f}) div count(1)").alias(f"m{f}")
-            for f in range(1, 5)
-        ]
-    )
-    feats = (
-        raw.crossJoin(F.broadcast(means))
-        .select(
-            "doc_id",
-            "y",
-            "x0",
-            # ×4 after centering: the raw spans are ~±2.5·10⁵ micros while
-            # the bias input is exactly 10⁶, so without the rescale the bias
-            # coordinate descends ~4-5× faster than every discriminative one
-            # and the probe sits at the majority class for dozens of epochs
-            *[F.expr(f"(x{f} - m{f}) * 4").alias(f"x{f}") for f in range(1, 5)],
-        )
-        .localCheckpoint(eager=True)
-    )
+    feats = _centered_features(docs, text_col, id_col)
     nf = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
-    z_expr = (
-        "(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) div CAST(1000000 AS BIGINT)"
-    )
-    sig_expr = (
-        "least(CAST(1000000 AS BIGINT), greatest(CAST(0 AS BIGINT),"
-        f" 500000 + ({z_expr}) div 4))"
-    )
+    sig_expr = _SIG_EXPR
 
-    w = feats.sparkSession.range(1).select(
-        *[F.lit(0).cast("bigint").alias(f"w{f}") for f in range(5)]
-    )
+    w = _zero_weights(feats)
     out = []
     for it in range(1, iterations + 1):
-        joined = feats.crossJoin(F.broadcast(w)).withColumn(
-            "sig", F.expr(sig_expr)
-        )
-        grad = joined.agg(
-            *[
-                F.sum(
-                    F.expr(f"((sig - y) * x{f}) div CAST(1000000 AS BIGINT)")
-                ).alias(f"g{f}")
-                for f in range(5)
-            ]
-        )
-        w = (
-            w.crossJoin(F.broadcast(grad))
-            .crossJoin(F.broadcast(nf))
-            .select(
-                *[
-                    F.expr(f"w{f} - (g{f} div n) div 2").alias(f"w{f}")
-                    for f in range(5)
-                ]
-            )
-            .localCheckpoint(eager=True)
-        )
+        w = _gd_step(feats, nf, w)
         acc = (
             feats.crossJoin(F.broadcast(w))
             .withColumn("sig", F.expr(sig_expr))
@@ -213,3 +227,61 @@ def logistic_probe_fit(
     for o in out[1:]:
         res = res.unionByName(o)
     return res.select("iteration", "feature", "weight_micros", "train_acc_micros")
+
+
+def probe_calibration(
+    docs: DataFrame,
+    iterations: int = 5,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error decomposition for
+    the fitted probe — the audit a curation pipeline runs before using the
+    probe's scores as keep-probabilities (a miscalibrated gate silently
+    shifts the kept-data distribution even at the "right" threshold).
+
+    Fits the same ``iterations``-step probe as ``logistic_probe_fit``,
+    scores the corpus with the FINAL weights, buckets the hard-sigmoid
+    scores into ``buckets`` equal-width probability bins, and reports per
+    bin: doc count, mean predicted probability, observed keep rate, the
+    absolute gap, and the bin's contribution to ECE
+    (``n_b·|gap_b| div n``) — all exact integer micros, so the oracle
+    replays the full fit + binning byte-identically.
+
+    Scale: the fit is T one-scan gradient steps over the checkpointed
+    feature frame; calibration adds ONE more scan reduced to ≤ ``buckets``
+    rows (map-side combine) — nothing beyond the probe's own cost.
+    """
+    feats = _centered_features(docs, text_col, id_col)
+    nf = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = _zero_weights(feats)
+    for _ in range(iterations):
+        w = _gd_step(feats, nf, w)
+    width = 1000000 // buckets
+    scored = feats.crossJoin(F.broadcast(w)).withColumn("sig", F.expr(_SIG_EXPR))
+    agg = (
+        scored.select(
+            F.expr(f"cast(least(sig div {width}, {buckets - 1}) as int)").alias(
+                "bucket"
+            ),
+            "sig",
+            "y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(sig) div count(1)").alias("mean_pred_micros"),
+            F.expr("sum(y) div count(1)").alias("obs_rate_micros"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(nf)).select(
+        "bucket",
+        "n_docs",
+        "mean_pred_micros",
+        "obs_rate_micros",
+        F.expr("abs(mean_pred_micros - obs_rate_micros)").alias("abs_gap_micros"),
+        F.expr(
+            "(n_docs * abs(mean_pred_micros - obs_rate_micros)) div n"
+        ).alias("ece_contrib_micros"),
+    )

@@ -2996,7 +2996,7 @@ def exact_quantiles_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _TRIANGLE_SQL = f"""
     WITH pairs AS ({ORACLE_MINHASH}),
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
       FROM pairs WHERE doc_a <> doc_b
     ),
@@ -4738,6 +4738,29 @@ def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+def _probe_gd_cte(t: int, sig) -> str:
+    """One unrolled GD step (g{t}, w{t} CTEs) shared by the fit oracle and
+    the calibration oracle."""
+    if t == 1:
+        scored = "SELECT f.*, CAST(500000 AS BIGINT) AS sig FROM f"
+        upd = ", ".join(
+            f"CAST(0 AS BIGINT) - (g{f} // n) // 2 AS w{f}" for f in range(5)
+        )
+        w_from = f"g{t}, nn"
+    else:
+        scored = f"SELECT f.*, {sig(f'w{t-1}')} AS sig FROM f, w{t-1}"
+        upd = ", ".join(
+            f"w{t-1}.w{f} - (g{f} // n) // 2 AS w{f}" for f in range(5)
+        )
+        w_from = f"g{t}, w{t-1}, nn"
+    gsums = ", ".join(
+        f"CAST(SUM(((sig - y) * x{f}) // 1000000) AS BIGINT) AS g{f}" for f in range(5)
+    )
+    return f""",
+    g{t} AS MATERIALIZED (SELECT {gsums} FROM ({scored})),
+    w{t} AS (SELECT {upd} FROM {w_from})"""
+
+
 def _probe_oracle_sql(iters: int = 5) -> str:
     """Unrolled batch-GD replay of logistic_probe_fit: same integer-micro
     features, hard sigmoid, per-row-quantized gradients, truncating `//`
@@ -4789,25 +4812,8 @@ def _probe_oracle_sql(iters: int = 5) -> str:
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)"""
     parts = [head]
     for t in range(1, iters + 1):
-        if t == 1:
-            scored = "SELECT f.*, CAST(500000 AS BIGINT) AS sig FROM f"
-            prev_w = ", ".join("CAST(0 AS BIGINT)" for _ in range(5))
-            upd = ", ".join(
-                f"CAST(0 AS BIGINT) - (g{f} // n) // 2 AS w{f}" for f in range(5)
-            )
-            w_from = f"g{t}, nn"
-        else:
-            scored = f"SELECT f.*, {sig(f'w{t-1}')} AS sig FROM f, w{t-1}"
-            upd = ", ".join(
-                f"w{t-1}.w{f} - (g{f} // n) // 2 AS w{f}" for f in range(5)
-            )
-            w_from = f"g{t}, w{t-1}, nn"
-        gsums = ", ".join(
-            f"CAST(SUM(((sig - y) * x{f}) // 1000000) AS BIGINT) AS g{f}" for f in range(5)
-        )
+        parts.append(_probe_gd_cte(t, sig))
         parts.append(f""",
-    g{t} AS (SELECT {gsums} FROM ({scored})),
-    w{t} AS (SELECT {upd} FROM {w_from}),
     a{t} AS (
       SELECT CAST((SUM(CASE WHEN ({sig(f'w{t}')} >= 500000) = (y = 1000000)
                        THEN 1 ELSE 0 END) * 1000000) // MAX(nn.n) AS BIGINT)
@@ -5057,3 +5063,129 @@ def multimodal_ppm_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import ppm_p6_decode, ppm_p6_encode
 
     return ppm_p6_decode(ppm_p6_encode(_docs(spark, sf_dir)))
+
+
+def _probe_cal_oracle_sql(iters: int = 5, buckets: int = 10) -> str:
+    """Unrolled fit (the fit oracle's head + g/w CTE chain, reused
+    verbatim) + final-weight scoring + equal-width probability binning —
+    the reliability/ECE replay."""
+    fit_sql = _probe_oracle_sql(iters)
+    # keep head + g/w/a CTE chain; drop the fit oracle's UNION-ALL tail
+    tail_marker = "\n    SELECT CAST(1 AS INTEGER) AS iteration"
+    head_and_ctes = fit_sql[: fit_sql.index(tail_marker)]
+    width = 1000000 // buckets
+
+    def sig(w: str) -> str:
+        dot = " + ".join(f"{w}.w{f} * x{f}" for f in range(5))
+        return (
+            f"LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),"
+            f" 500000 + (({dot}) // 1000000) // 4))"
+        )
+
+    return (
+        head_and_ctes
+        + f""",
+    scored AS (SELECT f.y, {sig(f'w{iters}')} AS sig FROM f, w{iters}),
+    bkt AS (
+      SELECT CAST(LEAST(sig // {width}, {buckets - 1}) AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(sig) // COUNT(*) AS BIGINT) AS mean_pred_micros,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS obs_rate_micros
+      FROM scored GROUP BY 1
+    )
+    SELECT bucket, n_docs, mean_pred_micros, obs_rate_micros,
+           CAST(ABS(mean_pred_micros - obs_rate_micros) AS BIGINT) AS abs_gap_micros,
+           CAST((n_docs * ABS(mean_pred_micros - obs_rate_micros)) // nn.n AS BIGINT)
+             AS ece_contrib_micros
+    FROM bkt, nn
+    """
+    )
+
+
+@query("probe_calibration_ece", _probe_cal_oracle_sql())
+def probe_calibration_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE decomposition for the logistic quality
+    probe: fit 5 GD steps, score the corpus with the FINAL weights, bin
+    hard-sigmoid scores into 10 equal-width probability bins, report per
+    bin the doc count, mean predicted probability, observed Gopher keep
+    rate, absolute gap, and ECE contribution — all exact integer micros.
+    The audit that decides whether the probe's scores can be used as
+    keep-probabilities. See operators/probe.py::probe_calibration."""
+    from ..operators.probe import probe_calibration
+
+    return probe_calibration(_docs(spark, sf_dir), iterations=5, buckets=10)
+
+
+# ---------------------------------------------------------------------------
+# Embedding spectral decomposition (matrix-free power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle_sql(iters: int = 6, dim: int = 64) -> str:
+    """Long-form replay of embedding_pca_power: per-(row, dim) products with
+    the same per-row micro quantization, HUGEINT renormalization mirroring
+    Spark's DECIMAL(38,0) widening, truncating // throughout."""
+    head = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    m AS MATERIALIZED (
+      SELECT d.i, CAST(SUM(e.xm[d.i]) // COUNT(*) AS BIGINT) AS mi
+      FROM e CROSS JOIN dims d GROUP BY d.i
+    ),
+    v0 AS (SELECT i, CAST(1000000 - 1000 * (i - 1) AS BIGINT) AS vi FROM dims)"""
+    parts = [head]
+    for t in range(1, iters + 2):
+        prev = f"v{t - 1}" if t <= iters else f"v{iters}"
+        parts.append(f""",
+    s{t} AS MATERIALIZED (
+      SELECT e.vec_id,
+             CAST(SUM((e.xm[d.i] - m.mi) * v.vi) // 1000000 AS BIGINT) AS s
+      FROM e CROSS JOIN dims d
+      JOIN m ON m.i = d.i JOIN {prev} v ON v.i = d.i
+      GROUP BY e.vec_id
+    ),
+    g{t} AS MATERIALIZED (
+      SELECT d.i, CAST(SUM(((e.xm[d.i] - m.mi) * s.s) // 1000000) AS BIGINT) AS gi
+      FROM e CROSS JOIN dims d
+      JOIN m ON m.i = d.i JOIN s{t} s ON s.vec_id = e.vec_id
+      GROUP BY d.i
+    )""")
+        if t <= iters:
+            parts.append(f""",
+    v{t} AS MATERIALIZED (
+      SELECT i, CAST((CAST(gi AS HUGEINT) * 1000000)
+                     // GREATEST((SELECT MAX(ABS(gi)) FROM g{t}), 1) AS BIGINT) AS vi
+      FROM g{t}
+    )""")
+    parts.append(f""",
+    ray AS (
+      SELECT CAST((
+               (SELECT SUM(CAST(v.vi AS HUGEINT) * g.gi)
+                FROM v{iters} v JOIN g{iters + 1} g ON g.i = v.i) * 1000000)
+               // GREATEST((SELECT SUM(vi * vi) FROM v{iters}), 1) AS BIGINT)
+        AS eigenvalue_micros
+    )
+    SELECT CAST(v.i - 1 AS INTEGER) AS dim,
+           v.vi AS eigvec_micros,
+           g.gi AS gv_micros,
+           ray.eigenvalue_micros
+    FROM v{iters} v JOIN g{iters + 1} g ON g.i = v.i, ray""")
+    return "".join(parts)
+
+
+@query("embedding_pca_power", _pca_oracle_sql())
+def embedding_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered embedding table by 6
+    matrix-free power-iteration steps: G·v computed as one corpus scan
+    reduced map-side to 64 bigints (G itself never materializes), L-inf
+    integer renormalization, exact Rayleigh quotient. The whitening /
+    anisotropy-audit primitive at 10^9-vector scale.
+    See operators/decomposition.py::embedding_pca_power."""
+    from ..operators.decomposition import embedding_pca_power
+
+    return embedding_pca_power(_emb(spark, sf_dir), iterations=6, dim=64)

@@ -194,6 +194,8 @@ EXTRA_QUERIES = [
     # round-9 additions
     "ann_recall_calibration",
     "multimodal_ppm_decode",
+    "probe_calibration_ece",
+    "embedding_pca_power",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

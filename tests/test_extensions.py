@@ -1948,3 +1948,67 @@ def test_ppm_p6_roundtrip_matches_bytelevel_parse(spark):
         assert got == expected[r["doc_id"]], (r["doc_id"], got, expected[r["doc_id"]])
         assert r["maxval"] == 255
         assert r["r_mean_micros"] == r["r_sum"] * 1000000 // r["n_pixels"]
+
+
+def test_probe_calibration_partitions_corpus(spark):
+    """Calibration bins must partition the corpus exactly (Σ n_docs = n),
+    bins must be consistent (gap = |pred − obs|, contrib = n_b·gap div n),
+    and predicted means must lie inside their bins."""
+    from adventureworkslakehousepoc_spark.operators.probe import probe_calibration
+
+    rows = [
+        (i, ("the be to of and that have with word%d " % i) * (5 + i % 7))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = probe_calibration(df, iterations=3, buckets=10).collect()
+    n = sum(r["n_docs"] for r in out)
+    assert n == 30
+    for r in out:
+        d = r.asDict()
+        assert d["abs_gap_micros"] == abs(d["mean_pred_micros"] - d["obs_rate_micros"])
+        assert d["ece_contrib_micros"] == d["n_docs"] * d["abs_gap_micros"] // 30
+        lo, hi = d["bucket"] * 100000, (d["bucket"] + 1) * 100000
+        assert lo <= d["mean_pred_micros"] <= (1000000 if d["bucket"] == 9 else hi)
+
+
+def test_pca_power_recovers_planted_direction(spark):
+    """On data with a strong planted axis, 6 power iterations must align
+    with numpy's exact top eigenvector of the SAME quantized, centered
+    matrix (cosine > 0.999) and the Rayleigh quotient must approximate
+    the top eigenvalue. On near-isotropic data the iterate is still
+    exactly oracle-replayable — convergence speed is the eigengap's
+    business, not the operator's."""
+    import random
+
+    import numpy as np
+
+    from adventureworkslakehousepoc_spark.operators.decomposition import (
+        embedding_pca_power,
+    )
+
+    rng = random.Random(7)
+    d = 16
+    axis = np.array([rng.uniform(-1, 1) for _ in range(d)])
+    axis /= np.linalg.norm(axis)
+    rows = []
+    for i in range(120):
+        strength = rng.uniform(-3.0, 3.0)
+        noise = np.array([rng.uniform(-0.2, 0.2) for _ in range(d)])
+        rows.append((i, [float(x) for x in (strength * axis + noise)], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sorted(
+        embedding_pca_power(df, iterations=6, dim=d).collect(), key=lambda r: r["dim"]
+    )
+    assert len(out) == d
+
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    Xm = np.floor(X * 1e6 + 0.5)
+    Xc = Xm - np.floor(Xm.sum(axis=0) / len(rows))  # div truncation ~ floor for sums
+    G = Xc.T @ Xc
+    evals, evecs = np.linalg.eigh(G)
+    v = np.array([r["eigvec_micros"] for r in out], dtype=np.float64)
+    cos = abs(v @ evecs[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(evecs[:, -1]))
+    assert cos > 0.999, cos
+    lam = out[0]["eigenvalue_micros"] * 1e6  # micros -> G-matrix units
+    assert abs(lam - evals[-1]) / evals[-1] < 0.01, (lam, evals[-1])
