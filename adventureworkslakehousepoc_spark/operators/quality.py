@@ -457,3 +457,119 @@ def labeler_agreement_kappa(
         F.col("pe_u").alias("pe_micros"),
         kappa.alias("kappa_micros"),
     )
+
+
+def dawid_skene_binary(
+    docs: DataFrame,
+    iterations: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dawid-Skene (1979) confusion-matrix EM over the four binary weak
+    labelers of ``weak_label_votes`` — the step past Cohen's kappa: instead
+    of reporting that labelers disagree, it estimates each labeler's
+    sensitivity α_k = P(vote|keep) and specificity β_k = P(¬vote|¬keep)
+    together with the class prior π and per-doc posteriors, so votes can
+    be combined by reliability instead of majority.
+
+    EM with posteriors NEVER materialized: the per-doc posterior q_d is a
+    closed-form expression of the 9 broadcast parameters
+    (π, α₁..α₄, β₁..β₄), so each EM round is ONE corpus scan whose
+    aggregate computes the next parameter vector — the same
+    state-is-a-broadcast-row shape as the GD probe and the BT fit;
+    iteration state is 9 bigints, eager-checkpointed per round.
+
+    Exactness: all probabilities are integer micros. The E-step numerators
+    are products of ≤ 5 micro-terms widened to DECIMAL(38,0) (≤ 10³⁰;
+    HUGEINT in the oracle); q_d = num₁·10⁶ div (num₁+num₀) is one exact
+    integer division per doc. M-step ratios widen the ·10⁶ product the
+    same way, so the whole fit is bit-replayable.
+
+    Init: q_d⁰ = votes_d · 250000 (majority-vote soft init, the standard
+    DS seeding). ``iterations`` = number of M→E rounds.
+
+    Returns (labeler, alpha_micros, beta_micros, pi_micros, n_docs,
+    n_pos_posterior) — one row per labeler; π, n and the final
+    posterior-positive count repeated on each row.
+    """
+    labels = ["l_length", "l_stopword", "l_repetition", "l_alpha"]
+    base = weak_label_votes(docs, text_col, id_col).select(
+        "doc_id", *labels, "votes"
+    ).localCheckpoint(eager=True)
+
+    def m_step(frame_with_q: DataFrame) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sq"),
+        ]
+        for k, lab in enumerate(labels):
+            aggs.append(
+                F.sum(F.expr(f"if({lab}, q, cast(0 as bigint))"))
+                .cast("bigint")
+                .alias(f"sqv{k}")
+            )
+            aggs.append(
+                F.sum(F.expr(f"if(not {lab}, 1000000 - q, cast(0 as bigint))"))
+                .cast("bigint")
+                .alias(f"s0v{k}")
+            )
+        agg = frame_with_q.agg(*aggs)
+        return agg.select(
+            "n",
+            F.expr("sq div n").alias("pi"),
+            *[
+                F.expr(
+                    f"cast((cast(sqv{k} as decimal(38,0)) * 1000000)"
+                    " div greatest(sq, cast(1 as bigint)) as bigint)"
+                ).alias(f"a{k}")
+                for k in range(len(labels))
+            ],
+            *[
+                F.expr(
+                    f"cast((cast(s0v{k} as decimal(38,0)) * 1000000)"
+                    " div greatest(n * cast(1000000 as bigint) - sq,"
+                    " cast(1 as bigint)) as bigint)"
+                ).alias(f"b{k}")
+                for k in range(len(labels))
+            ],
+        ).localCheckpoint(eager=True)
+
+    def q_expr() -> str:
+        t = " * ".join(
+            f"cast(if({lab}, a{k}, 1000000 - a{k}) as decimal(38,0))"
+            for k, lab in enumerate(labels)
+        )
+        u = " * ".join(
+            f"cast(if({lab}, 1000000 - b{k}, b{k}) as decimal(38,0))"
+            for k, lab in enumerate(labels)
+        )
+        return (
+            f"cast(((cast(pi as decimal(38,0)) * {t}) * 1000000) div"
+            f" greatest(cast(pi as decimal(38,0)) * {t}"
+            f" + cast(1000000 - pi as decimal(38,0)) * {u},"
+            " cast(1 as decimal(38,0))) as bigint)"
+        )
+
+    params = m_step(base.withColumn("q", F.expr("votes * cast(250000 as bigint)")))
+    for _ in range(iterations - 1):
+        params = m_step(
+            base.crossJoin(F.broadcast(params)).withColumn("q", F.expr(q_expr()))
+        )
+    n_pos = (
+        base.crossJoin(F.broadcast(params))
+        .withColumn("q", F.expr(q_expr()))
+        .agg(
+            F.sum(F.expr("if(q >= 500000, 1, 0)"))
+            .cast("bigint")
+            .alias("n_pos_posterior")
+        )
+    )
+    stack = ", ".join(f"'{lab}', a{k}, b{k}" for k, lab in enumerate(labels))
+    return params.crossJoin(F.broadcast(n_pos)).select(
+        F.expr(
+            f"stack({len(labels)}, {stack}) AS (labeler, alpha_micros, beta_micros)"
+        ),
+        F.col("pi").alias("pi_micros"),
+        F.col("n").alias("n_docs"),
+        "n_pos_posterior",
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "mixture_resample_summary",
     "shuffle_assignment",
     "weighted_systematic_sample",
+    "doremi_domain_weights",
 ]
 
 _HEX = "0123456789abcdef"
@@ -482,4 +483,107 @@ def temperature_sampling_weights(
                 "(smoothed_share_micros * 1000000) div greatest(raw_share_micros, 1)"
             ),
         )
+    )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    rounds: int = 5,
+    eta_micros: int = 500000,
+    smooth_micros: int = 100000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DoReMi-style excess-loss domain reweighting (Xie et al. 2023,
+    linearized): domains whose text is HARDER for a reference LM than the
+    easiest domain get upweighted by multiplicative-weights rounds, then
+    the result is smoothed toward uniform — the mixture a 100 TB pretrain
+    run feeds its sampler instead of raw token counts.
+
+    Lite in exactly one place: DoReMi retrains a proxy model between
+    rounds; here the reference losses are static (one corpus-trained
+    add-one bigram LM pass via ``importance.bigram_lm_scores``), so the
+    hedge update ``w ← w·(1 + η·excess̃)`` with per-round renormalization
+    is a deterministic |domains|-scale recursion — the engine-shaped
+    core of the method without the proxy-training outer loop.
+
+    Exactness: token-weighted domain NLL = Σ nll_sum div Σ n_bigrams
+    (exact integers), excess normalized to [0, 10⁶] against the max,
+    every MW round all-integer (products ≤ 1.5·10¹² — no widening
+    needed), smoothing exact. The oracle unrolls all rounds.
+
+    Scale: corpus work is the bigram-LM pass (token-scale aggregates it
+    already pays); everything after the per-source aggregate lives on
+    |sources| rows with 1-row broadcast totals — no windows, no driver
+    arithmetic.
+
+    Returns (source, n_docs, dom_nll_micros, excess_micros,
+    weight_micros), one row per domain.
+    """
+    from .importance import bigram_lm_scores
+
+    nll = bigram_lm_scores(docs, text_col, id_col)
+    src = docs.select(F.col(id_col).alias("doc_id"), "source")
+    dom = (
+        nll.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nll_sum_micros").cast("bigint").alias("s_nll"),
+            F.sum("n_bigrams").cast("bigint").alias("s_big"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("s_nll div greatest(s_big, 1)").alias("dom_nll_micros"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo = dom.agg(F.min("dom_nll_micros").alias("mn"))
+    ex = dom.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_docs",
+        "dom_nll_micros",
+        F.expr("dom_nll_micros - mn").alias("excess_micros"),
+    )
+    hi = ex.agg(F.max("excess_micros").alias("mx"))
+    k = dom.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    w = (
+        ex.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            "n_docs",
+            "dom_nll_micros",
+            "excess_micros",
+            "k",
+            F.expr("(excess_micros * 1000000) div greatest(mx, 1)").alias("exn"),
+            F.expr("cast(1000000 as bigint) div k").alias("w"),
+        )
+    )
+    for _ in range(rounds):
+        w = w.withColumn(
+            "w",
+            F.expr(
+                f"(w * (1000000 + ({eta_micros} * exn) div 1000000))"
+                " div cast(1000000 as bigint)"
+            ),
+        )
+        tot = w.agg(F.sum("w").cast("bigint").alias("tot"))
+        w = (
+            w.crossJoin(F.broadcast(tot))
+            .withColumn("w", F.expr("(w * 1000000) div greatest(tot, 1)"))
+            .drop("tot")
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "source",
+        "n_docs",
+        "dom_nll_micros",
+        "excess_micros",
+        F.expr(
+            f"((1000000 - {smooth_micros}) * w"
+            f" + {smooth_micros} * (cast(1000000 as bigint) div k))"
+            " div cast(1000000 as bigint)"
+        ).alias("weight_micros"),
     )

@@ -5189,3 +5189,200 @@ def embedding_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decomposition import embedding_pca_power
 
     return embedding_pca_power(_emb(spark, sf_dir), iterations=6, dim=64)
+
+
+def _dawid_skene_oracle_sql(iters: int = 3) -> str:
+    """Unrolled EM replay of dawid_skene_binary: the weak-vote CTE, then
+    iters M-steps with the closed-form E-step expression inlined per
+    round; HUGEINT widening mirrors Spark's DECIMAL(38,0)."""
+    labs = _WEAK_LABELERS
+
+    def m_step(t: int, qsrc: str) -> str:
+        sums = ", ".join(
+            f"CAST(SUM(CASE WHEN {lab} THEN q ELSE 0 END) AS BIGINT) AS sqv{k},"
+            f" CAST(SUM(CASE WHEN NOT {lab} THEN 1000000 - q ELSE 0 END) AS BIGINT) AS s0v{k}"
+            for k, lab in enumerate(labs)
+        )
+        alphas = ", ".join(
+            f"CAST((CAST(sqv{k} AS HUGEINT) * 1000000) // GREATEST(sq, 1) AS BIGINT) AS a{k}"
+            for k in range(len(labs))
+        )
+        betas = ", ".join(
+            f"CAST((CAST(s0v{k} AS HUGEINT) * 1000000)"
+            f" // GREATEST(n * 1000000 - sq, 1) AS BIGINT) AS b{k}"
+            for k in range(len(labs))
+        )
+        return f""",
+    ms{t} AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS sq, {sums}
+      FROM {qsrc}
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT n, CAST(sq // n AS BIGINT) AS pi, {alphas}, {betas} FROM ms{t}
+    )"""
+
+    def q_sel(t: int) -> str:
+        tt = " * ".join(
+            f"CAST(CASE WHEN {lab} THEN a{k} ELSE 1000000 - a{k} END AS HUGEINT)"
+            for k, lab in enumerate(labs)
+        )
+        uu = " * ".join(
+            f"CAST(CASE WHEN {lab} THEN 1000000 - b{k} ELSE b{k} END AS HUGEINT)"
+            for k, lab in enumerate(labs)
+        )
+        return f""",
+    q{t} AS MATERIALIZED (
+      SELECT vv.doc_id, {', '.join('vv.' + lab for lab in labs)},
+             CAST(((CAST(pi AS HUGEINT) * {tt}) * 1000000)
+                  // GREATEST(CAST(pi AS HUGEINT) * {tt}
+                              + CAST(1000000 - pi AS HUGEINT) * {uu}, 1) AS BIGINT) AS q
+      FROM vv, p{t}
+    )"""
+
+    head = f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'and', 'of', 'is', 'a', 'to', 'in')))
+               AS stop_hits,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_frac,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+      FROM documents
+    ),
+    vv AS MATERIALIZED (
+      SELECT doc_id,
+             COALESCE(n_words BETWEEN 20 AND 1000, FALSE) AS l_length,
+             COALESCE(CAST(stop_hits AS DOUBLE) / n_words >= 0.05, FALSE) AS l_stopword,
+             COALESCE(distinct_frac >= 0.3, FALSE) AS l_repetition,
+             COALESCE(alpha_ratio >= 0.5, FALSE) AS l_alpha
+      FROM f
+    ),
+    q0 AS MATERIALIZED (
+      SELECT doc_id, {', '.join(labs)},
+             CAST((CAST(l_length AS INT) + CAST(l_stopword AS INT)
+                   + CAST(l_repetition AS INT) + CAST(l_alpha AS INT))
+                  * 250000 AS BIGINT) AS q
+      FROM vv
+    )"""
+    parts = [head, m_step(1, "q0")]
+    for t in range(2, iters + 1):
+        parts.append(q_sel(t - 1))
+        parts.append(m_step(t, f"q{t - 1}"))
+    parts.append(q_sel(iters))
+    parts.append(f""",
+    npos AS (SELECT CAST(SUM(CASE WHEN q >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_posterior FROM q{iters})
+    SELECT x.labeler, x.alpha_micros, x.beta_micros,
+           p.pi AS pi_micros, p.n AS n_docs, npos.n_pos_posterior
+    FROM p{iters} p, npos, (
+      {" UNION ALL ".join(
+          f"SELECT '{lab}' AS labeler, a{k} AS alpha_micros, b{k} AS beta_micros FROM p{iters}"
+          for k, lab in enumerate(labs))}
+    ) x""")
+    return "".join(parts)
+
+
+@query("dawid_skene_labelers", _dawid_skene_oracle_sql())
+def dawid_skene_labelers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene confusion-matrix EM over the four weak labelers:
+    per-labeler sensitivity/specificity, class prior, and the final
+    posterior-positive count — 3 EM rounds, each ONE corpus scan reduced
+    to a 9-number broadcast parameter row (posteriors never materialize);
+    DECIMAL(38,0)/HUGEINT-widened integer-micro arithmetic throughout.
+    See operators/quality.py::dawid_skene_binary."""
+    from ..operators.quality import dawid_skene_binary
+
+    return dawid_skene_binary(_docs(spark, sf_dir), iterations=3)
+
+
+def _doremi_oracle_sql(
+    rounds: int = 5, eta: int = 500000, smooth: int = 100000
+) -> str:
+    """Bigram-LM per-doc NLL (shared CTE shape with bigram_lm_scores),
+    token-weighted domain NLL, then the MW rounds unrolled."""
+    head = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS MATERIALIZED (
+      SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM words, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS V
+      FROM (SELECT unnest(ws) AS w FROM words)
+      WHERE length(w) > 0
+    ),
+    model AS MATERIALIZED (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM c2 JOIN c1 USING (w1), v
+    ),
+    perdoc AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll_u) AS BIGINT) AS nll_sum_micros
+      FROM big JOIN model USING (w1, w2)
+      GROUP BY 1
+    ),
+    dom AS MATERIALIZED (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p.nll_sum_micros) // GREATEST(SUM(p.n_bigrams), 1) AS BIGINT)
+               AS dom_nll_micros
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ),
+    kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom),
+    ex AS MATERIALIZED (
+      SELECT source, n_docs, dom_nll_micros,
+             CAST(dom_nll_micros - (SELECT MIN(dom_nll_micros) FROM dom) AS BIGINT)
+               AS excess_micros
+      FROM dom
+    ),
+    exn AS MATERIALIZED (
+      SELECT source, n_docs, dom_nll_micros, excess_micros,
+             CAST((excess_micros * 1000000)
+                  // GREATEST((SELECT MAX(excess_micros) FROM ex), 1) AS BIGINT) AS exn
+      FROM ex
+    ),
+    w0 AS MATERIALIZED (
+      SELECT source, n_docs, dom_nll_micros, excess_micros, exn,
+             CAST(1000000 // kk.k AS BIGINT) AS w
+      FROM exn, kk
+    )"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    u{t} AS MATERIALIZED (
+      SELECT source, n_docs, dom_nll_micros, excess_micros, exn,
+             CAST((w * (1000000 + ({eta} * exn) // 1000000)) // 1000000 AS BIGINT) AS w
+      FROM w{t - 1}
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT source, n_docs, dom_nll_micros, excess_micros, exn,
+             CAST((w * 1000000) // GREATEST((SELECT SUM(w) FROM u{t}), 1) AS BIGINT) AS w
+      FROM u{t}
+    )""")
+    parts.append(f"""
+    SELECT source, n_docs, dom_nll_micros, excess_micros,
+           CAST(((1000000 - {smooth}) * w + {smooth} * (1000000 // kk.k))
+                // 1000000 AS BIGINT) AS weight_micros
+    FROM w{rounds}, kk""")
+    return "".join(parts)
+
+
+@query("doremi_domain_weights", _doremi_oracle_sql())
+def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style excess-loss domain reweighting (linearized hedge):
+    token-weighted per-source NLL under the corpus add-one bigram LM,
+    excess over the easiest domain normalized to [0,1e6], 5
+    multiplicative-weights rounds with renormalization, uniform
+    smoothing - all-integer, |sources|-scale after one LM pass.
+    See operators/sampling.py::doremi_domain_weights."""
+    from ..operators.sampling import doremi_domain_weights
+
+    return doremi_domain_weights(_docs(spark, sf_dir), rounds=5)

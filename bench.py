@@ -196,6 +196,8 @@ EXTRA_QUERIES = [
     "multimodal_ppm_decode",
     "probe_calibration_ece",
     "embedding_pca_power",
+    "dawid_skene_labelers",
+    "doremi_domain_weights",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

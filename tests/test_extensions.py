@@ -2012,3 +2012,96 @@ def test_pca_power_recovers_planted_direction(spark):
     assert cos > 0.999, cos
     lam = out[0]["eigenvalue_micros"] * 1e6  # micros -> G-matrix units
     assert abs(lam - evals[-1]) / evals[-1] < 0.01, (lam, evals[-1])
+
+
+def test_dawid_skene_matches_python_em_replay(spark):
+    """The distributed EM must equal a pure-Python integer replay of the
+    same micro arithmetic, starting from the operator's own weak votes
+    (all quantities non-negative, so python // == Spark div)."""
+    from adventureworkslakehousepoc_spark.operators.quality import (
+        dawid_skene_binary,
+        weak_label_votes,
+    )
+
+    texts = [
+        ("the and of is a to in " * (3 + i % 5)) + ("Zq9 " * (i % 4)) for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    votes = [
+        tuple(int(r[lab]) for lab in ("l_length", "l_stopword", "l_repetition", "l_alpha"))
+        for r in weak_label_votes(df).collect()
+    ]
+    n = len(votes)
+
+    def m_step(q):
+        sq = sum(q)
+        pi = sq // n
+        a, b = [], []
+        for k in range(4):
+            sqv = sum(qd for qd, v in zip(q, votes) if v[k])
+            s0v = sum(1000000 - qd for qd, v in zip(q, votes) if not v[k])
+            a.append(sqv * 1000000 // max(sq, 1))
+            b.append(s0v * 1000000 // max(n * 1000000 - sq, 1))
+        return pi, a, b
+
+    def e_step(pi, a, b):
+        out = []
+        for v in votes:
+            t = pi
+            u = 1000000 - pi
+            for k in range(4):
+                t *= a[k] if v[k] else 1000000 - a[k]
+                u *= 1000000 - b[k] if v[k] else b[k]
+            out.append(t * 1000000 // max(t + u, 1))
+        return out
+
+    q = [sum(v) * 250000 for v in votes]
+    pi, a, b = m_step(q)
+    for _ in range(2):
+        pi, a, b = m_step(e_step(pi, a, b))
+    npos = sum(1 for qd in e_step(pi, a, b) if qd >= 500000)
+
+    got = {r["labeler"]: r for r in dawid_skene_binary(df, iterations=3).collect()}
+    labs = ["l_length", "l_stopword", "l_repetition", "l_alpha"]
+    for k, lab in enumerate(labs):
+        assert got[lab]["alpha_micros"] == a[k], (lab, got[lab]["alpha_micros"], a[k])
+        assert got[lab]["beta_micros"] == b[k], (lab, got[lab]["beta_micros"], b[k])
+        assert got[lab]["pi_micros"] == pi
+        assert got[lab]["n_pos_posterior"] == npos
+
+
+def test_doremi_weights_match_mw_replay(spark):
+    """Harder domains must be upweighted, and the full MW recursion must
+    equal a pure-Python integer replay seeded from the operator's own
+    reported domain NLLs (all quantities non-negative)."""
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    easy = "the cat sat on the mat and the dog sat on the rug "
+    rows = []
+    for i in range(20):
+        rows.append((i, easy * 3, "easy"))
+    for i in range(20, 40):
+        rows.append((i, " ".join(f"zx{i}w{j}" for j in range(40)), "hard"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in doremi_domain_weights(df, rounds=5).collect()}
+    assert out["hard"]["weight_micros"] > out["easy"]["weight_micros"]
+
+    nll = {s: d["dom_nll_micros"] for s, d in out.items()}
+    mn = min(nll.values())
+    ex = {s: v - mn for s, v in nll.items()}
+    mx = max(max(ex.values()), 1)
+    exn = {s: v * 1000000 // mx for s, v in ex.items()}
+    k = len(nll)
+    w = {s: 1000000 // k for s in nll}
+    for _ in range(5):
+        w = {s: (w[s] * (1000000 + (500000 * exn[s]) // 1000000)) // 1000000 for s in w}
+        tot = max(sum(w.values()), 1)
+        w = {s: (w[s] * 1000000) // tot for s in w}
+    for s in nll:
+        expect = ((1000000 - 100000) * w[s] + 100000 * (1000000 // k)) // 1000000
+        assert out[s]["weight_micros"] == expect, (s, out[s]["weight_micros"], expect)
+        assert out[s]["excess_micros"] == ex[s]
