@@ -17,10 +17,13 @@ pinned quiet-machine baseline calibrates ambient machine state, and the
 output reports both the raw headline total and a sentinel-normalized one so
 round-over-round deltas are attributable to code, not the machine.
 
-Sentinel noise floor: the sentinel is itself a ~0.4 s query, so the
-normalized headline carries ~±10% run-to-run variance even on unchanged code
-(r7 close 18.58 s vs r8 driver 21.08 s on identical headline code). Treat
-normalized deltas inside ±10% as noise; only larger moves are attributable.
+Sentinel noise floor: the first sentinel is itself a ~0.4 s query, so
+normalizing on it alone carried ~±10% run-to-run variance even on unchanged
+code (r7 close 18.58 s vs r8 driver 21.08 s on identical headline code).
+Round 9 adds a second FROZEN sentinel (~1.4 s join+agg); normalization now
+divides by the duration-weighted combined drift of both, so the heavier,
+steadier measurement dominates. Residual noise is a few percent — treat
+normalized deltas inside ~±5% as noise.
 """
 
 from __future__ import annotations
@@ -233,6 +236,28 @@ _SENTINEL_SQL = """
 # pinned 2026-08-14 (round 7), quiet machine, steady-state median of 5
 SENTINEL_BASELINE_SEC = {"0.1": 0.41, "0.01": 0.13}
 
+# --- second, heavier frozen sentinel (round 9, VERDICT r8 item 7): the
+# first sentinel is a ~0.4 s scan+agg, which puts a ~±10% noise floor on
+# the normalized headline. This one is a shuffle join + aggregate over
+# lineitem×orders (~5× the work) so the combined, duration-weighted drift
+# estimate is dominated by the steadier, longer measurement. Same contract:
+# plain SQL on raw parquet views, no engine code in the loop, FROZEN.
+_SENTINEL2_SQL = """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM _sentinel_lineitem l
+    JOIN _sentinel_orders o ON l.l_orderkey = o.o_orderkey
+    JOIN _sentinel_customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_shipdate > DATE '1995-03-15'
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+"""
+# pinned 2026-08-15 (round 9), quiet machine, min-of-3 steady state
+# (sf0.1: local[32]; sf0.01: local[8] — the CLI verification config)
+SENTINEL2_BASELINE_SEC = {"0.1": 1.28, "0.01": 0.63}
+
 
 def _time_sentinel(spark, sf_dir: str) -> float:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).createOrReplaceTempView(
@@ -242,6 +267,26 @@ def _time_sentinel(spark, sf_dir: str) -> float:
     def once() -> float:
         t0 = time.perf_counter()
         spark.sql(_SENTINEL_SQL).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm-up
+    return round(min(once() for _ in range(3)), 4)
+
+
+def _time_sentinel2(spark, sf_dir: str) -> float:
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).createOrReplaceTempView(
+        "_sentinel_lineitem"
+    )
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).createOrReplaceTempView(
+        "_sentinel_orders"
+    )
+    spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).createOrReplaceTempView(
+        "_sentinel_customer"
+    )
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.sql(_SENTINEL2_SQL).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     once()  # warm-up
@@ -292,6 +337,7 @@ def main() -> None:
         return out
 
     sentinel_before = _time_sentinel(spark, sf_dir)
+    sentinel2_before = _time_sentinel2(spark, sf_dir)
     timings = timed_set(names, reps=3)
     total = round(sum(timings.values()), 4)
     # round-2 additions timed SEPARATELY so `value` stays the fixed r01 list —
@@ -301,18 +347,32 @@ def main() -> None:
     extra_timings = timed_set([n for n in EXTRA_QUERIES if n in queries], reps=2)
     extra_total = round(sum(extra_timings.values()), 4)
     sentinel_after = _time_sentinel(spark, sf_dir)
+    sentinel2_after = _time_sentinel2(spark, sf_dir)
     sentinel_mean = round((sentinel_before + sentinel_after) / 2, 4)
+    sentinel2_mean = round((sentinel2_before + sentinel2_after) / 2, 4)
     baseline = SENTINEL_BASELINE_SEC.get(str(sf_val))
-    normalized = (
-        round(total * baseline / sentinel_mean, 4)
-        if baseline and sentinel_mean > 0
-        else None
-    )
+    baseline2 = SENTINEL2_BASELINE_SEC.get(str(sf_val))
+    # duration-weighted combined drift: the heavier sentinel dominates the
+    # estimate, shrinking the normalization noise floor (bench header note)
+    if baseline and baseline2 and sentinel_mean > 0 and sentinel2_mean > 0:
+        drift = (sentinel_mean + sentinel2_mean) / (baseline + baseline2)
+        normalized = round(total / drift, 4)
+    elif baseline and sentinel_mean > 0:
+        drift = sentinel_mean / baseline
+        normalized = round(total / drift, 4)
+    else:
+        normalized = None
     sentinel = {
         "before": sentinel_before,
         "after": sentinel_after,
         "baseline": baseline,
         "drift_ratio": round(sentinel_mean / baseline, 4) if baseline else None,
+    }
+    sentinel2 = {
+        "before": sentinel2_before,
+        "after": sentinel2_after,
+        "baseline": baseline2,
+        "drift_ratio": round(sentinel2_mean / baseline2, 4) if baseline2 else None,
     }
     print(
         json.dumps(
@@ -325,6 +385,7 @@ def main() -> None:
                 "extra_queries": extra_timings,
                 "extra_total_seconds": extra_total,
                 "sentinel": sentinel,
+                "sentinel2": sentinel2,
                 "value_sentinel_normalized": normalized,
             }
         )
@@ -344,6 +405,7 @@ def main() -> None:
                 "n_extra": len(extra_timings),
                 "extra_total_seconds": extra_total,
                 "sentinel": sentinel,
+                "sentinel2": sentinel2,
                 "value_sentinel_normalized": normalized,
             }
         )
