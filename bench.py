@@ -256,7 +256,7 @@ _SENTINEL2_SQL = """
 """
 # pinned 2026-08-15 (round 9), quiet machine, min-of-3 steady state
 # (sf0.1: local[32]; sf0.01: local[8] — the CLI verification config)
-SENTINEL2_BASELINE_SEC = {"0.1": 1.28, "0.01": 0.63}
+SENTINEL2_BASELINE_SEC = {"0.1": 1.28, "0.01": 0.31}
 
 
 def _time_sentinel(spark, sf_dir: str) -> float:
