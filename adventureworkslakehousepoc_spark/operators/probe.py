@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["probe_features", "logistic_probe_fit", "probe_calibration", "PROBE_STOPWORDS"]
+__all__ = ["probe_features", "logistic_probe_fit", "probe_calibration", "probe_conformal_gate", "PROBE_STOPWORDS"]
 
 # the Gopher stop set (operators/text_analysis.py::GOPHER_STOP_WORDS) — the
 # probe DISTILLS the hand-written Gopher keep gate into a calibrated linear
@@ -284,4 +284,149 @@ def probe_calibration(
         F.expr(
             "(n_docs * abs(mean_pred_micros - obs_rate_micros)) div n"
         ).alias("ece_contrib_micros"),
+    )
+
+
+def probe_conformal_gate(
+    docs: DataFrame,
+    iterations: int = 5,
+    alphas_micros: tuple = (100000, 50000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-conformal calibration of the quality probe as a keep gate
+    with a finite-sample miss-rate guarantee (Vovk et al.; split-conformal
+    as in Lei et al. 2018): fit the probe on the TRAIN split only, take
+    the nonconformity score ``10⁶ − sig`` of every TRUE-keep doc in the
+    held-out VAL split, and set the keep threshold to the
+    ``⌈(n_cal+1)(1−α)⌉``-th smallest calibration score — by
+    exchangeability, at most an α fraction of future true-keep docs fall
+    below the resulting ``sig`` threshold. The TEST split then reports
+    the realized coverage. This is how a curation pipeline turns "probe
+    score ≥ 0.5" folklore into "misses at most 5% of good docs, with a
+    proof" before gating 100 TB.
+
+    Splits are the repo's hash-keyed 3-way assignment (``split42`` seed:
+    test < 25/256, val < 50/256, train otherwise) — engine-invariant and
+    leakage-free. Fit, centering means, and the gradient steps see TRAIN
+    rows only; VAL and TEST are scored with TRAIN means + final weights.
+
+    Exactness: the order statistic is exact — distinct calibration scores
+    with counts, cumulative counts via a broadcast non-equi self-join
+    over the (bounded, score-valued) distinct table — no keyless window,
+    no sort; k_α = ((n_cal+1)·(10⁶−α) + 10⁶−1) div 10⁶; if k_α > n_cal
+    the conformal threshold is +∞ (τ sentinel 1000001 → every doc kept),
+    the textbook small-sample degeneracy.
+
+    Returns one row per α: (alpha_micros, n_cal, k_order, tau_micros,
+    threshold_sig_micros, n_test_pos, n_test_pos_kept, coverage_micros,
+    n_test, n_test_kept, keep_rate_micros).
+
+    Scale: the fit is T one-scan GD steps over TRAIN; scoring adds one
+    scan; the calibration arithmetic lives on distinct-score-scale rows;
+    TEST evaluation is one aggregate with per-α conditional sums.
+    """
+    from .sampling import split_column
+
+    raw = probe_features(docs, text_col, id_col).withColumn(
+        "split", split_column("doc_id")
+    )
+    means = raw.filter(F.col("split") == "train").agg(
+        *[
+            F.expr(f"sum(x{f}) div count(1)").alias(f"m{f}")
+            for f in range(1, 5)
+        ]
+    )
+    feats_all = (
+        raw.crossJoin(F.broadcast(means))
+        .select(
+            "doc_id",
+            "split",
+            "y",
+            "x0",
+            *[F.expr(f"(x{f} - m{f}) * 4").alias(f"x{f}") for f in range(1, 5)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    train = feats_all.filter(F.col("split") == "train")
+    nf = train.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = _zero_weights(feats_all)
+    for _ in range(iterations):
+        w = _gd_step(train, nf, w)
+
+    scored = feats_all.crossJoin(F.broadcast(w)).withColumn(
+        "sig", F.expr(_SIG_EXPR)
+    )
+    cal = scored.filter(
+        (F.col("split") == "val") & (F.col("y") == 1000000)
+    ).select(F.expr("cast(1000000 as bigint) - sig").alias("v"))
+    ncal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    cnt = cal.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # cumulative count over distinct score values: broadcast non-equi
+    # self-join (distinct-score-scale), not a keyless window
+    cum = (
+        cnt.alias("a")
+        .join(F.broadcast(cnt.alias("b")), F.expr("b.v <= a.v"))
+        .groupBy(F.col("a.v").alias("v"))
+        .agg(F.sum("b.c").cast("bigint").alias("cum"))
+    )
+    taus = None
+    for alpha in alphas_micros:
+        k = ncal.select(
+            F.lit(alpha).cast("bigint").alias("alpha_micros"),
+            "n_cal",
+            F.expr(
+                f"((n_cal + 1) * cast({1000000 - alpha} as bigint)"
+                " + 999999) div 1000000"
+            ).alias("k_order"),
+        )
+        t = (
+            k.join(F.broadcast(cum), F.expr("cum >= k_order"), "left")
+            .groupBy("alpha_micros", "n_cal", "k_order")
+            .agg(F.min("v").alias("tau_raw"))
+            .select(
+                "alpha_micros",
+                "n_cal",
+                "k_order",
+                # k > n_cal (tiny calibration set) -> no row reaches k ->
+                # +inf threshold, everything kept
+                F.expr(
+                    "case when k_order > n_cal then cast(1000001 as bigint)"
+                    " else tau_raw end"
+                ).alias("tau_micros"),
+            )
+        )
+        taus = t if taus is None else taus.unionByName(t)
+    test = scored.filter(F.col("split") == "test").select("y", "sig")
+    out = (
+        test.crossJoin(F.broadcast(taus))
+        .withColumn(
+            "kept", F.expr("sig >= cast(1000000 as bigint) - tau_micros")
+        )
+        .groupBy("alpha_micros", "n_cal", "k_order", "tau_micros")
+        .agg(
+            F.sum(F.expr("if(y = 1000000, 1, 0)")).cast("bigint").alias("n_test_pos"),
+            F.sum(F.expr("if(y = 1000000 and kept, 1, 0)"))
+            .cast("bigint")
+            .alias("n_test_pos_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.expr("if(kept, 1, 0)")).cast("bigint").alias("n_test_kept"),
+        )
+    )
+    return out.select(
+        "alpha_micros",
+        "n_cal",
+        "k_order",
+        "tau_micros",
+        F.expr("cast(1000000 as bigint) - tau_micros").alias("threshold_sig_micros"),
+        "n_test_pos",
+        "n_test_pos_kept",
+        F.expr(
+            "(n_test_pos_kept * 1000000) div greatest(n_test_pos, 1)"
+        ).alias("coverage_micros"),
+        "n_test",
+        "n_test_kept",
+        F.expr("(n_test_kept * 1000000) div greatest(n_test, 1)").alias(
+            "keep_rate_micros"
+        ),
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cells", "cms_heavy_hitters"]
+__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens"]
 
 
 def _bucket(row: Column, token: Column, w: int) -> Column:
@@ -94,5 +94,114 @@ def cms_heavy_hitters(
             "exact_count",
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+def hll_registers(
+    tokens: DataFrame, token_col: str = "token", m: int = 64
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over a
+    token-instance frame: the same portable 60-bit md5 hash as the CM
+    sketch splits into a bucket (low log2(m) bits via mod) and a
+    (60−log2 m)-bit remainder whose leading-zero rank feeds a per-bucket
+    MAX — one map-side-combined aggregate to ≤ m rows, mergeable across
+    partitions/shards/batches by cell-wise MAX (the same merge contract
+    as ``cms_cells``). Ranks come from ``bin()`` string length — exact
+    integer bit arithmetic, engine-portable (no float log2).
+
+    Returns (bucket, reg): buckets with no items are absent (reg 0)."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    w_bits = 60 - m.bit_length() + 1
+    h = F.conv(F.substring(F.md5(F.col(token_col)), 1, 15), 16, 10).cast("bigint")
+    return (
+        tokens.select(
+            (h % m).cast("int").alias("bucket"),
+            F.expr(
+                f"cast(conv(substring(md5({token_col}), 1, 15), 16, 10) as bigint)"
+                f" div {m}"
+            ).alias("r"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"case when r = 0 then {w_bits + 1}"
+                f" else {w_bits + 1} - length(bin(r)) end"
+            )
+            .cast("int")
+            .alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_distinct_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", m: int = 64
+) -> DataFrame:
+    """Distinct-token cardinality by HyperLogLog, audited against the
+    exact count — the constant-size distinct sketch for streaming
+    ingestion and cross-shard vocabulary monitoring (the cardinality twin
+    of ``cms_heavy_hitters``; ``approx_distinct_sketch`` covers Spark's
+    built-in HLL++, this one is the explicit, mergeable, oracle-exact
+    register construction).
+
+    Estimate arithmetic is integer-exact: Σ 2^(−M_j) is scaled by 2^55
+    (max-rank power), so S = Σ 2^(55−M_j) ≤ m·2^55 fits bigint, and the
+    raw estimate α₆₄·m²·2^55 div (S·10⁶) widens through DECIMAL(38,0)
+    (α₆₄ = 0.7213/(1+1.079/64) quantized to 709375 micros). The standard
+    small-range correction (linear counting m·ln(m/V) when V empty
+    registers exist and E ≤ 2.5m) is the one libm call, quantized
+    floor(·+0.5) like the repo's other log-space scores.
+
+    Scale: the sketch aggregate shuffles ≤ m cells regardless of corpus
+    or vocabulary; the exact count_distinct is the AUDIT column (drop it
+    in production and the whole job is sketch-sized).
+
+    Returns ONE row: (m, n_registers, v_empty, raw_estimate,
+    corrected_estimate, exact_distinct, err_micros)."""
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    regs = hll_registers(toks, "token", m)
+    sketch = regs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - reg)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    exact = toks.agg(F.count_distinct("token").cast("bigint").alias("exact_distinct"))
+    two55 = 1 << 55
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("int").alias("m"),
+            "n_registers",
+            (F.lit(m).cast("bigint") - F.col("n_registers")).alias("v_empty"),
+            F.expr(
+                f"cast((cast(709375 as decimal(38,0)) * {m * m} * {two55})"
+                f" div ((s_present + ({m} - n_registers) * cast({two55} as bigint))"
+                " * cast(1000000 as decimal(38,0))) as bigint)"
+            ).alias("raw_estimate"),
+            "exact_distinct",
+        )
+        .select(
+            "m",
+            "n_registers",
+            "v_empty",
+            "raw_estimate",
+            F.expr(
+                f"case when v_empty > 0 and raw_estimate <= {m * 5 // 2}"
+                f" then cast(floor({m} * ln(cast({m} as double) / v_empty) + 0.5)"
+                " as bigint) else raw_estimate end"
+            ).alias("corrected_estimate"),
+            "exact_distinct",
+        )
+        .select(
+            "*",
+            F.expr(
+                "(abs(corrected_estimate - exact_distinct) * 1000000)"
+                " div greatest(exact_distinct, 1)"
+            ).alias("err_micros"),
         )
     )

@@ -5386,3 +5386,201 @@ def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import doremi_domain_weights
 
     return doremi_domain_weights(_docs(spark, sf_dir), rounds=5)
+
+
+def _conformal_oracle_sql(iters: int = 5, alphas=(100000, 50000)) -> str:
+    """Split-conformal replay: probe features + hash split, TRAIN-only
+    centering and GD chain (shared _probe_gd_cte), exact order-statistic
+    threshold per alpha, TEST coverage aggregate."""
+    from ..operators.probe import PROBE_STOPWORDS
+
+    stop_in = ", ".join(f"'{s}'" for s in PROBE_STOPWORDS)
+    mwl = "CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws)"
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ell = "floor(CAST(length(text) - length(replace(text, '...', ''))"
+    n_ell += " AS DOUBLE) / 3.0)"
+    keep = (
+        "len(ws) >= 50 AND len(ws) <= 100000"
+        f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" AND ({n_hash} + {n_ell}) / len(ws) <= 0.1"
+        " AND CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)"
+        "     / len(ws) >= 0.8"
+        f" AND len(list_filter(ws, w -> w IN ({stop_in}))) >= 2"
+    )
+
+    def sig(w: str) -> str:
+        dot = " + ".join(f"{w}.w{f} * x{f}" for f in range(5))
+        return (
+            f"LEAST(CAST(1000000 AS BIGINT), GREATEST(CAST(0 AS BIGINT),"
+            f" 500000 + (({dot}) // 1000000) // 4))"
+        )
+
+    head = f"""
+    WITH f0 AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CASE WHEN {keep} THEN 1000000 ELSE 0 END AS BIGINT) AS y,
+             CAST(1000000 AS BIGINT) AS x0,
+             CAST(LEAST(len(ws), 200) * 5000 AS BIGINT) AS x1,
+             CAST(LEAST((CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+                         * 1000000) // GREATEST(len(ws), 1),
+                        10000000) // 10 AS BIGINT) AS x2,
+             CAST((len(list_filter(ws, w -> w IN ({stop_in}))) * 1000000)
+                  // GREATEST(len(ws), 1) AS BIGINT) AS x3,
+             CAST(LEAST(len(list_filter(ws, w -> w IN ({stop_in}))), 20)
+                  * 50000 AS BIGINT) AS x4,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT doc_id, text, string_split(text, ' ') AS ws,
+               (strpos('0123456789abcdef',
+                       substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                 AS bucket
+        FROM documents
+      )
+    ),
+    m AS (SELECT SUM(x1) // COUNT(*) AS m1, SUM(x2) // COUNT(*) AS m2,
+                 SUM(x3) // COUNT(*) AS m3, SUM(x4) // COUNT(*) AS m4
+          FROM f0 WHERE split = 'train'),
+    fall AS MATERIALIZED (
+      SELECT doc_id, split, y, x0,
+             CAST((x1 - m1) * 4 AS BIGINT) AS x1, CAST((x2 - m2) * 4 AS BIGINT) AS x2,
+             CAST((x3 - m3) * 4 AS BIGINT) AS x3, CAST((x4 - m4) * 4 AS BIGINT) AS x4
+      FROM f0, m
+    ),
+    f AS MATERIALIZED (SELECT * FROM fall WHERE split = 'train'),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)"""
+    parts = [head]
+    for t in range(1, iters + 1):
+        parts.append(_probe_gd_cte(t, sig))
+    parts.append(f""",
+    scored AS MATERIALIZED (
+      SELECT fall.split, fall.y, {sig(f'w{iters}')} AS sig FROM fall, w{iters}
+    ),
+    cal AS MATERIALIZED (
+      SELECT CAST(1000000 AS BIGINT) - sig AS v FROM scored
+      WHERE split = 'val' AND y = 1000000
+    ),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+    cum AS MATERIALIZED (
+      SELECT a.v, CAST(SUM(b.c) AS BIGINT) AS cum
+      FROM cnt a JOIN cnt b ON b.v <= a.v GROUP BY a.v
+    ),
+    test AS MATERIALIZED (SELECT y, sig FROM scored WHERE split = 'test')""")
+    rows = []
+    for j, alpha in enumerate(alphas):
+        parts.append(f""",
+    k{j} AS (
+      SELECT CAST({alpha} AS BIGINT) AS alpha_micros, n_cal,
+             CAST(((n_cal + 1) * {1000000 - alpha} + 999999) // 1000000 AS BIGINT)
+               AS k_order
+      FROM ncal
+    ),
+    tau{j} AS (
+      SELECT alpha_micros, n_cal, k_order,
+             CASE WHEN k_order > n_cal THEN CAST(1000001 AS BIGINT)
+                  ELSE (SELECT MIN(v) FROM cum, k{j} WHERE cum >= k_order) END
+               AS tau_micros
+      FROM k{j}
+    ),
+    row{j} AS (
+      SELECT t.alpha_micros, t.n_cal, t.k_order, t.tau_micros,
+             CAST(1000000 - t.tau_micros AS BIGINT) AS threshold_sig_micros,
+             CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pos,
+             CAST(SUM(CASE WHEN y = 1000000 AND sig >= 1000000 - t.tau_micros
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pos_kept,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN sig >= 1000000 - t.tau_micros THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test_kept
+      FROM test, tau{j} t
+      GROUP BY 1, 2, 3, 4, 5
+    )""")
+        rows.append(
+            f"""SELECT alpha_micros, n_cal, k_order, tau_micros, threshold_sig_micros,
+           n_test_pos, n_test_pos_kept,
+           CAST((n_test_pos_kept * 1000000) // GREATEST(n_test_pos, 1) AS BIGINT)
+             AS coverage_micros,
+           n_test, n_test_kept,
+           CAST((n_test_kept * 1000000) // GREATEST(n_test, 1) AS BIGINT)
+             AS keep_rate_micros
+    FROM row{j}"""
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(rows))
+    return "".join(parts)
+
+
+@query("probe_conformal_gate", _conformal_oracle_sql())
+def probe_conformal_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal keep gate: probe fit on the TRAIN split only,
+    nonconformity quantile over VAL true-keeps at alpha in {10%, 5%},
+    realized coverage on TEST — the finite-sample miss-rate guarantee a
+    100 TB gate wants before thresholding; exact order statistic via a
+    broadcast non-equi cumulative join, small-sample +inf degeneracy
+    handled. See operators/probe.py::probe_conformal_gate."""
+    from ..operators.probe import probe_conformal_gate
+
+    return probe_conformal_gate(_docs(spark, sf_dir), iterations=5)
+
+
+@query(
+    "hll_distinct_tokens",
+    """
+    WITH tok AS (
+      SELECT t.w AS token
+      FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents) d,
+           unnest(d.ws) AS t(w)
+      WHERE t.w <> ''
+    ),
+    hx AS (
+      SELECT CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok
+    ),
+    ranks AS (
+      SELECT CAST(h % 64 AS INTEGER) AS bucket,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE 55 - length(bin(h // 64)) END AS rank
+      FROM hx
+    ),
+    regs AS (SELECT bucket, MAX(rank) AS reg FROM ranks GROUP BY 1),
+    sk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS s_present
+      FROM regs
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct FROM tok),
+    est AS (
+      SELECT CAST(64 AS INTEGER) AS m, n_registers,
+             CAST(64 - n_registers AS BIGINT) AS v_empty,
+             CAST((CAST(709375 AS HUGEINT) * 4096
+                   * CAST(CAST(1 AS BIGINT) << 55 AS HUGEINT))
+                  // (CAST(s_present
+                           + (64 - n_registers) * (CAST(1 AS BIGINT) << 55)
+                           AS HUGEINT) * 1000000) AS BIGINT) AS raw_estimate,
+             exact_distinct
+      FROM sk, ex
+    ),
+    corr AS (
+      SELECT m, n_registers, v_empty, raw_estimate,
+             CASE WHEN v_empty > 0 AND raw_estimate <= 160
+                  THEN CAST(FLOOR(64 * ln(CAST(64 AS DOUBLE) / v_empty) + 0.5)
+                            AS BIGINT)
+                  ELSE raw_estimate END AS corrected_estimate,
+             exact_distinct
+      FROM est
+    )
+    SELECT m, n_registers, v_empty, raw_estimate, corrected_estimate, exact_distinct,
+           CAST((ABS(corrected_estimate - exact_distinct) * 1000000)
+                // GREATEST(exact_distinct, 1) AS BIGINT) AS err_micros
+    FROM corr
+    """,
+)
+def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality with exact-count audit: the
+    explicit mergeable register construction (64 cells, portable md5
+    hash, bin()-based ranks, integer-exact estimate arithmetic, linear-
+    counting small-range correction) — the cardinality twin of
+    cms_heavy_hitters. See operators/sketches.py::hll_distinct_tokens."""
+    from ..operators.sketches import hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs(spark, sf_dir), m=64)

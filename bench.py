@@ -201,6 +201,8 @@ EXTRA_QUERIES = [
     "embedding_pca_power",
     "dawid_skene_labelers",
     "doremi_domain_weights",
+    "probe_conformal_gate",
+    "hll_distinct_tokens",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

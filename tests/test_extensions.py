@@ -2105,3 +2105,66 @@ def test_doremi_weights_match_mw_replay(spark):
         expect = ((1000000 - 100000) * w[s] + 100000 * (1000000 // k)) // 1000000
         assert out[s]["weight_micros"] == expect, (s, out[s]["weight_micros"], expect)
         assert out[s]["excess_micros"] == ex[s]
+
+
+def test_conformal_gate_invariants(spark):
+    """Structural contract: k = ceil((n_cal+1)(1-alpha)), the +inf
+    degeneracy fires exactly when k > n_cal, threshold = 1e6 - tau, and
+    the coverage/keep-rate ratios are the exact integer divisions of
+    their own counts."""
+    from adventureworkslakehousepoc_spark.operators.probe import probe_conformal_gate
+
+    rows = [
+        (i, "the be to of and that have with good words here " * (6 + i % 9))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = probe_conformal_gate(df, iterations=3, alphas_micros=(200000, 1000)).collect()
+    assert len(out) == 2
+    for r in out:
+        d = r.asDict()
+        a = d["alpha_micros"]
+        assert d["k_order"] == ((d["n_cal"] + 1) * (1000000 - a) + 999999) // 1000000
+        if d["k_order"] > d["n_cal"]:
+            assert d["tau_micros"] == 1000001 and d["n_test_kept"] == d["n_test"]
+        else:
+            assert 0 <= d["tau_micros"] <= 1000000
+        assert d["threshold_sig_micros"] == 1000000 - d["tau_micros"]
+        assert d["coverage_micros"] == d["n_test_pos_kept"] * 1000000 // max(d["n_test_pos"], 1)
+        assert d["keep_rate_micros"] == d["n_test_kept"] * 1000000 // max(d["n_test"], 1)
+        assert d["n_test_pos_kept"] <= d["n_test_pos"] <= d["n_test"]
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """Register mergeability: cell-wise MAX of two halves' registers must
+    equal the whole corpus's registers (the shard/stream merge contract),
+    and the corrected estimate must land within ~2x typical HLL error
+    (1.04/sqrt(64) ~ 13%) of the exact count at a few hundred distincts."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.operators.sketches import (
+        hll_distinct_tokens,
+        hll_registers,
+    )
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(i, i + 40))) for i in range(0, 400, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    whole = {r["bucket"]: r["reg"] for r in hll_registers(toks).collect()}
+    h1 = {r["bucket"]: r["reg"] for r in hll_registers(
+        df.filter("doc_id < 200").select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")).collect()}
+    h2 = {r["bucket"]: r["reg"] for r in hll_registers(
+        df.filter("doc_id >= 200").select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")).collect()}
+    merged = {b: max(h1.get(b, 0), h2.get(b, 0)) for b in set(h1) | set(h2)}
+    assert merged == whole
+
+    out = hll_distinct_tokens(df).collect()[0].asDict()
+    assert out["exact_distinct"] > 160  # raw branch, not linear counting
+    rel = abs(out["corrected_estimate"] - out["exact_distinct"]) / out["exact_distinct"]
+    assert rel < 0.26, (out, rel)
