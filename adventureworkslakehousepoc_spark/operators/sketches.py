@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens"]
+__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens", "hll_summary"]
 
 
 def _bucket(row: Column, token: Column, w: int) -> Column:
@@ -164,13 +164,20 @@ def hll_distinct_tokens(
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     regs = hll_registers(toks, "token", m)
+    exact = toks.agg(F.count_distinct("token").cast("bigint").alias("exact_distinct"))
+    return hll_summary(regs, exact, m)
+
+
+def hll_summary(regs: DataFrame, exact: DataFrame, m: int = 64) -> DataFrame:
+    """The one-row estimate/audit readout over a register table — shared
+    by the batch sketch and the streaming-maintenance path (whose
+    registers arrive pre-merged from micro-batch appends)."""
     sketch = regs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_registers"),
         F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - reg)"))
         .cast("bigint")
         .alias("s_present"),
     )
-    exact = toks.agg(F.count_distinct("token").cast("bigint").alias("exact_distinct"))
     two55 = 1 << 55
     return (
         sketch.crossJoin(F.broadcast(exact))

@@ -5524,9 +5524,7 @@ def probe_conformal_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_conformal_gate(_docs(spark, sf_dir), iterations=5)
 
 
-@query(
-    "hll_distinct_tokens",
-    """
+_HLL_SQL = """
     WITH tok AS (
       SELECT t.w AS token
       FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents) d,
@@ -5573,8 +5571,10 @@ def probe_conformal_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((ABS(corrected_estimate - exact_distinct) * 1000000)
                 // GREATEST(exact_distinct, 1) AS BIGINT) AS err_micros
     FROM corr
-    """,
-)
+    """
+
+
+@query("hll_distinct_tokens", _HLL_SQL)
 def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-token cardinality with exact-count audit: the
     explicit mergeable register construction (64 cells, portable md5

@@ -754,3 +754,61 @@ def scd2_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acctbal",
         F.col("ts").cast("date").alias("event_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance: HLL registers merged across micro-batches
+# ---------------------------------------------------------------------------
+
+from .extensions import _HLL_SQL as _HLL_ORACLE_SQL  # noqa: E402
+
+
+@query("st_hll_sketch_maintenance", _HLL_ORACLE_SQL)
+def st_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch maintenance under streaming ingestion: documents
+    arrive as a 2-file stream (maxFilesPerTrigger=1 forces >= 2
+    micro-batches); each micro-batch reduces to its OWN HyperLogLog
+    register table inside foreachBatch and APPENDS it to the sketch store
+    — constant bytes per batch regardless of batch size. The final
+    readout merges the store by cell-wise MAX. Because register merge is
+    associative/commutative/idempotent, the streamed sketch equals the
+    batch sketch EXACTLY (the staged duplicate file changes nothing), so
+    the batch SQL oracle gates the streaming path bit-for-bit — the
+    monitoring shape for vocabulary cardinality over a 100 TB ingest
+    firehose. See operators/sketches.py::hll_registers/hll_summary."""
+    from ..operators.sketches import hll_registers, hll_summary
+
+    docs = stream_table(spark, sf_dir, "documents", max_files_per_trigger=1, copies=2)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    store = scratch_dir("hll-store")
+    ckpt = scratch_dir("hll-ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, "token").write.mode("append").parquet(store)
+
+    q = (
+        toks.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("hll sketch stream did not terminate")
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    batch_toks = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = batch_toks.agg(
+        F.count_distinct("token").cast("bigint").alias("exact_distinct")
+    )
+    return hll_summary(merged, exact, m=64)

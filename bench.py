@@ -203,6 +203,7 @@ EXTRA_QUERIES = [
     "doremi_domain_weights",
     "probe_conformal_gate",
     "hll_distinct_tokens",
+    "st_hll_sketch_maintenance",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -154,3 +154,19 @@ def test_streaming_dedup_removes_replayed_duplicates(spark, sf_dir):
     )
     assert deduped.count() == base
     assert deduped.distinct().count() == base
+
+
+def test_st_hll_maintenance_equals_batch(spark, sf_dir):
+    """The streamed, micro-batch-appended, MAX-merged register store must
+    produce the exact same one-row summary as the batch sketch — the
+    associativity contract under real multi-batch streaming execution."""
+    from adventureworkslakehousepoc_spark.queries.extensions import (
+        hll_distinct_tokens_q,
+    )
+    from adventureworkslakehousepoc_spark.queries.streaming_queries import (
+        st_hll_sketch_maintenance,
+    )
+
+    streamed = {tuple(r) for r in st_hll_sketch_maintenance(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in hll_distinct_tokens_q(spark, sf_dir).collect()}
+    assert streamed == batch and len(streamed) == 1
