@@ -35,6 +35,7 @@ __all__ = [
     "dsir_importance_weights",
     "bigram_lm_scores",
     "kneser_ney_bigram_scores",
+    "rho_loss_selection",
 ]
 
 _LOG_U = 1000000
@@ -249,3 +250,117 @@ def kneser_ney_bigram_scores(
             F.expr("kn_nll_sum_micros div n_bigrams").cast("bigint"),
         )
     )
+
+
+def rho_loss_selection(
+    docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reducible-holdout-loss data selection (RHO-loss, Mindermann et al.
+    2022), restated for corpus curation with the engine's exact bigram
+    LMs: score every document by
+
+        rho = NLL_full(x) − NLL_holdout(x)
+
+    where NLL_full is the add-one bigram LM trained on the WHOLE corpus
+    and NLL_holdout is the same LM class trained only on the held-out
+    ``val`` hash split (the irreducible-loss reference). High rho =
+    hard-for-the-current-model but NOT intrinsically hard (the reference
+    model explains it fine) — the learnable examples worth training on;
+    low/negative rho = noise or already-learned. Top-``top_k`` by rho
+    with a deterministic total order (rho DESC, doc_id ASC).
+
+    Exactness: both NLL sums are the established integer-micro log10
+    quantizations; rho is their exact difference. Bigrams unseen by the
+    holdout model still score via add-one smoothing's closed form
+    ``-log10(1/(c1+V))`` with ``c1 = 0`` — a LEFT join against the
+    holdout model with a coalesce onto the broadcast unseen-cost scalar,
+    so full-corpus bigrams never drop out.
+
+    Scale: two token-scale model builds + one per-doc re-aggregate; the
+    top-k is TakeOrderedAndProject (no global sort). Output:
+    (doc_id, n_bigrams, nll_full_micros, nll_holdout_micros, rho_micros,
+    rank).
+    """
+    from ..operators.sampling import split_column
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+        split_column(id_col).alias("split"),
+    )
+    big = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "split", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+
+    def model(src: DataFrame, vocab_src: DataFrame):
+        c2 = src.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        c1 = src.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        vocab = vocab_src.select(F.explode("ws").alias("w")).filter(
+            F.length("w") > 0
+        ).agg(F.count_distinct("w").alias("V"))
+        return (
+            c2.join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "w1",
+                "w2",
+                (-_log10_u(F.col("c2") + 1, F.col("c1") + F.col("V"))).alias("nll_u"),
+            ),
+            vocab,
+        )
+
+    full_model, _ = model(big, words)
+    hold_big = big.filter(F.col("split") == "val")
+    hold_words = words.filter(F.col("split") == "val")
+    hold_model, hold_vocab = model(hold_big, hold_words)
+    # holdout c1-table for unseen-leading-token cost: a bigram whose w1 the
+    # holdout model never saw costs -log10(1 / V_hold); one whose w1 it saw
+    # but not the (w1, w2) pair costs -log10(1 / (c1_hold + V_hold))
+    hold_c1 = hold_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1h"))
+    scored = (
+        big.join(full_model.select("w1", "w2", F.col("nll_u").alias("nll_full")), ["w1", "w2"])
+        .join(
+            hold_model.select("w1", "w2", F.col("nll_u").alias("nll_hold")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(hold_c1, "w1", "left")
+        .crossJoin(F.broadcast(hold_vocab))
+        .select(
+            "doc_id",
+            "nll_full",
+            F.coalesce(
+                F.col("nll_hold"),
+                -_log10_u(F.lit(1), F.coalesce(F.col("c1h"), F.lit(0)) + F.col("V")),
+            ).alias("nll_hold"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("nll_full").cast("bigint").alias("nll_full_micros"),
+        F.sum("nll_hold").cast("bigint").alias("nll_holdout_micros"),
+    ).withColumn(
+        "rho_micros",
+        F.expr("nll_full_micros - nll_holdout_micros"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.desc("rho_micros"), F.asc("doc_id")]
+    top = per_doc.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -5584,3 +5584,89 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import hll_distinct_tokens
 
     return hll_distinct_tokens(_docs(spark, sf_dir), m=64)
+
+
+_RHO_SPLIT = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@query(
+    "rho_loss_selection",
+    f"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id, text, {_RHO_SPLIT} AS bucket FROM documents)
+    ),
+    big AS MATERIALIZED (
+      SELECT doc_id, split, ws[g.i] AS w1, ws[g.i + 1] AS w2
+      FROM words, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      WHERE len(ws) >= 2
+    ),
+    fc2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+    fc1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    fv AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS V
+      FROM (SELECT unnest(ws) AS w FROM words) WHERE length(w) > 0
+    ),
+    fmodel AS MATERIALIZED (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM fc2 JOIN fc1 USING (w1), fv
+    ),
+    hb AS MATERIALIZED (SELECT * FROM big WHERE split = 'val'),
+    hc2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM hb GROUP BY 1, 2),
+    hc1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM hb GROUP BY 1),
+    hv AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS V
+      FROM (SELECT unnest(ws) AS w FROM words WHERE split = 'val')
+      WHERE length(w) > 0
+    ),
+    hmodel AS MATERIALIZED (
+      SELECT w1, w2,
+             -CAST(FLOOR(log10(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE))
+                   * 1000000 + 0.5) AS BIGINT) AS nll_u
+      FROM hc2 JOIN hc1 USING (w1), hv
+    ),
+    scored AS MATERIALIZED (
+      SELECT b.doc_id, fm.nll_u AS nll_full,
+             COALESCE(hm.nll_u,
+                      -CAST(FLOOR(log10(CAST(1 AS DOUBLE)
+                            / CAST(COALESCE(h1.c1, 0) + hv.V AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)) AS nll_hold
+      FROM big b
+      JOIN fmodel fm ON fm.w1 = b.w1 AND fm.w2 = b.w2
+      LEFT JOIN hmodel hm ON hm.w1 = b.w1 AND hm.w2 = b.w2
+      LEFT JOIN hc1 h1 ON h1.w1 = b.w1, hv
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll_full) AS BIGINT) AS nll_full_micros,
+             CAST(SUM(nll_hold) AS BIGINT) AS nll_holdout_micros,
+             CAST(SUM(nll_full) - SUM(nll_hold) AS BIGINT) AS rho_micros
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, nll_full_micros, nll_holdout_micros, rho_micros,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rho_micros DESC, doc_id) AS rank
+      FROM perdoc
+    ) WHERE rank <= 50
+    """,
+)
+def rho_loss_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection: per-doc reducible loss = NLL under the
+    full-corpus bigram LM minus NLL under the val-split holdout LM
+    (unseen holdout bigrams priced by add-one smoothing's closed form),
+    top-50 most-learnable docs by exact integer-micro difference - the
+    Mindermann et al. 2022 selection rule as two token-scale LM passes.
+    See operators/importance.py::rho_loss_selection."""
+    from ..operators.importance import rho_loss_selection
+
+    return rho_loss_selection(_docs(spark, sf_dir), top_k=50)

@@ -204,6 +204,7 @@ EXTRA_QUERIES = [
     "probe_conformal_gate",
     "hll_distinct_tokens",
     "st_hll_sketch_maintenance",
+    "rho_loss_selection",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

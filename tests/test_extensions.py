@@ -2168,3 +2168,25 @@ def test_hll_registers_merge_and_estimate(spark):
     assert out["exact_distinct"] > 160  # raw branch, not linear counting
     rel = abs(out["corrected_estimate"] - out["exact_distinct"]) / out["exact_distinct"]
     assert rel < 0.26, (out, rel)
+
+
+def test_rho_loss_prefers_learnable_over_gibberish(spark):
+    """Docs made of corpus-typical words that the holdout model also saw
+    must score LOWER rho than docs whose bigrams the holdout model never
+    saw but the full model did (learnable tail); rho must equal the
+    reported NLL difference exactly and ranks must be dense from 1."""
+    from adventureworkslakehousepoc_spark.operators.importance import (
+        rho_loss_selection,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(i, common) for i in range(60)]
+    rows += [(100 + i, f"rare{i} token{i} rare{i} token{i} spike{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rho_loss_selection(df, top_k=10).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        assert r["rho_micros"] == r["nll_full_micros"] - r["nll_holdout_micros"]
+    # the rare-bigram docs (ids >= 100) dominate the learnable top ranks
+    top3 = [r["doc_id"] for r in out[:3]]
+    assert all(d >= 100 for d in top3), top3
