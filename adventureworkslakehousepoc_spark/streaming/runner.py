@@ -74,10 +74,25 @@ def scratch_dir(kind: str) -> str:
 def stage_stream_dir(*parquet_files: str) -> str:
     """File-source streams need a directory; symlink the input files into a
     fresh staging dir (files appear in link order — append more later to
-    simulate arriving batches)."""
+    simulate arriving batches). A DIRECTORY-shaped table (a Spark-written
+    ``name.parquet/part-*.parquet``) is expanded into symlinks of its part
+    files — Spark's file source does not recurse into subdirectories, so a
+    directory symlinked under a ``*.parquet`` name would stream ZERO rows
+    silently (caught by the 30× probe, whose scaled tables are
+    Spark-written)."""
+    import glob as _glob
+
     d = _tmpdir("src")
-    for i, f in enumerate(parquet_files):
-        os.symlink(os.path.abspath(f), os.path.join(d, f"batch-{i:05d}.parquet"))
+    i = 0
+    for f in parquet_files:
+        f = os.path.abspath(f)
+        if os.path.isdir(f):
+            for part in sorted(_glob.glob(os.path.join(f, "*.parquet"))):
+                os.symlink(part, os.path.join(d, f"batch-{i:05d}.parquet"))
+                i += 1
+        else:
+            os.symlink(f, os.path.join(d, f"batch-{i:05d}.parquet"))
+            i += 1
     return d
 
 
