@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens", "hll_summary"]
+__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens", "hll_summary", "kmv_source_overlap"]
 
 
 def _bucket(row: Column, token: Column, w: int) -> Column:
@@ -210,5 +210,139 @@ def hll_summary(regs: DataFrame, exact: DataFrame, m: int = 64) -> DataFrame:
                 "(abs(corrected_estimate - exact_distinct) * 1000000)"
                 " div greatest(exact_distinct, 1)"
             ).alias("err_micros"),
+        )
+    )
+
+
+def kmv_source_overlap(
+    docs: DataFrame,
+    k: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source content overlap by KMV (k-minimum-values / bottom-k)
+    sketches (Bar-Yossef et al. 2002; the theta-sketch family) — the SET-
+    OPERATION sketch completing the trio: CM = frequency, HLL =
+    cardinality, KMV = intersections/Jaccard. Each source's distinct
+    trigram-shingle set reduces to its k smallest portable 60-bit hashes
+    (a per-source ``grouped_topk`` — constant state per source, mergeable
+    by keep-k-smallest-of-union); every source PAIR then estimates
+    Jaccard as the fraction of common values below the union sketch's
+    k-th smallest hash θ — all exact integer arithmetic on the sketch
+    rows, |sources|²-bounded.
+
+    The exact per-pair Jaccard rides along as the AUDIT column (computed
+    from the full distinct (source, hash) table — drop it in production
+    and the pair stage touches only sketch rows).
+
+    Union cardinality uses the standard KMV estimator (k−1)·2⁶⁰ div θ
+    when the union sketch is full, else the exact union count (sketch
+    holds the whole set). Returns one row per unordered source pair:
+    (source_a, source_b, n_union_sketch, n_common_sketch,
+    jaccard_est_micros, union_card_est, jaccard_exact_micros,
+    abs_err_micros).
+    """
+    from .similarity import grouped_topk
+
+    words = docs.select(
+        F.col("source"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    sh = (
+        words.filter(F.size("ws") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ',"
+                    " element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sketch = grouped_topk(sh, ["source"], k, [F.asc("h")]).select("source", "h")
+
+    pairs = (
+        sketch.select("source").distinct().alias("x")
+        .join(
+            sketch.select("source").distinct().alias("y"),
+            F.expr("x.source < y.source"),
+        )
+        .select(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
+    )
+    av = sketch.select(F.col("source").alias("sa"), "h")
+    bv = sketch.select(F.col("source").alias("sb"), "h")
+    union_vals = (
+        pairs.join(F.broadcast(av), "sa")
+        .select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(F.broadcast(bv), "sb")
+            .select("sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topu = grouped_topk(union_vals, ["sa", "sb"], k, [F.asc("h")])
+    est = topu.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_sketch"),
+        F.sum(F.expr("if(in_a = 1 and in_b = 1, 1, 0)"))
+        .cast("bigint")
+        .alias("n_common_sketch"),
+        F.max("h").alias("theta"),
+    ).select(
+        "sa",
+        "sb",
+        "n_union_sketch",
+        "n_common_sketch",
+        F.expr("(n_common_sketch * 1000000) div greatest(n_union_sketch, 1)").alias(
+            "jaccard_est_micros"
+        ),
+        F.expr(
+            f"case when n_union_sketch < {k} then n_union_sketch"
+            f" else cast((cast({k - 1} as decimal(38,0)) * {1 << 60})"
+            " div greatest(theta, 1) as bigint) end"
+        ).alias("union_card_est"),
+    )
+    # exact audit from the full distinct (source, hash) table
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        sh.alias("p").join(
+            sh.alias("q"),
+            (F.col("p.h") == F.col("q.h")) & (F.col("p.source") < F.col("q.source")),
+        )
+        .groupBy(F.col("p.source").alias("sa"), F.col("q.source").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(inter, ["sa", "sb"], "left")
+        .join(sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.expr(
+                "(coalesce(n_inter, 0) * 1000000)"
+                " div greatest(na + nb - coalesce(n_inter, 0), 1)"
+            ).alias("jaccard_exact_micros"),
+        )
+    )
+    return (
+        est.join(exact, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_union_sketch",
+            "n_common_sketch",
+            "jaccard_est_micros",
+            "union_card_est",
+            "jaccard_exact_micros",
+            F.expr("abs(jaccard_est_micros - jaccard_exact_micros)").alias(
+                "abs_err_micros"
+            ),
         )
     )

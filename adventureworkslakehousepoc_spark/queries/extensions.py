@@ -5670,3 +5670,91 @@ def rho_loss_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.importance import rho_loss_selection
 
     return rho_loss_selection(_docs(spark, sf_dir), top_k=50)
+
+
+@query(
+    "kmv_source_overlap",
+    f"""
+    WITH words AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i + 1] || ' ' || ws[g.i + 2]),
+                                  1, 15)) AS BIGINT) AS h
+      FROM words, unnest(generate_series(1, len(ws) - 2)) AS g(i)
+      WHERE len(ws) >= 3
+    ),
+    sk AS MATERIALIZED (
+      SELECT source, h FROM (
+        SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM sh
+      ) WHERE rn <= 128
+    ),
+    pairs AS (
+      SELECT x.source AS sa, y.source AS sb
+      FROM (SELECT DISTINCT source FROM sk) x
+      JOIN (SELECT DISTINCT source FROM sk) y ON x.source < y.source
+    ),
+    uv AS MATERIALIZED (
+      SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, a.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk a ON a.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, b.h, 0, 1
+        FROM pairs p JOIN sk b ON b.source = p.sb
+      ) GROUP BY 1, 2, 3
+    ),
+    topu AS MATERIALIZED (
+      SELECT sa, sb, h, in_a, in_b FROM (
+        SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uv
+      ) WHERE rn <= 128
+    ),
+    est AS (
+      SELECT sa, sb,
+             CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common_sketch,
+             MAX(h) AS theta
+      FROM topu GROUP BY 1, 2
+    ),
+    est2 AS (
+      SELECT sa, sb, n_union_sketch, n_common_sketch,
+             CAST((n_common_sketch * 1000000) // GREATEST(n_union_sketch, 1) AS BIGINT)
+               AS jaccard_est_micros,
+             CASE WHEN n_union_sketch < 128 THEN n_union_sketch
+                  ELSE CAST((CAST(127 AS HUGEINT) * {1 << 60})
+                            // GREATEST(theta, 1) AS BIGINT) END AS union_card_est
+      FROM est
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.source AS sa, q.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh p JOIN sh q ON p.h = q.h AND p.source < q.source
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT pr.sa, pr.sb,
+             CAST((COALESCE(i.n_inter, 0) * 1000000)
+                  // GREATEST(za.n + zb.n - COALESCE(i.n_inter, 0), 1) AS BIGINT)
+               AS jaccard_exact_micros
+      FROM pairs pr
+      LEFT JOIN inter i ON i.sa = pr.sa AND i.sb = pr.sb
+      JOIN sizes za ON za.source = pr.sa
+      JOIN sizes zb ON zb.source = pr.sb
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b, e.n_union_sketch, e.n_common_sketch,
+           e.jaccard_est_micros, e.union_card_est, x.jaccard_exact_micros,
+           CAST(ABS(e.jaccard_est_micros - x.jaccard_exact_micros) AS BIGINT)
+             AS abs_err_micros
+    FROM est2 e JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+    """,
+)
+def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta-family) cross-source overlap: per-source
+    128-minimum-hash sketches over distinct trigram shingles, pairwise
+    Jaccard + union-cardinality estimates from sketch rows only
+    (|sources|^2-bounded), exact Jaccard as the audit column - the set-
+    operation sketch completing the CM/HLL/KMV trio.
+    See operators/sketches.py::kmv_source_overlap."""
+    from ..operators.sketches import kmv_source_overlap
+
+    return kmv_source_overlap(_docs(spark, sf_dir), k=128)

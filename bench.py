@@ -205,6 +205,7 @@ EXTRA_QUERIES = [
     "hll_distinct_tokens",
     "st_hll_sketch_maintenance",
     "rho_loss_selection",
+    "kmv_source_overlap",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

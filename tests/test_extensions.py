@@ -2190,3 +2190,25 @@ def test_rho_loss_prefers_learnable_over_gibberish(spark):
     # the rare-bigram docs (ids >= 100) dominate the learnable top ranks
     top3 = [r["doc_id"] for r in out[:3]]
     assert all(d >= 100 for d in top3), top3
+
+
+def test_kmv_overlap_exact_when_sketch_holds_universe(spark):
+    """With k larger than the shingle universe the KMV sketch IS the set,
+    so the Jaccard estimate must equal the exact Jaccard and
+    union_card_est must equal the true union size; estimates live in
+    [0, 1e6] and err is the exact difference."""
+    from adventureworkslakehousepoc_spark.operators.sketches import kmv_source_overlap
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 x6 x7 x8 x9 x10"  # shares a trigram prefix run
+    rows = [(1, a, "srcA"), (2, b, "srcB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = kmv_source_overlap(df, k=1000).collect()
+    assert len(out) == 1
+    d = out[0].asDict()
+    assert d["abs_err_micros"] == 0
+    assert d["jaccard_est_micros"] == d["jaccard_exact_micros"]
+    # 8 trigrams each, 3 shared ("w1 w2 w3".."w3 w4 w5") -> J = 3/13
+    assert d["jaccard_exact_micros"] == 3 * 1000000 // 13
+    assert d["union_card_est"] == 13
+    assert d["n_common_sketch"] == 3
