@@ -43,6 +43,25 @@ NAMES = [
     "reconcile_sink_buckets",
     "markov_event_transitions",
     "zipf_fit_tokens",
+    # round-7/8 heavy rows
+    "minhash_estimate_error",
+    "ccnet_perplexity_buckets",
+    "bt_preference_strengths",
+    "dedup_soft_weights",
+    "tokenizer_fertility_by_lang",
+    "training_corpus_pipeline_v5",
+    "training_corpus_pipeline_v6",
+    # round-9 rows
+    "ann_recall_calibration",
+    "probe_calibration_ece",
+    "embedding_pca_power",
+    "dawid_skene_labelers",
+    "doremi_domain_weights",
+    "probe_conformal_gate",
+    "hll_distinct_tokens",
+    "rho_loss_selection",
+    "kmv_source_overlap",
+    "multimodal_ppm_decode",
 ]
 
 
