@@ -170,3 +170,30 @@ def test_st_hll_maintenance_equals_batch(spark, sf_dir):
     streamed = {tuple(r) for r in st_hll_sketch_maintenance(spark, sf_dir).collect()}
     batch = {tuple(r) for r in hll_distinct_tokens_q(spark, sf_dir).collect()}
     assert streamed == batch and len(streamed) == 1
+
+
+def test_stage_stream_dir_expands_directory_tables(spark, tmp_path):
+    """A Spark-written directory table staged for streaming must expose
+    its part files to the file source (a directory symlinked under a
+    *.parquet name streams ZERO rows silently — regression from the 30x
+    probe whose scaled tables are Spark-written)."""
+    import os
+
+    from adventureworkslakehousepoc_spark.streaming.runner import (
+        run_available_now,
+        stage_stream_dir,
+    )
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "id % 7 as k").repartition(4).write.parquet(src)
+    staged = stage_stream_dir(src)
+    links = sorted(os.listdir(staged))
+    assert len(links) >= 4
+    # every staged entry must resolve to a FILE — a directory here is the bug
+    assert all(
+        not os.path.isdir(os.path.realpath(os.path.join(staged, l))) for l in links
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    out = run_available_now(stream, "stage-dir-test")
+    assert out.count() == 100
