@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles", "winsorize_stats", "grouped_exact_ranks", "quantile_normalize"]
+__all__ = ["grouped_avg", "pivot_agg", "distributed_exact_quantiles", "winsorize_stats", "grouped_exact_ranks", "quantile_normalize", "histogram_quantile_sketch"]
 
 
 def grouped_avg(
@@ -349,3 +349,99 @@ def quantile_normalize(
         "target_rank",
         "normalized_value",
     )
+
+
+def histogram_quantile_sketch(
+    docs: DataFrame,
+    bin_width: int = 16,
+    n_bins: int = 64,
+    fractions: Sequence[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+    text_col: str = "text",
+) -> DataFrame:
+    """Quantiles from a FIXED-SIZE mergeable histogram — the streaming /
+    cross-shard companion to ``distributed_exact_quantiles``: that
+    operator is exact but wants the data in place; this one reduces any
+    shard to ≤ ``n_bins`` (bin, count) cells that merge by cell-wise SUM
+    (the CM/HLL merge contract), then reads quantiles off the merged
+    histogram with within-bin linear interpolation. The price is bounded,
+    known error (≤ one bin width); the exact order statistic rides along
+    as the AUDIT column.
+
+    All-integer: the target rank is ⌈q·n⌉ from the rational fraction,
+    cumulative counts come from broadcast non-equi self-joins over the
+    ≤ ``n_bins``-row histogram (and the bounded distinct-value table for
+    the audit) — no keyless window, no sort; the interpolated estimate
+    ``(bin·W + (k − cum_prev)·W div c_bin)`` is emitted in micros.
+
+    Measures tokens-per-document (the curation length distribution).
+    Returns one row per fraction: (pct_num, pct_den, n_docs, bin,
+    est_micros, exact_value, abs_err_micros).
+    """
+    x = docs.select(
+        F.least(
+            F.size(F.split(F.col(text_col), " ")).cast("bigint"),
+            F.lit(bin_width * n_bins - 1).cast("bigint"),
+        ).alias("x")
+    )
+    hist = (
+        x.groupBy(F.expr(f"least(x div {bin_width}, {n_bins - 1})").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    cum = (
+        hist.alias("h1")
+        .join(F.broadcast(hist.alias("h2")), F.expr("h2.b <= h1.b"))
+        .groupBy(F.col("h1.b").alias("b"), F.col("h1.c").alias("c"))
+        .agg(F.sum("h2.c").cast("bigint").alias("cum"))
+    )
+    vals = x.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("vc"))
+    vcum = (
+        vals.alias("v1")
+        .join(F.broadcast(vals.alias("v2")), F.expr("v2.x <= v1.x"))
+        .groupBy(F.col("v1.x").alias("x"))
+        .agg(F.sum("v2.vc").cast("bigint").alias("vcum"))
+    )
+    out = None
+    for qn, qd in fractions:
+        k = n.select(
+            F.lit(qn).cast("int").alias("pct_num"),
+            F.lit(qd).cast("int").alias("pct_den"),
+            F.col("n").alias("n_docs"),
+            F.expr(f"(n * {qn} + {qd} - 1) div {qd}").alias("k"),
+        )
+        sel = (
+            k.join(F.broadcast(cum), F.expr("cum >= k"))
+            .groupBy("pct_num", "pct_den", "n_docs", "k")
+            .agg(F.min(F.struct("b", "c", "cum")).alias("s"))
+            .select(
+                "pct_num",
+                "pct_den",
+                "n_docs",
+                "k",
+                F.col("s.b").alias("bin"),
+                F.expr(
+                    f"s.b * {bin_width} * cast(1000000 as bigint)"
+                    f" + ((k - (s.cum - s.c)) * {bin_width}"
+                    " * cast(1000000 as bigint)) div greatest(s.c, 1)"
+                ).alias("est_micros"),
+            )
+        )
+        row = (
+            sel.join(F.broadcast(vcum), F.expr("vcum >= k"))
+            .groupBy("pct_num", "pct_den", "n_docs", "bin", "est_micros")
+            .agg(F.min("x").alias("exact_value"))
+            .select(
+                "pct_num",
+                "pct_den",
+                "n_docs",
+                "bin",
+                "est_micros",
+                "exact_value",
+                F.expr(
+                    "abs(est_micros - exact_value * cast(1000000 as bigint))"
+                ).alias("abs_err_micros"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5758,3 +5758,68 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_source_overlap
 
     return kmv_source_overlap(_docs(spark, sf_dir), k=128)
+
+
+def _hqs_oracle_sql(fractions=((1, 2), (9, 10), (99, 100)), w: int = 16, b: int = 64) -> str:
+    head = f"""
+    WITH xs AS MATERIALIZED (
+      SELECT CAST(LEAST(len(string_split(text, ' ')), {w * b - 1}) AS BIGINT) AS x
+      FROM documents
+    ),
+    hist AS MATERIALIZED (
+      SELECT CAST(LEAST(x // {w}, {b - 1}) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM xs GROUP BY 1
+    ),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    cum AS MATERIALIZED (
+      SELECT h1.b, h1.c, CAST(SUM(h2.c) AS BIGINT) AS cum
+      FROM hist h1 JOIN hist h2 ON h2.b <= h1.b GROUP BY 1, 2
+    ),
+    vals AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS vc FROM xs GROUP BY 1),
+    vcum AS MATERIALIZED (
+      SELECT v1.x, CAST(SUM(v2.vc) AS BIGINT) AS vcum
+      FROM vals v1 JOIN vals v2 ON v2.x <= v1.x GROUP BY 1
+    )"""
+    parts = [head]
+    rows = []
+    for j, (qn, qd) in enumerate(fractions):
+        parts.append(f""",
+    k{j} AS (
+      SELECT CAST({qn} AS INTEGER) AS pct_num, CAST({qd} AS INTEGER) AS pct_den,
+             n AS n_docs, CAST((n * {qn} + {qd} - 1) // {qd} AS BIGINT) AS k
+      FROM nn
+    ),
+    sel{j} AS (
+      SELECT k.pct_num, k.pct_den, k.n_docs, k.k, c.b AS bin,
+             CAST(c.b * {w} * 1000000
+                  + ((k.k - (c.cum - c.c)) * {w} * 1000000) // GREATEST(c.c, 1)
+                  AS BIGINT) AS est_micros
+      FROM k{j} k JOIN cum c ON c.cum >= k.k
+      ORDER BY c.b LIMIT 1
+    ),
+    row{j} AS (
+      SELECT s.pct_num, s.pct_den, s.n_docs, s.bin, s.est_micros,
+             (SELECT MIN(v.x) FROM vcum v, k{j} kk WHERE v.vcum >= kk.k)
+               AS exact_value
+      FROM sel{j} s
+    )""")
+        rows.append(
+            f"""SELECT pct_num, pct_den, n_docs, bin, est_micros, exact_value,
+           CAST(ABS(est_micros - exact_value * 1000000) AS BIGINT) AS abs_err_micros
+    FROM row{j}"""
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(rows))
+    return "".join(parts)
+
+
+@query("histogram_quantile_sketch", _hqs_oracle_sql())
+def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of the tokens-per-document distribution from a fixed
+    64-bin mergeable histogram (cell-wise-SUM merge contract) with
+    within-bin integer interpolation, exact order statistics as the
+    audit columns - the streaming/cross-shard companion to
+    exact_quantiles_distributed; error bounded by one bin width.
+    See operators/aggregates.py::histogram_quantile_sketch."""
+    from ..operators.aggregates import histogram_quantile_sketch
+
+    return histogram_quantile_sketch(_docs(spark, sf_dir))

