@@ -269,17 +269,25 @@ def rho_loss_selection(
     ``val`` hash split (the irreducible-loss reference). High rho =
     hard-for-the-current-model but NOT intrinsically hard (the reference
     model explains it fine) — the learnable examples worth training on;
-    low/negative rho = noise or already-learned. Top-``top_k`` by rho
-    with a deterministic total order (rho DESC, doc_id ASC).
+    low/negative rho = noise or already-learned. The CANDIDATE set
+    excludes the ``val`` split itself: holdout docs scoring against a
+    model trained on themselves would deflate their NLL_holdout and
+    inflate their rho (standard RHO-loss keeps holdout and candidates
+    disjoint). Top-``top_k`` by rho with a deterministic total order
+    (rho DESC, doc_id ASC).
 
     Exactness: both NLL sums are the established integer-micro log10
     quantizations; rho is their exact difference. Bigrams unseen by the
-    holdout model still score via add-one smoothing's closed form
-    ``-log10(1/(c1+V))`` with ``c1 = 0`` — a LEFT join against the
-    holdout model with a coalesce onto the broadcast unseen-cost scalar,
-    so full-corpus bigrams never drop out.
+    holdout model still score via add-one smoothing's closed form, which
+    unifies with the seen case as
+    ``-log10((c2_hold+1)/(c1_hold+V_hold))`` under ``c2_hold = 0`` /
+    ``c1_hold = 0`` coalesces — so full-corpus bigrams never drop out.
 
-    Scale: two token-scale model builds + one per-doc re-aggregate; the
+    Scale: ONE token-scale bigram materialization (persisted, released
+    before return) feeds both LM legs; the holdout coalesces fold into
+    the full model at DISTINCT-BIGRAM scale, so document scoring is a
+    single token-scale join against one combined (nll_full, nll_hold)
+    model table instead of three sequential token-scale joins. The
     top-k is TakeOrderedAndProject (no global sort). Output:
     (doc_id, n_bigrams, nll_full_micros, nll_holdout_micros, rho_micros,
     rank).
@@ -290,7 +298,7 @@ def rho_loss_selection(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
         split_column(id_col).alias("split"),
-    )
+    ).persist()
     big = (
         words.filter(F.size("ws") >= 2)
         .select(
@@ -307,48 +315,50 @@ def rho_loss_selection(
         .localCheckpoint(eager=True)
     )
 
-    def model(src: DataFrame, vocab_src: DataFrame):
-        c2 = src.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-        c1 = src.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-        vocab = vocab_src.select(F.explode("ws").alias("w")).filter(
+    def vocab_of(src: DataFrame):
+        return src.select(F.explode("ws").alias("w")).filter(
             F.length("w") > 0
         ).agg(F.count_distinct("w").alias("V"))
-        return (
-            c2.join(c1, "w1")
-            .crossJoin(F.broadcast(vocab))
-            .select(
-                "w1",
-                "w2",
-                (-_log10_u(F.col("c2") + 1, F.col("c1") + F.col("V"))).alias("nll_u"),
-            ),
-            vocab,
-        )
 
-    full_model, _ = model(big, words)
+    full_v = vocab_of(words).select(F.col("V").alias("vf"))
+    hold_v = vocab_of(words.filter(F.col("split") == "val")).select(
+        F.col("V").alias("vh")
+    )
     hold_big = big.filter(F.col("split") == "val")
-    hold_words = words.filter(F.col("split") == "val")
-    hold_model, hold_vocab = model(hold_big, hold_words)
-    # holdout c1-table for unseen-leading-token cost: a bigram whose w1 the
-    # holdout model never saw costs -log10(1 / V_hold); one whose w1 it saw
-    # but not the (w1, w2) pair costs -log10(1 / (c1_hold + V_hold))
-    hold_c1 = hold_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1h"))
-    scored = (
-        big.join(full_model.select("w1", "w2", F.col("nll_u").alias("nll_full")), ["w1", "w2"])
-        .join(
-            hold_model.select("w1", "w2", F.col("nll_u").alias("nll_hold")),
-            ["w1", "w2"],
-            "left",
-        )
-        .join(hold_c1, "w1", "left")
-        .crossJoin(F.broadcast(hold_vocab))
+    fc2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2f"))
+    fc1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1f"))
+    hc2 = hold_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2h"))
+    hc1 = hold_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1h"))
+    # ONE combined model keyed (w1, w2) covering every full-corpus bigram:
+    # the holdout leg's unseen-pair and unseen-leading-token closed forms
+    # collapse into the same add-one expression via c2h/c1h coalesces —
+    # resolved here at distinct-bigram scale so the document-scoring join
+    # below is the only token-scale shuffle
+    model = (
+        fc2.join(fc1, "w1")
+        .join(hc2, ["w1", "w2"], "left")
+        .join(hc1, "w1", "left")
+        .crossJoin(F.broadcast(full_v))
+        .crossJoin(F.broadcast(hold_v))
         .select(
-            "doc_id",
-            "nll_full",
-            F.coalesce(
-                F.col("nll_hold"),
-                -_log10_u(F.lit(1), F.coalesce(F.col("c1h"), F.lit(0)) + F.col("V")),
+            "w1",
+            "w2",
+            (-_log10_u(F.col("c2f") + 1, F.col("c1f") + F.col("vf"))).alias(
+                "nll_full"
+            ),
+            (
+                -_log10_u(
+                    F.coalesce(F.col("c2h"), F.lit(0)) + 1,
+                    F.coalesce(F.col("c1h"), F.lit(0)) + F.col("vh"),
+                )
             ).alias("nll_hold"),
         )
+    )
+    # candidates: every non-holdout doc's bigrams (val docs excluded — see
+    # docstring); inner join is lossless because the full model covers
+    # every corpus bigram by construction
+    scored = big.filter(F.col("split") != "val").join(model, ["w1", "w2"]).select(
+        "doc_id", "nll_full", "nll_hold"
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -363,4 +373,11 @@ def rho_loss_selection(
     order = [F.desc("rho_micros"), F.asc("doc_id")]
     top = per_doc.orderBy(*order).limit(top_k)
     w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    out = top.withColumn("rank", F.row_number().over(w).cast("int"))
+    try:
+        # top-k-sized; eager so the words cache is released before return
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "rho_loss_selection_topk")
+    finally:
+        words.unpersist()

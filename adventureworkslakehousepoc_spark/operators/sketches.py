@@ -149,7 +149,7 @@ def hll_distinct_tokens(
     Estimate arithmetic is integer-exact: Σ 2^(−M_j) is scaled by 2^55
     (max-rank power), so S = Σ 2^(55−M_j) ≤ m·2^55 fits bigint, and the
     raw estimate α₆₄·m²·2^55 div (S·10⁶) widens through DECIMAL(38,0)
-    (α₆₄ = 0.7213/(1+1.079/64) quantized to 709375 micros). The standard
+    (α₆₄ = 0.7213/(1+1.079/64) quantized to 709341 micros). The standard
     small-range correction (linear counting m·ln(m/V) when V empty
     registers exist and E ≤ 2.5m) is the one libm call, quantized
     floor(·+0.5) like the repo's other log-space scores.
@@ -186,7 +186,7 @@ def hll_summary(regs: DataFrame, exact: DataFrame, m: int = 64) -> DataFrame:
             "n_registers",
             (F.lit(m).cast("bigint") - F.col("n_registers")).alias("v_empty"),
             F.expr(
-                f"cast((cast(709375 as decimal(38,0)) * {m * m} * {two55})"
+                f"cast((cast(709341 as decimal(38,0)) * {m * m} * {two55})"
                 f" div ((s_present + ({m} - n_registers) * cast({two55} as bigint))"
                 " * cast(1000000 as decimal(38,0))) as bigint)"
             ).alias("raw_estimate"),
@@ -263,7 +263,7 @@ def kmv_source_overlap(
             F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     sketch = grouped_topk(sh, ["source"], k, [F.asc("h")]).select("source", "h")
 
@@ -331,7 +331,7 @@ def kmv_source_overlap(
             ).alias("jaccard_exact_micros"),
         )
     )
-    return (
+    out = (
         est.join(exact, ["sa", "sb"])
         .select(
             F.col("sa").alias("source_a"),
@@ -346,3 +346,11 @@ def kmv_source_overlap(
             ),
         )
     )
+    try:
+        # |sources|²-bounded; eager so the distinct shingle cache is
+        # released before returning (containment_prefix_pairs discipline)
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "kmv_source_overlap_pairs")
+    finally:
+        sh.unpersist()

@@ -5550,7 +5550,7 @@ _HLL_SQL = """
     est AS (
       SELECT CAST(64 AS INTEGER) AS m, n_registers,
              CAST(64 - n_registers AS BIGINT) AS v_empty,
-             CAST((CAST(709375 AS HUGEINT) * 4096
+             CAST((CAST(709341 AS HUGEINT) * 4096
                    * CAST(CAST(1 AS BIGINT) << 55 AS HUGEINT))
                   // (CAST(s_present
                            + (64 - n_registers) * (CAST(1 AS BIGINT) << 55)
@@ -5644,6 +5644,7 @@ _RHO_SPLIT = (
       JOIN fmodel fm ON fm.w1 = b.w1 AND fm.w2 = b.w2
       LEFT JOIN hmodel hm ON hm.w1 = b.w1 AND hm.w2 = b.w2
       LEFT JOIN hc1 h1 ON h1.w1 = b.w1, hv
+      WHERE b.split <> 'val'
     ),
     perdoc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -5664,8 +5665,10 @@ def rho_loss_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHO-loss data selection: per-doc reducible loss = NLL under the
     full-corpus bigram LM minus NLL under the val-split holdout LM
     (unseen holdout bigrams priced by add-one smoothing's closed form),
-    top-50 most-learnable docs by exact integer-micro difference - the
-    Mindermann et al. 2022 selection rule as two token-scale LM passes.
+    top-50 most-learnable NON-holdout docs by exact integer-micro
+    difference - the Mindermann et al. 2022 selection rule with the
+    standard holdout/candidate disjointness (val docs scoring against a
+    model trained on themselves would inflate their own rho).
     See operators/importance.py::rho_loss_selection."""
     from ..operators.importance import rho_loss_selection
 

@@ -79,7 +79,10 @@ def stage_stream_dir(*parquet_files: str) -> str:
     files — Spark's file source does not recurse into subdirectories, so a
     directory symlinked under a ``*.parquet`` name would stream ZERO rows
     silently (caught by the 30× probe, whose scaled tables are
-    Spark-written)."""
+    Spark-written)). Part files are collected RECURSIVELY so a
+    hive-partitioned table (nested ``key=value`` subdirs) expands too, and
+    a directory whose expansion yields zero part files raises instead of
+    staging an empty stream."""
     import glob as _glob
 
     d = _tmpdir("src")
@@ -87,7 +90,16 @@ def stage_stream_dir(*parquet_files: str) -> str:
     for f in parquet_files:
         f = os.path.abspath(f)
         if os.path.isdir(f):
-            for part in sorted(_glob.glob(os.path.join(f, "*.parquet"))):
+            parts = sorted(
+                _glob.glob(os.path.join(f, "**", "*.parquet"), recursive=True)
+            )
+            if not parts:
+                raise FileNotFoundError(
+                    f"stage_stream_dir: directory table {f!r} expanded to zero"
+                    " *.parquet part files — the stream would silently read"
+                    " zero rows"
+                )
+            for part in parts:
                 os.symlink(part, os.path.join(d, f"batch-{i:05d}.parquet"))
                 i += 1
         else:
