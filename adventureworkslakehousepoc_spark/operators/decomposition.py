@@ -10,12 +10,19 @@ dead for d=4096. The matrix-free route never forms G at all:
 
     G·v = Σ_rows (x − m) · ((x − m)ᵀ v)
 
-so ONE corpus scan per iteration reduces map-side to a d-number vector —
-exactly the distributed-GD shape `operators/probe.py` uses, with d bigints
-of state instead of 5. Normalization is by the L∞ norm (max |component|),
-which keeps power iteration convergent while staying in exact integer
-arithmetic (an L2 norm would need a float sqrt — libm-dependent in its
-last ulp); the Rayleigh quotient at the end is one exact rational.
+so ONE corpus scan per iteration reduces map-side to a d-number vector.
+The per-dimension sums aggregate by a posexploded ``dim`` KEY (one shuffle
+of d rows per iteration, map-side combined) rather than d unrolled
+aggregate expressions — d aggregate buffers per row would mean a d-wide
+codegen unit, linear in d in compile time and dead at d=4096 (the round-9
+audit measured the 64-wide unit's codegen constant already dominating the
+data term). Every d-wide value lives in ONE array column manipulated by
+higher-order functions (transform/zip_with/aggregate — runtime loops, not
+generated code), so plan size is O(1) in d. Normalization is by the L∞
+norm (max |component|), which keeps power iteration convergent while
+staying in exact integer arithmetic (an L2 norm would need a float sqrt —
+libm-dependent in its last ulp); the Rayleigh quotient at the end is one
+exact rational.
 
 Cross-engine exactness: embeddings quantize to integer micros through
 float32 (the repo-wide discipline); per-row projections and per-row
@@ -44,7 +51,7 @@ def embedding_pca_power(
 
     Per iteration (one corpus scan each):
       s_r  = (Σ_i (x_ri − m_i)·v_i) div 10⁶            (row projection)
-      g_i  = Σ_r ((x_ri − m_i)·s_r) div 10⁶            (map-side combined)
+      g_i  = Σ_r ((x_ri − m_i)·s_r) div 10⁶            (keyed by dim i)
       v'_i = (g_i · 10⁶) div max_j |g_j|               (L∞ renormalize)
 
     After the final renormalized v, one more scan computes w = G·v and the
@@ -57,36 +64,49 @@ def embedding_pca_power(
 
     Scale: iteration state is d bigints in a 1-row broadcast frame; the
     corpus is scanned T+2 times (means, T power steps, Rayleigh), each
-    scan reducing map-side to ≤ d numbers. Nothing touches the driver, no
-    shuffle wider than d columns, d×d never materializes.
+    scan posexploding to (dim, contribution) rows that partial-aggregate
+    map-side to ≤ d rows per partition before a d-row shuffle. Nothing
+    touches the driver, no shuffle wider than d rows, d×d never
+    materializes, and no generated code grows with d (dimension-scalable:
+    the same plan shape serves d=64 and d=4096).
     """
     xm = F.expr(
         f"transform({vec_col}, e -> cast(floor(cast(e as double) * 1000000 + 0.5) as bigint))"
     )
     base = embeddings.select(xm.alias("xm")).localCheckpoint(eager=True)
 
-    means = (
-        base.agg(
-            *[
-                F.expr(f"sum(element_at(xm, {i + 1})) div count(1)").alias(f"m{i}")
-                for i in range(dim)
-            ]
+    def as_array(keyed: DataFrame, val: str, out: str) -> DataFrame:
+        """d keyed rows (i, val) → 1-row frame with the d-element array
+        in index order (collect_list is unordered; the struct sort pins
+        it)."""
+        return (
+            keyed.agg(
+                F.array_sort(F.collect_list(F.struct("i", val))).alias("ks")
+            ).select(F.expr(f"transform(ks, t -> t.{val})").alias(out))
         )
-        .select(F.array(*[f"m{i}" for i in range(dim)]).alias("m"))
-        .localCheckpoint(eager=True)
-    )
+
+    means = as_array(
+        base.select(F.posexplode("xm").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.expr("sum(x) div count(1)").alias("m")),
+        "m",
+        "m",
+    ).localCheckpoint(eager=True)
 
     # deterministic seed, symmetry-broken so a symmetric dataset cannot
     # start orthogonal to every data direction by construction
     state = means.select(
         "m",
-        F.array(
-            *[F.lit(1000000 - 1000 * i).cast("bigint") for i in range(dim)]
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> cast(1000000 - 1000 * i as bigint))"
         ).alias("v"),
     )
 
     def one_pass(st: DataFrame) -> DataFrame:
-        """One corpus scan → 1-row frame (g0..g{d-1}) = G·v in micros."""
+        """One corpus scan → 1-row frame (garr) = G·v in micros: per-row
+        projection s, posexplode of the centered vector by dimension key,
+        d-row keyed aggregate (map-side combined), array re-assembly."""
         st = st.withColumn(
             "mv",
             F.expr(
@@ -101,33 +121,28 @@ def embedding_pca_power(
                 " (acc, x) -> acc + x) - mv) div cast(1000000 as bigint)"
             ),
         )
-        return scored.agg(
-            *[
-                F.sum(
-                    F.expr(
-                        f"((element_at(xm, {i + 1}) - element_at(m, {i + 1})) * s)"
-                        " div cast(1000000 as bigint)"
-                    )
-                ).alias(f"g{i}")
-                for i in range(dim)
-            ]
+        contrib = scored.select(
+            F.posexplode(F.expr("zip_with(xm, m, (x, mm) -> x - mm)")).alias(
+                "i", "xc"
+            ),
+            "s",
         )
+        g = contrib.groupBy("i").agg(
+            F.sum(F.expr("(xc * s) div cast(1000000 as bigint)")).alias("g")
+        )
+        return as_array(g, "g", "garr")
 
     for _ in range(iterations):
-        g = one_pass(state)
-        mx = F.greatest(*[F.abs(F.col(f"g{i}")) for i in range(dim)])
+        g = one_pass(state).withColumn(
+            "mx", F.expr("array_max(transform(garr, x -> abs(x)))")
+        )
         state = (
-            means.crossJoin(F.broadcast(g.withColumn("mx", mx)))
+            means.crossJoin(F.broadcast(g))
             .select(
                 "m",
-                F.array(
-                    *[
-                        F.expr(
-                            f"cast((cast(g{i} as decimal(38,0)) * 1000000)"
-                            " div greatest(mx, cast(1 as bigint)) as bigint)"
-                        )
-                        for i in range(dim)
-                    ]
+                F.expr(
+                    "transform(garr, x -> cast((cast(x as decimal(38,0))"
+                    " * 1000000) div greatest(mx, cast(1 as bigint)) as bigint))"
                 ).alias("v"),
             )
             .localCheckpoint(eager=True)
@@ -136,7 +151,6 @@ def embedding_pca_power(
     w = one_pass(state)  # w = G·v for the FINAL v
     final = (
         state.crossJoin(F.broadcast(w))
-        .withColumn("garr", F.array(*[F.col(f"g{i}") for i in range(dim)]))
         .withColumn(
             "vv",
             F.expr(
@@ -146,14 +160,11 @@ def embedding_pca_power(
         )
         .withColumn(
             "vw",
-            sum(
-                [
-                    F.expr(
-                        f"cast(element_at(v, {i + 1}) as decimal(38,0)) * g{i}"
-                    )
-                    for i in range(dim)
-                ],
-                F.lit(0).cast("decimal(38,0)"),
+            F.expr(
+                "aggregate(zip_with(v, garr,"
+                " (a, b) -> cast(a as decimal(38,0)) * b),"
+                " cast(0 as decimal(38,0)),"
+                " (acc, x) -> cast(acc + x as decimal(38,0)))"
             ),
         )
         .withColumn(

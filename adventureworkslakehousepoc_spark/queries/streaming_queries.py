@@ -772,13 +772,21 @@ def st_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     — constant bytes per batch regardless of batch size. The final
     readout merges the store by cell-wise MAX. Because register merge is
     associative/commutative/idempotent, the streamed sketch equals the
-    batch sketch EXACTLY (the staged duplicate file changes nothing), so
-    the batch SQL oracle gates the streaming path bit-for-bit — the
-    monitoring shape for vocabulary cardinality over a 100 TB ingest
-    firehose. See operators/sketches.py::hll_registers/hll_summary."""
+    batch sketch EXACTLY (the staged duplicate file changes nothing) for
+    ANY trigger batching, so the batch SQL oracle gates the streaming
+    path bit-for-bit — the monitoring shape for vocabulary cardinality
+    over a 100 TB ingest firehose. The trigger is parameterized via
+    ``SPARK_GRAFT_STREAM_TRIGGER_FILES`` (default 1 — the per-micro-batch
+    fixed-overhead stress shape; the 30× probe also runs the
+    production-shaped batched trigger, where one micro-batch absorbs many
+    files and per-batch overhead amortizes away).
+    See operators/sketches.py::hll_registers/hll_summary."""
     from ..operators.sketches import hll_registers, hll_summary
 
-    docs = stream_table(spark, sf_dir, "documents", max_files_per_trigger=1, copies=2)
+    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    docs = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
+    )
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")

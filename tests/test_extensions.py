@@ -2014,6 +2014,50 @@ def test_pca_power_recovers_planted_direction(spark):
     assert abs(lam - evals[-1]) / evals[-1] < 0.01, (lam, evals[-1])
 
 
+def test_pca_power_dimension_scalable_at_d512(spark):
+    """The per-iteration G·v sums aggregate by a posexploded dim KEY, so
+    the plan must not grow with d: at d=512 the physical plan still
+    carries the generate/keyed-aggregate shape and stays O(1)-sized (the
+    former d-unrolled form emitted one aggregate expression per dimension
+    — a multi-MB codegen unit at this width). Correctness at width: the
+    iterate recovers a planted 512-dim axis against numpy's exact top
+    eigenvector of the same quantized, centered matrix."""
+    import random
+
+    import numpy as np
+
+    from adventureworkslakehousepoc_spark.operators.decomposition import (
+        embedding_pca_power,
+    )
+
+    rng = random.Random(11)
+    d = 512
+    axis = np.array([rng.uniform(-1, 1) for _ in range(d)])
+    axis /= np.linalg.norm(axis)
+    rows = []
+    for i in range(40):
+        strength = rng.uniform(-3.0, 3.0)
+        noise = np.array([rng.uniform(-0.05, 0.05) for _ in range(d)])
+        rows.append((i, [float(x) for x in (strength * axis + noise)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = embedding_pca_power(df, iterations=4, dim=d)
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # posexplode by dim, not unrolled aggregates
+    assert len(plan) < 100_000, len(plan)  # plan size O(1) in d
+
+    out = sorted(res.collect(), key=lambda r: r["dim"])
+    assert len(out) == d
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    Xm = np.floor(X * 1e6 + 0.5)
+    Xc = Xm - np.floor(Xm.sum(axis=0) / len(rows))
+    G = Xc.T @ Xc
+    evals, evecs = np.linalg.eigh(G)
+    v = np.array([r["eigvec_micros"] for r in out], dtype=np.float64)
+    cos = abs(v @ evecs[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(evecs[:, -1]))
+    assert cos > 0.999, cos
+
+
 def test_dawid_skene_matches_python_em_replay(spark):
     """The distributed EM must equal a pure-Python integer replay of the
     same micro arithmetic, starting from the operator's own weak votes
