@@ -21,7 +21,7 @@ Scale posture (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -713,6 +713,109 @@ def span_dedup_rewrite(
         F.size("ki").alias("n_kept"),
         (F.size("ki") * n_words).cast("bigint").alias("kept_words"),
         F.md5(cleaned).alias("cleaned_hash"),
+    )
+
+
+def substring_dedup_coverage(
+    docs: DataFrame, n_words: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Position-granular exact-substring dedup coverage — the Lee et al.
+    2022 (ExactSubstr) dedup mode that ``span_duplicate_stats`` only
+    approximates at ALIGNED n-gram granularity: every SLIDING
+    ``n_words``-word window (all offsets, not every n-th) is hashed, and
+    a window instance is a removable duplicate when its text occurs
+    elsewhere in the corpus AND it is not the globally-first occurrence
+    (ordered by (doc_id, position) — ExactSubstr's keep-one-copy rule).
+    The key identity making suffix arrays unnecessary at this
+    granularity: a duplicated substring of length ≥ L exists at a
+    position iff some duplicated L-gram window covers that position
+    (every L-window inside a longer shared substring is itself shared),
+    so the union of removable windows IS the removable byte range of the
+    suffix-array formulation, detected with relational operators only.
+
+    Per qualifying document (≥ ``n_words`` words), overlapping removable
+    windows merge into maximal runs (gaps-and-islands over window start
+    positions: same island while start-gap ≤ L) and the output reports
+    (doc_id, n_windows, n_dup_windows, n_dup_runs, covered_dup_words,
+    max_dup_run_words, dup_ratio_micros) — covered words = Σ islands
+    (last_start − first_start + L), ratio = covered·10⁶ div word count.
+
+    Scale: window hashing projects each instance to (doc_id, pos,
+    16-byte digest) IMMEDIATELY — raw text never shuffles; cost is one
+    digest-keyed shuffle over ~|tokens| rows (the honest price of
+    position-level dedup — Lee et al.'s suffix array is the same
+    token-scale object), then everything downstream (first-occurrence
+    window, island windows) runs on the REMOVABLE instance stream only,
+    which is dup-mass-sized. No driver collection, no all-pairs join.
+    """
+    words = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id"
+    ).select("doc_id", F.split(F.col("t"), " ").alias("ws"))
+    with_n = words.withColumn("n_w", F.size("ws")).filter(F.col("n_w") >= n_words)
+    wins = with_n.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_w - {n_words}), "
+                f"i -> md5(array_join(slice(ws, i + 1, {n_words}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    # first-occurrence election: rank each digest's instances in global
+    # (doc_id, pos) order; rank > 1 = removable (one digest-keyed shuffle)
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup = (
+        wins.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    # gaps-and-islands on the removable stream (dup-mass-sized): a new
+    # run starts when the next removable window no longer overlaps or
+    # abuts the previous one's covered range (start gap > L)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "brk",
+            F.when(F.col("pos") - F.col("prev") > n_words, 1).otherwise(0),
+        )
+        .withColumn("isl_id", F.sum("brk").over(wd))
+    )
+    per_isl = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("a"),
+        F.max("pos").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )
+    per_doc = per_isl.groupBy("doc_id").agg(
+        F.sum("nw").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_runs"),
+        F.sum(F.col("b") - F.col("a") + n_words).cast("bigint").alias(
+            "covered_dup_words"
+        ),
+        F.max(F.col("b") - F.col("a") + n_words).cast("bigint").alias(
+            "max_dup_run_words"
+        ),
+    )
+    return (
+        with_n.select("doc_id", "n_w")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_w") - n_words + 1).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_runs", F.lit(0)).cast("bigint").alias("n_dup_runs"),
+            F.coalesce("covered_dup_words", F.lit(0)).cast("bigint").alias(
+                "covered_dup_words"
+            ),
+            F.coalesce("max_dup_run_words", F.lit(0)).cast("bigint").alias(
+                "max_dup_run_words"
+            ),
+            F.expr(
+                "coalesce(covered_dup_words, 0) * 1000000 div n_w"
+            ).cast("bigint").alias("dup_ratio_micros"),
+        )
     )
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "sign_lsh_bucket",
     "cosine_topk_bucketed",
     "ivf_assign_cells",
+    "ivf_incremental_update",
     "cosine_topk_ivf",
     "knn_join",
     "squared_l2",
@@ -229,6 +230,119 @@ def cosine_topk_ivf(
         )
     )
     return ranked_topk(scored, k).select("vec_id", "label", "cell", "score", "rank")
+
+
+def ivf_incremental_update(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    append_mod: int = 5,
+    drift_threshold_micros: int = 20000,
+) -> DataFrame:
+    """Incremental IVF index maintenance on append — the streaming twin of
+    ``ivf_assign_cells``: the corpus splits deterministically into a BASE
+    snapshot (``vec_id % append_mod != 0``) whose index is built and
+    materialized once, and an APPEND batch (the rest) that is assigned
+    against the SAME frozen codebook — only |append| vectors are scored;
+    the base index is never rescanned (the property that makes nightly
+    10⁹-vector index refreshes affordable).
+
+    Alongside the assignment, the operator maintains the per-cell
+    centroid DRIFT audit that decides when the frozen codebook has gone
+    stale: per (cell, dim), the base mean and the post-append mean are
+    exact integer-micro rationals built from MERGEABLE (sum, count)
+    sketches — the append batch contributes its own (cell, dim) sums and
+    the updated mean is (sum_base + sum_append) / (n_base + n_append),
+    so the base side is reused as a sketch, not rescanned. The L∞
+    mean-shift per cell against ``drift_threshold_micros`` flags cells
+    for re-training (the IVF analog of an LSM compaction trigger).
+
+    Returns one row per cell: (cell, n_base, n_append, n_total,
+    append_share_micros, linf_centroid_shift_micros, needs_retrain).
+
+    Scale: codebook broadcasts; assignment is |append|·K scored rows with
+    a per-vec_id window; the drift sums are (cell, dim)-keyed aggregates
+    (map-side combined, ≤ K·d rows after partials). Nothing quadratic,
+    nothing driver-side.
+    """
+    from ..plans.audit import eager_checkpoint
+
+    base = embeddings.filter(F.col("vec_id") % append_mod != 0)
+    appended = embeddings.filter(F.col("vec_id") % append_mod == 0)
+    codebook = (
+        base.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_embedding"))
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(codebook)).select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", F.col("cent_id").cast("int").alias("cell"))
+        )
+
+    # the base index materializes ONCE; the append assignment below never
+    # re-reads it (incremental contract)
+    cells_base = eager_checkpoint(assign(base), "ivf_incremental_base_index")
+    cells_app = assign(appended)
+
+    def cell_dim_sums(cells: DataFrame, s: str, n: str):
+        """(cell, dim)-keyed micro sums + per-cell counts — the mergeable
+        centroid sketch."""
+        cd = (
+            cells.select(
+                "cell",
+                F.posexplode(
+                    F.expr(
+                        "transform(embedding, e -> cast(floor(cast(e as double)"
+                        " * 1000000 + 0.5) as bigint))"
+                    )
+                ).alias("dim", "x"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias(s))
+        )
+        cnt = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias(n))
+        return cd, cnt
+
+    base_cd, base_n = cell_dim_sums(cells_base, "sb", "nb")
+    app_cd, app_n = cell_dim_sums(cells_app, "sa", "na")
+
+    shift = (
+        base_cd.join(app_cd, ["cell", "dim"], "left")
+        .join(base_n, "cell")
+        .join(app_n, "cell", "left")
+        .select(
+            "cell",
+            "nb",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.expr(
+                "abs(sb div nb - (sb + coalesce(sa, 0)) div (nb + coalesce(na, 0)))"
+            ).alias("d_shift"),
+        )
+        .groupBy("cell", "nb", "na")
+        .agg(F.max("d_shift").cast("bigint").alias("linf_centroid_shift_micros"))
+    )
+    return shift.select(
+        "cell",
+        F.col("nb").alias("n_base"),
+        F.col("na").alias("n_append"),
+        (F.col("nb") + F.col("na")).alias("n_total"),
+        F.expr("na * 1000000 div (nb + na)").cast("bigint").alias(
+            "append_share_micros"
+        ),
+        "linf_centroid_shift_micros",
+        F.expr(
+            f"cast(linf_centroid_shift_micros > {drift_threshold_micros} as int)"
+        ).alias("needs_retrain"),
+    )
 
 
 def knn_join(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

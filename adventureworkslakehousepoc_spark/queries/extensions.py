@@ -351,6 +351,82 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_incremental_update",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16
+    ),
+    base_assign AS (
+      SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_qcos_sql('e.embedding', 'c.ce')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id % 5 <> 0
+      ) WHERE rn = 1
+    ),
+    app_assign AS (
+      SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_qcos_sql('e.embedding', 'c.ce')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id % 5 = 0
+      ) WHERE rn = 1
+    ),
+    base_cd AS (
+      SELECT cell, g.i AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sb
+      FROM base_assign, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY 1, 2
+    ),
+    base_n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS nb FROM base_assign GROUP BY 1),
+    app_cd AS (
+      SELECT cell, g.i AS dim,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sa
+      FROM app_assign, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY 1, 2
+    ),
+    app_n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS na FROM app_assign GROUP BY 1),
+    shift AS (
+      SELECT b.cell, n1.nb, COALESCE(n2.na, 0) AS na,
+             CAST(MAX(ABS(b.sb // n1.nb
+                          - (b.sb + COALESCE(a.sa, 0))
+                            // (n1.nb + COALESCE(n2.na, 0)))) AS BIGINT)
+               AS linf_centroid_shift_micros
+      FROM base_cd b
+      LEFT JOIN app_cd a ON a.cell = b.cell AND a.dim = b.dim
+      JOIN base_n n1 ON n1.cell = b.cell
+      LEFT JOIN app_n n2 ON n2.cell = b.cell
+      GROUP BY 1, 2, 3
+    )
+    SELECT cell, nb AS n_base, na AS n_append, nb + na AS n_total,
+           CAST(na * 1000000 // (nb + na) AS BIGINT) AS append_share_micros,
+           linf_centroid_shift_micros,
+           CAST(linf_centroid_shift_micros > 20000 AS INTEGER) AS needs_retrain
+    FROM shift
+    """,
+)
+def ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance
+    (operators/similarity.py::ivf_incremental_update): base snapshot
+    (vec_id % 5 != 0) indexed once against a frozen 16-centroid
+    codebook; the append batch (vec_id % 5 = 0) is assigned against the
+    SAME broadcast codebook without rescanning the base; per-cell
+    centroid drift comes from mergeable (cell, dim) integer-micro
+    (sum, count) sketches and the L-inf mean shift flags cells for
+    retraining — the streaming twin of ann_ivf_topk's index build."""
+    from ..operators.similarity import ivf_incremental_update
+
+    return ivf_incremental_update(
+        _emb(spark, sf_dir), n_centroids=16, append_mod=5, drift_threshold_micros=20000
+    )
+
+
+@query(
     "ann_pandas_udf_scores",
     f"SELECT vec_id, label, score FROM ({_SCORED_SQL})",
 )
@@ -1378,6 +1454,177 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import span_duplicate_stats
 
     return span_duplicate_stats(_docs(spark, sf_dir), n_words=20)
+
+
+@query(
+    "dedup_substring_coverage",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wn AS (SELECT doc_id, ws, len(ws) AS n_w FROM w WHERE len(ws) >= 10),
+    wins AS (
+      SELECT doc_id, g.i AS pos,
+             md5(array_to_string(ws[g.i + 1 : g.i + 10], ' ')) AS h
+      FROM wn, unnest(generate_series(0, n_w - 10)) AS g(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM brk
+    ),
+    per_isl AS (
+      SELECT doc_id, isl_id, MIN(pos) AS a, MAX(pos) AS b,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(nw) AS n_dup_windows,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+             CAST(SUM(b - a + 10) AS BIGINT) AS covered_dup_words,
+             CAST(MAX(b - a + 10) AS BIGINT) AS max_dup_run_words
+      FROM per_isl GROUP BY 1
+    )
+    SELECT wn.doc_id,
+           CAST(wn.n_w - 10 + 1 AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.n_dup_runs, 0) AS BIGINT) AS n_dup_runs,
+           CAST(COALESCE(p.covered_dup_words, 0) AS BIGINT) AS covered_dup_words,
+           CAST(COALESCE(p.max_dup_run_words, 0) AS BIGINT) AS max_dup_run_words,
+           CAST(COALESCE(p.covered_dup_words, 0) * 1000000 // wn.n_w AS BIGINT)
+             AS dup_ratio_micros
+    FROM wn LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-granular exact-substring dedup coverage
+    (operators/dedup.py::substring_dedup_coverage): SLIDING 10-word
+    windows at every offset, keep-first-occurrence, overlapping
+    removable windows merged into maximal runs — the Lee et al. 2022
+    ExactSubstr dedup mode that dedup_span_exact only approximates at
+    aligned-span granularity. One digest-keyed token-scale shuffle, then
+    dup-mass-sized island analytics."""
+    from ..operators.dedup import substring_dedup_coverage
+
+    return substring_dedup_coverage(_docs(spark, sf_dir), n_words=10)
+
+
+# deterministic per-doc URL synthesis (the documents table carries no URL
+# column): scheme/www/port/trailing-slash/tracking-param variants are keyed
+# off doc_id residues so every canonicalization rule fires on real rows and
+# cross-doc collisions exist by construction (same source/lang/page slug)
+_URL_SYNTH_SPARK = (
+    "concat("
+    " if(doc_id % 3 = 0, 'HTTPS://WWW.', 'https://'),"
+    " source, '.example.com',"
+    " if(doc_id % 4 = 0, ':443', ''),"
+    " '/', lang, '/page-', cast(doc_id % 37 as string),"
+    " if(doc_id % 2 = 0, '/', ''),"
+    " case when doc_id % 5 = 0 then concat('?utm_source=feed&ref=rss&id=',"
+    "   cast(doc_id % 37 as string))"
+    "  when doc_id % 5 = 1 then concat('?id=', cast(doc_id % 37 as string),"
+    "   '&utm_campaign=x')"
+    "  else '' end,"
+    " if(doc_id % 7 = 0, '#section-2', ''))"
+)
+
+_URL_SYNTH_SQL = """
+      CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+      || source || '.example.com'
+      || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+      || '/' || lang || '/page-' || CAST(doc_id % 37 AS VARCHAR)
+      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&ref=rss&id=' || CAST(doc_id % 37 AS VARCHAR)
+              WHEN doc_id % 5 = 1
+              THEN '?id=' || CAST(doc_id % 37 AS VARCHAR) || '&utm_campaign=x'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, ({_URL_SYNTH_SQL}) AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag
+      FROM raw
+    ),
+    comp AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      FROM parts
+    ),
+    hostp AS (
+      SELECT *, lower(regexp_extract(rest, '^[^/?]+')) AS hostport FROM comp
+    ),
+    norm AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(regexp_replace(
+               regexp_replace(hostport, '^www\\.', ''),
+               ':443$', CASE WHEN scheme = 'https' THEN '' ELSE ':443' END),
+               ':80$', CASE WHEN scheme = 'http' THEN '' ELSE ':80' END) AS host,
+             substr(rest, length(hostport) + 1) AS pathq
+      FROM hostp
+    ),
+    pq AS (
+      SELECT doc_id, url, scheme, host,
+             regexp_replace(regexp_extract(pathq, '^[^?]*'), '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'
+                    OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'
+                    OR p LIKE 'mc_eid=%'))), '&') AS kept
+      FROM norm
+    ),
+    canon AS (
+      SELECT doc_id, url AS raw_url,
+             scheme || '://' || host || path
+               || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+               AS canonical_url
+      FROM pq
+    )
+    SELECT canonical_url,
+           regexp_extract(canonical_url, '^[a-z0-9+.-]+://([^/?]+)', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           MIN(doc_id) AS representative_id
+    FROM canon GROUP BY 1
+    """,
+)
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level dedup with RFC 3986 + crawl-pipeline
+    canonicalization (operators/web.py::canonicalize_url /
+    url_dedup_clusters): lowercase scheme+host, strip www./default
+    port/fragment/trailing slash/tracking params, sort surviving query
+    params, then ONE canonical-key aggregate. URLs are synthesized
+    deterministically from doc_id residues (the corpus carries no URL
+    column) so every rule fires on real rows. Scan-shaped: the cheapest
+    dedup pass at crawl scale."""
+    from ..operators.web import url_dedup_clusters
+
+    docs = _docs(spark, sf_dir).withColumn("url", F.expr(_URL_SYNTH_SPARK))
+    return url_dedup_clusters(docs, url_col="url")
 
 
 @query(

@@ -397,6 +397,162 @@ def test_span_duplicate_stats_semantics(spark):
     assert out[1].dup_ratio_micros == 500000
 
 
+def test_substring_coverage_first_occurrence_and_islands(spark):
+    """ExactSubstr semantics on a planted fixture: the globally-first
+    instance of a duplicated window is NOT removable; a full-copy doc is
+    100% covered by one merged run; a doc embedding one shared 10-gram
+    mid-text gets exactly that window as a single run; sub-window docs
+    are excluded."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        substring_dedup_coverage,
+    )
+
+    base = " ".join(f"w{i}" for i in range(12))  # 12 words -> 3 windows
+    mid = (
+        " ".join(f"x{i}" for i in range(10))
+        + " "
+        + " ".join(f"w{i}" for i in range(10))  # base's first window
+        + " "
+        + " ".join(f"y{i}" for i in range(5))
+    )
+    rows = [(0, base), (1, base), (2, mid), (3, "too short")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in substring_dedup_coverage(docs, n_words=10).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc 0 is the first occurrence everywhere: nothing removable
+    assert out[0].n_windows == 3 and out[0].n_dup_windows == 0
+    assert out[0].covered_dup_words == 0 and out[0].dup_ratio_micros == 0
+    # doc 1 is a verbatim copy: all 3 windows removable, ONE merged run
+    # covering the entire 12 words
+    assert out[1].n_dup_windows == 3 and out[1].n_dup_runs == 1
+    assert out[1].covered_dup_words == 12 and out[1].max_dup_run_words == 12
+    assert out[1].dup_ratio_micros == 1000000
+    # doc 2 embeds one shared window at pos 10: a single 10-word run
+    assert out[2].n_windows == 16  # 25 words
+    assert out[2].n_dup_windows == 1 and out[2].n_dup_runs == 1
+    assert out[2].covered_dup_words == 10 and out[2].max_dup_run_words == 10
+    assert out[2].dup_ratio_micros == 10 * 1000000 // 25
+
+
+def test_ivf_incremental_update_matches_python_replay(spark):
+    """The mergeable (sum, count) centroid sketch must equal a pure-Python
+    replay of the same quantized assignment + integer-micro mean
+    arithmetic, a drifting append batch must flag its cell for retrain,
+    and an untouched cell must report zero shift."""
+    import math
+
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        ivf_incremental_update,
+    )
+
+    # base (vec_id % 5 != 0): two tight groups on +x and +y; append
+    # (vec_id % 5 == 0): vec 5 pulls the +x cell hard toward +z, vec 10
+    # lands squarely in +x. No append touches the +y cell.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.9, 0.1, 0.0, 0.0], 0),
+        (4, [0.1, 0.9, 0.0, 0.0], 0),
+        (6, [0.8, 0.0, 0.1, 0.0], 0),
+        (5, [0.5, 0.0, 0.9, 0.0], 0),
+        (10, [0.95, 0.05, 0.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r.cell: r
+        for r in ivf_incremental_update(
+            df, n_centroids=2, append_mod=5, drift_threshold_micros=20000
+        ).collect()
+    }
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(float(x) ** 2 for x in a))
+            * math.sqrt(sum(float(y) ** 2 for y in b))
+        )
+
+    import numpy as np
+
+    vecs = {i: np.array(v, dtype=np.float32) for i, v, _ in rows}
+    cents = [(1, vecs[1]), (2, vecs[2])]
+
+    def assign(i):
+        scores = [(q6(cos(vecs[i], c)), -cid) for cid, c in cents]
+        best = max(scores)
+        return -best[1]
+
+    base_ids = [i for i in vecs if i % 5 != 0]
+    app_ids = [i for i in vecs if i % 5 == 0]
+    micros = {i: [math.floor(float(x) * 1e6 + 0.5) for x in vecs[i]] for i in vecs}
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for cell in (1, 2):
+        bs = [i for i in base_ids if assign(i) == cell]
+        ap = [i for i in app_ids if assign(i) == cell]
+        nb, na = len(bs), len(ap)
+        shift = 0
+        for d in range(4):
+            sb = sum(micros[i][d] for i in bs)
+            sa = sum(micros[i][d] for i in ap)
+            shift = max(
+                shift, abs(trunc_div(sb, nb) - trunc_div(sb + sa, nb + na))
+            )
+        r = out[cell]
+        assert (r.n_base, r.n_append, r.n_total) == (nb, na, nb + na)
+        assert r.linf_centroid_shift_micros == shift, (cell, shift)
+        assert r.append_share_micros == na * 1000000 // (nb + na)
+        assert r.needs_retrain == int(shift > 20000)
+    # the planted geometry: +x cell drifted, +y cell untouched
+    xcell, ycell = assign(3), assign(4)
+    assert out[xcell].needs_retrain == 1
+    assert out[ycell].n_append == 0
+    assert out[ycell].linf_centroid_shift_micros == 0
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule on a pointed fixture: case folding is
+    scheme+host only, default ports are scheme-aware, tracking params
+    drop while real params sort, and non-default ports / path case
+    survive."""
+    from adventureworkslakehousepoc_spark.operators.web import (
+        canonicalize_url,
+        url_dedup_clusters,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/Path?a=1&b=2"),
+        (3, "http://example.com:80/"),
+        (4, "http://example.com:8080/x"),
+        (5, "https://shop.example.com/SALE/?gclid=abc&ref=tw"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got[1] == "https://example.com/Path?a=1&b=2"
+    assert got[2] == got[1]  # variants collapse
+    assert got[3] == "http://example.com"
+    assert got[4] == "http://example.com:8080/x"  # non-default port kept
+    assert got[5] == "https://shop.example.com/SALE"  # path case kept
+
+    clusters = {
+        r.canonical_url: r for r in url_dedup_clusters(df, "url").collect()
+    }
+    c = clusters["https://example.com/Path?a=1&b=2"]
+    assert c.n_docs == 2 and c.n_raw_variants == 2 and c.representative_id == 1
+    assert c.domain == "example.com"
+    assert clusters["https://shop.example.com/SALE"].domain == "shop.example.com"
+
+
 def test_tfidf_idf_zero_for_ubiquitous_terms(spark):
     """A term present in every document has idf = log10(1) = 0, so its score
     is 0 regardless of tf; rare terms outrank it."""
