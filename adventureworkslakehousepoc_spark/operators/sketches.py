@@ -25,7 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_cells", "cms_heavy_hitters", "hll_registers", "hll_distinct_tokens", "hll_summary", "kmv_source_overlap"]
+__all__ = [
+    "cms_cells",
+    "cms_heavy_hitters",
+    "hll_registers",
+    "hll_distinct_tokens",
+    "hll_summary",
+    "kmv_source_overlap",
+    "bloom_words",
+    "bloom_probe_flags",
+    "bloom_decontaminate",
+]
 
 
 def _bucket(row: Column, token: Column, w: int) -> Column:
@@ -354,3 +364,175 @@ def kmv_source_overlap(
         return eager_checkpoint(out, "kmv_source_overlap_pairs")
     finally:
         sh.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: constant-size mergeable MEMBERSHIP state — the fourth sketch
+# (CM = frequency, HLL = cardinality, KMV = set ops, Bloom = membership)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 4  # probes per item
+_BLOOM_WORD = 32  # bits per word row (BIGINT << 63 overflows in DuckDB)
+
+
+def _bloom_probe_idx(col: str, k: int = _BLOOM_K, m_bits: int = _BLOOM_M) -> Column:
+    """Array of k bit indices for one item: consecutive 8-hex-char slices
+    of md5 (32 bits each, independent enough for Bloom's FP bound) mod m —
+    deterministic and engine-portable (DuckDB replays the same slices)."""
+    return F.expr(
+        f"transform(sequence(0, {k - 1}), p -> "
+        f"cast(conv(substring(md5({col}), p * 8 + 1, 8), 16, 10) as bigint)"
+        f" % {m_bits})"
+    )
+
+
+def bloom_words(items: DataFrame, col: str, m_bits: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Bloom bitmap over a string column as (word_idx, word) rows —
+    ≤ m_bits/32 rows total, built by ONE keyed bit_or aggregate
+    (map-side combined), MERGEABLE across shards/micro-batches by
+    cell-wise bit_or (associative/commutative/idempotent — the same
+    contract the HLL registers ship with). 32-bit words keep the shift
+    exact in both engines."""
+    probes = items.select(F.explode(_bloom_probe_idx(col, k, m_bits)).alias("idx"))
+    return (
+        probes.select(
+            F.expr(f"idx div {_BLOOM_WORD}").cast("int").alias("word_idx"),
+            F.expr(f"cast(idx % {_BLOOM_WORD} as int)").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), bit))").alias("word")
+        )
+    )
+
+
+def bloom_probe_flags(
+    cands: DataFrame,
+    bitmap: DataFrame,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Membership test of ``cands[col]`` against a (word_idx, word) Bloom
+    bitmap: each item fans out to its k (word_idx, bit) probes, LEFT-joins
+    the BROADCAST bitmap (missing word = all-zero), and is a hit iff all
+    k bits are set. Returns the input key columns + ``bloom_hit`` (0/1).
+    One-sided: a 0 is certain absence; a 1 may be a false positive with
+    the standard (1 − e^{-kn/m})^k rate. Map-side only — no shuffle wider
+    than the ≤ m/32-row broadcast."""
+    key_cols = [c for c in cands.columns]
+    probes = cands.select(
+        *key_cols, F.explode(_bloom_probe_idx(col, k, m_bits)).alias("idx")
+    ).select(
+        *key_cols,
+        F.expr(f"idx div {_BLOOM_WORD}").cast("int").alias("word_idx"),
+        F.expr(f"cast(idx % {_BLOOM_WORD} as int)").alias("bit"),
+    )
+    return (
+        probes.join(F.broadcast(bitmap), "word_idx", "left")
+        .select(
+            *key_cols,
+            F.expr(
+                "case when (coalesce(word, 0) & shiftleft(cast(1 as bigint), bit))"
+                " != 0 then 1 else 0 end"
+            ).alias("bit_set"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.expr(f"cast(sum(bit_set) = {k} as int)").alias("bloom_hit")
+        )
+    )
+
+
+def bloom_ngrams(
+    docs: DataFrame,
+    n_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc distinct ``n_words``-gram digests with the 3-way hash-split
+    column — the shared input of the batch decontaminator and the
+    streaming bitmap-maintenance path. Returns (doc_id, split, g)."""
+    from .sampling import split_column
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            split_column(id_col).alias("split"),
+            F.split(F.col(text_col), " ").alias("ws"),
+        )
+        .filter(F.size("ws") >= n_words)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {n_words}), "
+                    f"i -> md5(array_join(slice(ws, i + 1, {n_words}), ' ')))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    bitmap: DataFrame | None = None,
+) -> DataFrame:
+    """Test-set decontamination with a Bloom prefilter (the GPT-3 n-gram
+    decontamination shape — Brown et al. 2020 appendix C — with the exact
+    membership join demoted to an AUDIT): the held-out ``test`` hash
+    split's distinct ``n_words``-gram set compresses into a ≤ m/32-row
+    Bloom bitmap; every candidate (non-test) document's distinct n-grams
+    probe the BROADCAST bitmap map-side, and a document is flagged when
+    any n-gram hits. The exact semi-join against the test n-gram table
+    rides along as the audit, so the output exposes the realized
+    false-positive rate next to the guarantee.
+
+    Returns one row per candidate doc with ≥ 1 n-gram: (doc_id,
+    n_ngrams, n_bloom_hits, n_exact_hits, n_false_positives, flagged).
+
+    Scale: the bitmap is CONSTANT bytes however large the test set; the
+    candidate pass is scan + broadcast probe (no shuffle beyond the
+    per-doc re-aggregate). Drop the exact-audit join in production and
+    100 TB decontamination is one map-side pass — the point of carrying
+    a membership sketch instead of the test-set n-gram table itself.
+
+    ``bitmap`` (optional): a pre-merged (word_idx, word) table — e.g. the
+    streaming-maintenance store — used instead of building one here; the
+    bit_or merge contract makes the two bit-identical."""
+    grams = bloom_ngrams(docs, n_words, text_col, id_col)
+    test_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    cand_g = grams.filter(F.col("split") != "test").select("doc_id", "g")
+    if bitmap is None:
+        bitmap = bloom_words(test_g, "g", m_bits, k)
+    hits = bloom_probe_flags(cand_g, bitmap, "g", m_bits, k)
+    exact = cand_g.join(
+        test_g.withColumn("exact_hit", F.lit(1)), "g", "left"
+    ).select("doc_id", "g", F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"))
+    return (
+        hits.join(exact, ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+            F.sum("exact_hit").cast("bigint").alias("n_exact_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias(
+                "n_false_positives"
+            ),
+            F.expr("cast(n_bloom_hits > 0 as int)").alias("flagged"),
+        )
+    )

@@ -6010,6 +6010,80 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_source_overlap(_docs(spark, sf_dir), k=128)
 
 
+_BLOOM_SQL = f"""
+    WITH g0 AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split,
+             ws
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws, {_RHO_SPLIT} AS bucket
+            FROM documents)
+      WHERE len(ws) >= 5
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, split,
+             md5(array_to_string(ws[gg.i + 1 : gg.i + 5], ' ')) AS g
+      FROM g0, unnest(generate_series(0, len(ws) - 5)) AS gg(i)
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+    cand_g AS (SELECT doc_id, g FROM grams WHERE split <> 'test'),
+    probes_t AS (
+      SELECT CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 4096 AS idx
+      FROM test_g, unnest(generate_series(0, 3)) AS p(p)
+    ),
+    bitmap AS (
+      SELECT CAST(idx // 32 AS INTEGER) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS word
+      FROM probes_t GROUP BY 1
+    ),
+    cand_probes AS (
+      SELECT doc_id, g,
+             CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 4096 AS idx
+      FROM cand_g, unnest(generate_series(0, 3)) AS p(p)
+    ),
+    hits AS (
+      SELECT doc_id, g,
+             CASE WHEN SUM(CASE WHEN (COALESCE(b.word, 0)
+                                      & (CAST(1 AS BIGINT)
+                                         << CAST(cp.idx % 32 AS INTEGER))) <> 0
+                               THEN 1 ELSE 0 END) = 4
+                  THEN 1 ELSE 0 END AS bloom_hit
+      FROM cand_probes cp
+      LEFT JOIN bitmap b ON b.word_idx = CAST(cp.idx // 32 AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.doc_id, c.g,
+             CASE WHEN t.g IS NULL THEN 0 ELSE 1 END AS exact_hit
+      FROM cand_g c LEFT JOIN test_g t ON t.g = c.g
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(h.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(e.exact_hit) AS BIGINT) AS n_exact_hits,
+           CAST(SUM(h.bloom_hit) - SUM(e.exact_hit) AS BIGINT) AS n_false_positives,
+           CAST(SUM(h.bloom_hit) > 0 AS INTEGER) AS flagged
+    FROM hits h JOIN exact e ON e.doc_id = h.doc_id AND e.g = h.g
+    GROUP BY 1
+    """
+
+
+@query("bloom_decontaminate", _BLOOM_SQL)
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered test-set decontamination
+    (operators/sketches.py::bloom_words/bloom_probe_flags/
+    bloom_decontaminate): the test hash split's distinct 5-gram set
+    compresses to a <=128-row mergeable bitmap (bit_or cells); candidate
+    docs probe the broadcast bitmap map-side and flag on any hit; the
+    exact semi-join audits the realized false-positive rate. Membership
+    completes the sketch quartet (CM frequency / HLL cardinality / KMV
+    set-ops / Bloom membership). Drop the audit and 100 TB
+    decontamination is one scan."""
+    from ..operators.sketches import bloom_decontaminate
+
+    return bloom_decontaminate(_docs(spark, sf_dir), n_words=5)
+
+
 def _hqs_oracle_sql(fractions=((1, 2), (9, 10), (99, 100)), w: int = 16, b: int = 64) -> str:
     head = f"""
     WITH xs AS MATERIALIZED (

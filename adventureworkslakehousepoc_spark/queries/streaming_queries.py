@@ -820,3 +820,62 @@ def st_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("token").cast("bigint").alias("exact_distinct")
     )
     return hll_summary(merged, exact, m=64)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-bitmap maintenance: membership sketch under ingestion
+# ---------------------------------------------------------------------------
+
+from .extensions import _BLOOM_SQL as _BLOOM_ORACLE_SQL  # noqa: E402
+
+
+@query("st_bloom_filter_maintenance", _BLOOM_ORACLE_SQL)
+def st_bloom_filter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap maintenance under streaming ingestion — the membership
+    twin of ``st_hll_sketch_maintenance``: documents arrive as a 2-file
+    stream (parameterized trigger, default maxFilesPerTrigger=1 forcing
+    >= 2 micro-batches); each micro-batch reduces its OWN test-split
+    5-gram set to a ≤128-row Bloom word table inside foreachBatch and
+    APPENDS it to the bitmap store (constant bytes per batch). The final
+    readout merges the store by cell-wise bit_or — associative/
+    commutative/idempotent, so the streamed bitmap equals the batch
+    bitmap bit-for-bit (staged duplicate file changes nothing) — and the
+    batch decontamination pass runs against the streamed bitmap, gated by
+    the same batch SQL oracle. The guard shape for continuous test-set
+    decontamination over an ingest firehose.
+    See operators/sketches.py::bloom_words/bloom_decontaminate."""
+    from ..operators.sketches import bloom_decontaminate, bloom_ngrams, bloom_words
+
+    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    docs = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
+    )
+    store = scratch_dir("bloom-store")
+    ckpt = scratch_dir("bloom-ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        test_g = (
+            bloom_ngrams(batch_df)
+            .filter(F.col("split") == "test")
+            .select("g")
+            .distinct()
+        )
+        bloom_words(test_g, "g").write.mode("append").parquet(store)
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("bloom bitmap stream did not terminate")
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    batch_docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bloom_decontaminate(batch_docs, n_words=5, bitmap=merged)

@@ -434,6 +434,53 @@ def test_substring_coverage_first_occurrence_and_islands(spark):
     assert out[2].dup_ratio_micros == 10 * 1000000 // 25
 
 
+def test_bloom_decontaminate_one_sided_and_mergeable(spark):
+    """Bloom membership is one-sided (every exact hit IS a bloom hit,
+    n_false_positives >= 0); a candidate doc sharing a 5-gram with a test
+    doc must flag with an exact hit; a disjoint doc must have zero exact
+    hits; and the bitmap built over two halves merges by cell-wise bit_or
+    into exactly the whole-set bitmap (the shard/stream contract)."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.operators.sketches import (
+        bloom_decontaminate,
+        bloom_words,
+    )
+
+    leak = "alpha beta gamma delta epsilon"
+    rows = [
+        (2, leak + " zeta eta theta"),  # test split (bucket 17)
+        (1, "intro words here then " + leak),  # train, contains the 5-gram
+        (3, " ".join(f"u{i}" for i in range(12))),  # train, disjoint
+        (4, "tiny"),  # sub-n-gram, excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bloom_decontaminate(docs, n_words=5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_exact_hits >= 1 and out[1].flagged == 1
+    for r in out.values():
+        assert r.n_bloom_hits >= r.n_exact_hits  # one-sided
+        assert r.n_false_positives == r.n_bloom_hits - r.n_exact_hits >= 0
+    assert out[3].n_exact_hits == 0
+
+    items = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(200)], ["g"]
+    )
+    whole = {
+        r.word_idx: r.word for r in bloom_words(items, "g").collect()
+    }
+    h1 = bloom_words(items.filter("substring(g, 6, 10) < '1'"), "g")
+    h2 = bloom_words(items.filter("substring(g, 6, 10) >= '1'"), "g")
+    merged = {
+        r.word_idx: r.word
+        for r in h1.unionByName(h2)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    }
+    assert merged == whole
+
+
 def test_ivf_incremental_update_matches_python_replay(spark):
     """The mergeable (sum, count) centroid sketch must equal a pure-Python
     replay of the same quantized assignment + integer-micro mean
