@@ -315,10 +315,12 @@ def ivf_incremental_update(
     base_cd, base_n = cell_dim_sums(cells_base, "sb", "nb")
     app_cd, app_n = cell_dim_sums(cells_app, "sa", "na")
 
+    # every frame here is sketch-sized (≤ K·d rows) — broadcast the
+    # lookup sides so the drift readout never sort-merge-shuffles
     shift = (
-        base_cd.join(app_cd, ["cell", "dim"], "left")
-        .join(base_n, "cell")
-        .join(app_n, "cell", "left")
+        base_cd.join(F.broadcast(app_cd), ["cell", "dim"], "left")
+        .join(F.broadcast(base_n), "cell")
+        .join(F.broadcast(app_n), "cell", "left")
         .select(
             "cell",
             "nb",

@@ -513,13 +513,16 @@ def bloom_decontaminate(
     cand_g = grams.filter(F.col("split") != "test").select("doc_id", "g")
     if bitmap is None:
         bitmap = bloom_words(test_g, "g", m_bits, k)
-    hits = bloom_probe_flags(cand_g, bitmap, "g", m_bits, k)
-    exact = cand_g.join(
+    # the exact audit flag attaches BEFORE the probe fan-out so it rides
+    # the same per-gram aggregate — one candidate-scale join total, not a
+    # second hits⋈exact pass (the audit join is the only shuffle the
+    # production prefilter drops)
+    cand_with_exact = cand_g.join(
         test_g.withColumn("exact_hit", F.lit(1)), "g", "left"
     ).select("doc_id", "g", F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"))
+    hits = bloom_probe_flags(cand_with_exact, bitmap, "g", m_bits, k)
     return (
-        hits.join(exact, ["doc_id", "g"])
-        .groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
             F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),

@@ -207,6 +207,12 @@ EXTRA_QUERIES = [
     "rho_loss_selection",
     "kmv_source_overlap",
     "histogram_quantile_sketch",
+    # round-10 additions
+    "dedup_substring_coverage",
+    "url_canonical_dedup",
+    "ivf_incremental_update",
+    "bloom_decontaminate",
+    "st_bloom_filter_maintenance",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
