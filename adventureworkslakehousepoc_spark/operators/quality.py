@@ -573,3 +573,67 @@ def dawid_skene_binary(
         F.col("n").alias("n_docs"),
         "n_pos_posterior",
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    prefix_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test leakage through duplicated content: hash-split
+    assignment is per-DOCUMENT, so documents sharing content can land in
+    different splits and the eval set silently contains training data —
+    the leakage mode content dedup exists to prevent and split tooling
+    rarely checks. Cluster key is the ``prefix_words``-word TEMPLATE
+    PREFIX digest (md5 of the opening words — the cheap boilerplate/
+    template grouping; byte-identical docs collapse into it as a special
+    case, and any dedup cluster id — MinHash family, CC component — can
+    be swapped in as the key). Clusters spanning >1 split are leaking;
+    the number of LEAKING PAIRS is the cross-split pair count
+    n·(n−1)/2 − Σ_s n_s·(n_s−1)/2 (exact integers).
+
+    Returns one row per leaking cluster: (content_hash, n_docs, n_train,
+    n_val, n_test, n_splits, n_cross_pairs, representative_id).
+
+    Scale: one digest-keyed count aggregate (map-side combined) over
+    (16-byte digest, split) projections — raw text never shuffles; the
+    leak filter reduces output to the (tiny) offending cluster list. The
+    remedy at 100 TB is the same digest key: re-split BY cluster digest
+    instead of doc id, which this audit verifies as a fixed point (zero
+    rows).
+    """
+    from .sampling import split_column
+
+    per = docs.select(
+        F.md5(
+            F.expr(
+                f"array_join(slice(split({text_col}, ' '), 1, {prefix_words}), ' ')"
+            )
+        ).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+        split_column(id_col).alias("split"),
+    )
+    g = per.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("if(split = 'train', 1, 0)")).cast("bigint").alias("n_train"),
+        F.sum(F.expr("if(split = 'val', 1, 0)")).cast("bigint").alias("n_val"),
+        F.sum(F.expr("if(split = 'test', 1, 0)")).cast("bigint").alias("n_test"),
+        F.count_distinct("split").cast("bigint").alias("n_splits"),
+        F.min("doc_id").alias("representative_id"),
+    )
+    return g.filter(F.col("n_splits") > 1).select(
+        "content_hash",
+        "n_docs",
+        "n_train",
+        "n_val",
+        "n_test",
+        "n_splits",
+        F.expr(
+            "(n_docs * (n_docs - 1)) div 2"
+            " - (n_train * (n_train - 1)) div 2"
+            " - (n_val * (n_val - 1)) div 2"
+            " - (n_test * (n_test - 1)) div 2"
+        ).alias("n_cross_pairs"),
+        "representative_id",
+    )

@@ -6068,6 +6068,52 @@ _BLOOM_SQL = f"""
     """
 
 
+@query(
+    "split_leakage_audit",
+    f"""
+    WITH per AS (
+      SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+               AS content_hash,
+             doc_id,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id, text, {_RHO_SPLIT} AS bucket FROM documents)
+    ),
+    g AS (
+      SELECT content_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_val,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+             MIN(doc_id) AS representative_id
+      FROM per GROUP BY 1
+    )
+    SELECT content_hash, n_docs, n_train, n_val, n_test, n_splits,
+           CAST((n_docs * (n_docs - 1)) // 2
+                - (n_train * (n_train - 1)) // 2
+                - (n_val * (n_val - 1)) // 2
+                - (n_test * (n_test - 1)) // 2 AS BIGINT) AS n_cross_pairs,
+           representative_id
+    FROM g WHERE n_splits > 1
+    """,
+)
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage through duplicated content
+    (operators/quality.py::split_leakage_audit): per-doc hash splits let
+    template-sharing documents straddle splits; every 8-word-prefix
+    template cluster is audited against the 3-way split and leaking
+    clusters report their exact cross-split pair counts. One digest-keyed
+    aggregate — raw text never shuffles; re-splitting BY digest is the
+    remedy this audit verifies as a fixed point."""
+    from ..operators.quality import split_leakage_audit
+
+    return split_leakage_audit(_docs(spark, sf_dir))
+
+
 @query("bloom_decontaminate", _BLOOM_SQL)
 def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered test-set decontamination

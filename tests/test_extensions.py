@@ -434,6 +434,32 @@ def test_substring_coverage_first_occurrence_and_islands(spark):
     assert out[2].dup_ratio_micros == 10 * 1000000 // 25
 
 
+def test_split_leakage_audit_flags_cross_split_clusters_only(spark):
+    """A template cluster straddling train/test leaks (exact cross-pair
+    count); a same-split cluster and a singleton must not appear. Doc ids
+    1/3/4 are train and 2 is test under the split42 hash."""
+    from adventureworkslakehousepoc_spark.operators.quality import (
+        split_leakage_audit,
+    )
+
+    tpl_a = "the quick brown fox jumps over the lazy"  # 8 words
+    tpl_b = "entirely different opening words for the second group"
+    rows = [
+        (1, tpl_a + " dog tail one"),
+        (2, tpl_a + " dog tail two"),  # test split -> leaks vs doc 1
+        (3, tpl_b + " alpha"),
+        (4, tpl_b + " beta"),  # both train -> no leak
+        (6, "a unique single document prefix here entirely alone"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_leakage_audit(docs, prefix_words=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 2 and r.n_splits == 2
+    assert (r.n_train, r.n_val, r.n_test) == (1, 0, 1)
+    assert r.n_cross_pairs == 1 and r.representative_id == 1
+
+
 def test_bloom_decontaminate_one_sided_and_mergeable(spark):
     """Bloom membership is one-sided (every exact hit IS a bloom hit,
     n_false_positives >= 0); a candidate doc sharing a 5-gram with a test
