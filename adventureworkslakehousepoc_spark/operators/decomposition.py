@@ -11,14 +11,21 @@ dead for d=4096. The matrix-free route never forms G at all:
     G·v = Σ_rows (x − m) · ((x − m)ᵀ v)
 
 so ONE corpus scan per iteration reduces map-side to a d-number vector.
-The per-dimension sums aggregate by a posexploded ``dim`` KEY (one shuffle
-of d rows per iteration, map-side combined) rather than d unrolled
-aggregate expressions — d aggregate buffers per row would mean a d-wide
-codegen unit, linear in d in compile time and dead at d=4096 (the round-9
-audit measured the 64-wide unit's codegen constant already dominating the
-data term). Every d-wide value lives in ONE array column manipulated by
-higher-order functions (transform/zip_with/aggregate — runtime loops, not
-generated code), so plan size is O(1) in d. Normalization is by the L∞
+The per-dimension sums have two regimes, selected by ``unroll_limit``:
+
+* d ≤ unroll_limit (default 128): d unrolled aggregate expressions —
+  ZERO extra rows materialize (the 30× probe measured the posexplode
+  route paying a d× row-explosion data term: 31.6 s vs ~10 s at d=64),
+  at the price of a d-wide codegen unit that is fine at 128 and dead at
+  4096.
+* d > unroll_limit: posexplode by a ``dim`` KEY (one map-side-combined
+  shuffle of d rows per iteration) — plan size O(1) in d, the
+  dimension-scalable regime (plan-shape-tested at d=512).
+
+Both regimes produce bit-identical results (same per-row quantization,
+same sums). Every d-wide VALUE lives in one array column manipulated by
+higher-order functions (transform/zip_with/aggregate — runtime loops,
+not generated code) in either regime. Normalization is by the L∞
 norm (max |component|), which keeps power iteration convergent while
 staying in exact integer arithmetic (an L2 norm would need a float sqrt —
 libm-dependent in its last ulp); the Rayleigh quotient at the end is one
@@ -45,6 +52,7 @@ def embedding_pca_power(
     iterations: int = 6,
     dim: int = 64,
     vec_col: str = "embedding",
+    unroll_limit: int = 128,
 ) -> DataFrame:
     """Top principal component of the (centered) embedding set by
     ``iterations`` matrix-free power-iteration steps.
@@ -64,16 +72,21 @@ def embedding_pca_power(
 
     Scale: iteration state is d bigints in a 1-row broadcast frame; the
     corpus is scanned T+2 times (means, T power steps, Rayleigh), each
-    scan posexploding to (dim, contribution) rows that partial-aggregate
-    map-side to ≤ d rows per partition before a d-row shuffle. Nothing
-    touches the driver, no shuffle wider than d rows, d×d never
-    materializes, and no generated code grows with d (dimension-scalable:
-    the same plan shape serves d=64 and d=4096).
+    scan reducing map-side to ≤ d numbers — as d unrolled aggregate
+    buffers up to ``unroll_limit`` (no row explosion), as a
+    posexplode-by-dim keyed aggregate above it (no d-wide codegen).
+    Nothing touches the driver, no shuffle wider than d rows/columns,
+    d×d never materializes, and d=4096 runs the O(1)-plan regime.
     """
     xm = F.expr(
         f"transform({vec_col}, e -> cast(floor(cast(e as double) * 1000000 + 0.5) as bigint))"
     )
-    base = embeddings.select(xm.alias("xm")).localCheckpoint(eager=True)
+    # persist (released in the finally below), NOT localCheckpoint: the
+    # quantized corpus frame is token-scale, and checkpoint blocks
+    # outliving the call accumulate across invocations until GC pressure
+    # taxes every LATER query in the session (measured 2-3x inflation on
+    # unrelated 30x probe rows before the release discipline)
+    base = embeddings.select(xm.alias("xm")).persist()
 
     def as_array(keyed: DataFrame, val: str, out: str) -> DataFrame:
         """d keyed rows (i, val) → 1-row frame with the d-element array
@@ -85,13 +98,28 @@ def embedding_pca_power(
             ).select(F.expr(f"transform(ks, t -> t.{val})").alias(out))
         )
 
-    means = as_array(
-        base.select(F.posexplode("xm").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.expr("sum(x) div count(1)").alias("m")),
-        "m",
-        "m",
-    ).localCheckpoint(eager=True)
+    unrolled = dim <= unroll_limit
+    if unrolled:
+        means = (
+            base.agg(
+                *[
+                    F.expr(f"sum(element_at(xm, {i + 1})) div count(1)").alias(
+                        f"m{i}"
+                    )
+                    for i in range(dim)
+                ]
+            )
+            .select(F.array(*[f"m{i}" for i in range(dim)]).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        means = as_array(
+            base.select(F.posexplode("xm").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.expr("sum(x) div count(1)").alias("m")),
+            "m",
+            "m",
+        ).localCheckpoint(eager=True)
 
     # deterministic seed, symmetry-broken so a symmetric dataset cannot
     # start orthogonal to every data direction by construction
@@ -121,6 +149,18 @@ def embedding_pca_power(
                 " (acc, x) -> acc + x) - mv) div cast(1000000 as bigint)"
             ),
         )
+        if unrolled:
+            return scored.agg(
+                *[
+                    F.sum(
+                        F.expr(
+                            f"((element_at(xm, {i + 1}) - element_at(m, {i + 1}))"
+                            " * s) div cast(1000000 as bigint)"
+                        )
+                    ).alias(f"g{i}")
+                    for i in range(dim)
+                ]
+            ).select(F.array(*[f"g{i}" for i in range(dim)]).alias("garr"))
         contrib = scored.select(
             F.posexplode(F.expr("zip_with(xm, m, (x, mm) -> x - mm)")).alias(
                 "i", "xc"
@@ -174,7 +214,7 @@ def embedding_pca_power(
             ),
         )
     )
-    return final.select(
+    out = final.select(
         F.posexplode(F.arrays_zip("v", "garr")).alias("dim", "z"),
         "eigenvalue_micros",
     ).select(
@@ -183,3 +223,10 @@ def embedding_pca_power(
         F.col("z.garr").alias("gv_micros"),
         "eigenvalue_micros",
     )
+    try:
+        # d-row output; eager so the corpus cache is released on return
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "embedding_pca_power_out")
+    finally:
+        base.unpersist()

@@ -298,7 +298,11 @@ def rho_loss_selection(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("ws"),
         split_column(id_col).alias("split"),
-    ).persist()
+    )
+    # persist (not localCheckpoint) so the token-scale bigram frame is
+    # RELEASED in the finally below — a checkpointed frame's blocks
+    # outlive the call and repeat invocations (bench reps, probe loops)
+    # accumulate token-scale cache until GC pressure doubles the runtime
     big = (
         words.filter(F.size("ws") >= 2)
         .select(
@@ -312,7 +316,7 @@ def rho_loss_selection(
             ).alias("bg"),
         )
         .select("doc_id", "split", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
 
     def vocab_of(src: DataFrame):
@@ -375,9 +379,9 @@ def rho_loss_selection(
     w = Window.orderBy(*order)
     out = top.withColumn("rank", F.row_number().over(w).cast("int"))
     try:
-        # top-k-sized; eager so the words cache is released before return
+        # top-k-sized; eager so the bigram cache is released before return
         from ..plans.audit import eager_checkpoint
 
         return eager_checkpoint(out, "rho_loss_selection_topk")
     finally:
-        words.unpersist()
+        big.unpersist()

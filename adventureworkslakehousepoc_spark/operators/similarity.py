@@ -175,7 +175,11 @@ def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
 def ivf_assign_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     """IVF index build: every vector joins the (broadcast) codebook and keeps
     its nearest centroid — argmax of quantized cosine, centroid id as the tie
-    break. One shuffle (window by vec_id); at 10⁹ vectors this is the
+    break, via ``max_by`` on the totally-ordered (c_score, −cent_id) struct:
+    partial aggregation collapses each partition's K candidate rows per
+    vector to 1 BEFORE the exchange, so the one shuffle moves |vectors|
+    rows, not |vectors|·K (the former per-vec_id rank window sorted the
+    full fan-out through the shuffle). At 10⁹ vectors this is the
     materialize-once index-build job, the search never rescans it."""
     scored = (
         embeddings.crossJoin(F.broadcast(_centroids(embeddings, n_centroids)))
@@ -187,11 +191,20 @@ def ivf_assign_cells(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
             quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cent_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cent_id").cast("int").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(label, embedding, cent_id),"
+                " struct(c_score, -cent_id))"
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.label").alias("label"),
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cent_id").cast("int").alias("cell"),
+        )
     )
 
 
@@ -275,22 +288,36 @@ def ivf_incremental_update(
     )
 
     def assign(df: DataFrame) -> DataFrame:
+        # max_by over the totally-ordered (c_score, −cent_id) struct:
+        # map-side partials collapse the K-wide fan-out per vector before
+        # the exchange (same argmax as a rank window at 1/K the shuffle)
         scored = df.crossJoin(F.broadcast(codebook)).select(
             "vec_id",
             "embedding",
             "cent_id",
             quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("cent_id"))
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", F.col("cent_id").cast("int").alias("cell"))
+            scored.groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(embedding, cent_id), struct(c_score, -cent_id))"
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.embedding").alias("embedding"),
+                F.col("b.cent_id").cast("int").alias("cell"),
+            )
         )
 
-    # the base index materializes ONCE; the append assignment below never
-    # re-reads it (incremental contract)
-    cells_base = eager_checkpoint(assign(base), "ivf_incremental_base_index")
+    # the base index materializes ONCE (persist, released in the finally
+    # below — an eager checkpoint here leaked the embedding-bearing index
+    # frame across calls); the append assignment never re-reads it
+    from ..plans.audit import record_plan
+
+    record_plan("ivf_incremental_base_index", assign(base))
+    cells_base = assign(base).persist()
     cells_app = assign(appended)
 
     def cell_dim_sums(cells: DataFrame, s: str, n: str):
@@ -332,7 +359,7 @@ def ivf_incremental_update(
         .groupBy("cell", "nb", "na")
         .agg(F.max("d_shift").cast("bigint").alias("linf_centroid_shift_micros"))
     )
-    return shift.select(
+    out = shift.select(
         "cell",
         F.col("nb").alias("n_base"),
         F.col("na").alias("n_append"),
@@ -345,6 +372,11 @@ def ivf_incremental_update(
             f"cast(linf_centroid_shift_micros > {drift_threshold_micros} as int)"
         ).alias("needs_retrain"),
     )
+    try:
+        # K-row output; eager so the base-index cache is released on return
+        return eager_checkpoint(out, "ivf_incremental_update_out")
+    finally:
+        cells_base.unpersist()
 
 
 def knn_join(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

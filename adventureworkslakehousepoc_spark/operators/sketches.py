@@ -415,33 +415,29 @@ def bloom_probe_flags(
     k: int = _BLOOM_K,
 ) -> DataFrame:
     """Membership test of ``cands[col]`` against a (word_idx, word) Bloom
-    bitmap: each item fans out to its k (word_idx, bit) probes, LEFT-joins
-    the BROADCAST bitmap (missing word = all-zero), and is a hit iff all
-    k bits are set. Returns the input key columns + ``bloom_hit`` (0/1).
-    One-sided: a 0 is certain absence; a 1 may be a false positive with
-    the standard (1 − e^{-kn/m})^k rate. Map-side only — no shuffle wider
-    than the ≤ m/32-row broadcast."""
-    key_cols = [c for c in cands.columns]
-    probes = cands.select(
-        *key_cols, F.explode(_bloom_probe_idx(col, k, m_bits)).alias("idx")
-    ).select(
-        *key_cols,
-        F.expr(f"idx div {_BLOOM_WORD}").cast("int").alias("word_idx"),
-        F.expr(f"cast(idx % {_BLOOM_WORD} as int)").alias("bit"),
+    bitmap: the bitmap folds into ONE broadcast map row (word_idx →
+    word), and each item checks its k probe bits as a single ``forall``
+    expression — NO per-probe fan-out, NO re-aggregate; the candidate
+    frame gains a ``bloom_hit`` (0/1) column in pure map-side expression
+    work (the first cut exploded k rows per item and re-grouped, which
+    re-shuffled the candidate stream k-wide — the probe's 30× timing
+    caught it). One-sided: a 0 is certain absence; a 1 may be a false
+    positive with the standard (1 − e^{-kn/m})^k rate."""
+    bm = bitmap.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bm")
     )
-    return (
-        probes.join(F.broadcast(bitmap), "word_idx", "left")
-        .select(
-            *key_cols,
-            F.expr(
-                "case when (coalesce(word, 0) & shiftleft(cast(1 as bigint), bit))"
-                " != 0 then 1 else 0 end"
-            ).alias("bit_set"),
-        )
-        .groupBy(*key_cols)
-        .agg(
-            F.expr(f"cast(sum(bit_set) = {k} as int)").alias("bloom_hit")
-        )
+    return cands.crossJoin(F.broadcast(bm)).select(
+        *[c for c in cands.columns],
+        F.expr(
+            f"cast(forall(transform(sequence(0, {k - 1}), p ->"
+            f" cast(conv(substring(md5({col}), p * 8 + 1, 8), 16, 10) as bigint)"
+            f" % {m_bits}),"
+            f" i -> (coalesce(element_at(bm, cast(i div {_BLOOM_WORD} as int)), 0)"
+            f" & shiftleft(cast(1 as bigint), cast(i % {_BLOOM_WORD} as int)))"
+            " != 0) as int)"
+        ).alias("bloom_hit"),
     )
 
 
