@@ -245,11 +245,78 @@ def cosine_topk_ivf(
     return ranked_topk(scored, k).select("vec_id", "label", "cell", "score", "rank")
 
 
+def ivf_assign_to_codebook(df: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of ``df`` against a broadcast
+    (cent_id, c_embedding) codebook — ``max_by`` over the totally-ordered
+    (c_score, −cent_id) struct, so map-side partials collapse the K-wide
+    fan-out per vector before the one shuffle. Shared by the batch
+    incremental update and the streaming maintenance path (which assigns
+    each micro-batch against the same frozen codebook)."""
+    scored = df.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(struct(embedding, cent_id), struct(c_score, -cent_id))"
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cent_id").cast("int").alias("cell"),
+        )
+    )
+
+
+def ivf_cell_sketch(cells: DataFrame, s: str, n: str) -> tuple[DataFrame, DataFrame]:
+    """(cell, dim)-keyed integer-micro sums + per-cell counts over an
+    assigned frame — the MERGEABLE centroid sketch (merge = plain SUM on
+    both tables: associative/commutative, NOT idempotent — each vector
+    must contribute exactly once, so streaming maintenance stages each
+    file once, unlike the max/or-merged HLL/Bloom rows)."""
+    cd = (
+        cells.select(
+            "cell",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, e -> cast(floor(cast(e as double)"
+                    " * 1000000 + 0.5) as bigint))"
+                )
+            ).alias("dim", "x"),
+        )
+        .groupBy("cell", "dim")
+        .agg(F.sum("x").alias(s))
+    )
+    cnt = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias(n))
+    return cd, cnt
+
+
+def ivf_base_codebook(
+    embeddings: DataFrame, n_centroids: int = 16, append_mod: int = 5
+) -> DataFrame:
+    """The frozen codebook of the incremental-update contract: the
+    ``n_centroids`` smallest base-snapshot vec_ids."""
+    return (
+        embeddings.filter(F.col("vec_id") % append_mod != 0)
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_embedding")
+        )
+    )
+
+
 def ivf_incremental_update(
     embeddings: DataFrame,
     n_centroids: int = 16,
     append_mod: int = 5,
     drift_threshold_micros: int = 20000,
+    app_sketch: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental IVF index maintenance on append — the streaming twin of
     ``ivf_assign_cells``: the corpus splits deterministically into a BASE
@@ -273,74 +340,35 @@ def ivf_incremental_update(
     append_share_micros, linf_centroid_shift_micros, needs_retrain).
 
     Scale: codebook broadcasts; assignment is |append|·K scored rows with
-    a per-vec_id window; the drift sums are (cell, dim)-keyed aggregates
-    (map-side combined, ≤ K·d rows after partials). Nothing quadratic,
-    nothing driver-side.
+    a map-side-combined argmax; the drift sums are (cell, dim)-keyed
+    aggregates (map-side combined, ≤ K·d rows after partials). Nothing
+    quadratic, nothing driver-side.
+
+    ``app_sketch`` (optional): pre-merged (app_cd(cell, dim, sa),
+    app_n(cell, na)) tables — e.g. the streaming-maintenance store — used
+    instead of assigning the append split here; the SUM merge contract
+    makes the two bit-identical when every append vector contributed
+    exactly once.
     """
-    from ..plans.audit import eager_checkpoint
+    from ..plans.audit import eager_checkpoint, record_plan
 
     base = embeddings.filter(F.col("vec_id") % append_mod != 0)
-    appended = embeddings.filter(F.col("vec_id") % append_mod == 0)
-    codebook = (
-        base.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_embedding"))
-    )
-
-    def assign(df: DataFrame) -> DataFrame:
-        # max_by over the totally-ordered (c_score, −cent_id) struct:
-        # map-side partials collapse the K-wide fan-out per vector before
-        # the exchange (same argmax as a rank window at 1/K the shuffle)
-        scored = df.crossJoin(F.broadcast(codebook)).select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            quantize(cosine_similarity("embedding", "c_embedding")).alias("c_score"),
-        )
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.expr(
-                    "max_by(struct(embedding, cent_id), struct(c_score, -cent_id))"
-                ).alias("b")
-            )
-            .select(
-                "vec_id",
-                F.col("b.embedding").alias("embedding"),
-                F.col("b.cent_id").cast("int").alias("cell"),
-            )
-        )
+    codebook = ivf_base_codebook(embeddings, n_centroids, append_mod)
 
     # the base index materializes ONCE (persist, released in the finally
     # below — an eager checkpoint here leaked the embedding-bearing index
     # frame across calls); the append assignment never re-reads it
-    from ..plans.audit import record_plan
+    record_plan("ivf_incremental_base_index", ivf_assign_to_codebook(base, codebook))
+    cells_base = ivf_assign_to_codebook(base, codebook).persist()
 
-    record_plan("ivf_incremental_base_index", assign(base))
-    cells_base = assign(base).persist()
-    cells_app = assign(appended)
-
-    def cell_dim_sums(cells: DataFrame, s: str, n: str):
-        """(cell, dim)-keyed micro sums + per-cell counts — the mergeable
-        centroid sketch."""
-        cd = (
-            cells.select(
-                "cell",
-                F.posexplode(
-                    F.expr(
-                        "transform(embedding, e -> cast(floor(cast(e as double)"
-                        " * 1000000 + 0.5) as bigint))"
-                    )
-                ).alias("dim", "x"),
-            )
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").alias(s))
+    base_cd, base_n = ivf_cell_sketch(cells_base, "sb", "nb")
+    if app_sketch is not None:
+        app_cd, app_n = app_sketch
+    else:
+        appended = embeddings.filter(F.col("vec_id") % append_mod == 0)
+        app_cd, app_n = ivf_cell_sketch(
+            ivf_assign_to_codebook(appended, codebook), "sa", "na"
         )
-        cnt = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias(n))
-        return cd, cnt
-
-    base_cd, base_n = cell_dim_sums(cells_base, "sb", "nb")
-    app_cd, app_n = cell_dim_sums(cells_app, "sa", "na")
 
     # every frame here is sketch-sized (≤ K·d rows) — broadcast the
     # lookup sides so the drift readout never sort-merge-shuffles

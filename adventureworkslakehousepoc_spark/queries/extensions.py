@@ -350,9 +350,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(_emb(spark, sf_dir), query_id=0, k=10, n_centroids=16, nprobe=4)
 
 
-@query(
-    "ivf_incremental_update",
-    f"""
+_IVF_INC_SQL = f"""
     WITH cent AS (
       SELECT vec_id AS cent_id, embedding AS ce
       FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16
@@ -408,8 +406,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            linf_centroid_shift_micros,
            CAST(linf_centroid_shift_micros > 20000 AS INTEGER) AS needs_retrain
     FROM shift
-    """,
-)
+    """
+
+
+@query("ivf_incremental_update", _IVF_INC_SQL)
 def ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance
     (operators/similarity.py::ivf_incremental_update): base snapshot

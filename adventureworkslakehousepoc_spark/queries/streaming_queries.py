@@ -879,3 +879,81 @@ def st_bloom_filter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch_docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return bloom_decontaminate(batch_docs, n_words=5, bitmap=merged)
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF maintenance: SUM-merged centroid sketches under ingestion
+# ---------------------------------------------------------------------------
+
+from .extensions import _IVF_INC_SQL as _IVF_INC_ORACLE_SQL  # noqa: E402
+
+
+@query("st_ivf_incremental_maintenance", _IVF_INC_ORACLE_SQL)
+def st_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance under streaming ingestion — the
+    stream-shaped twin of ``ivf_incremental_update`` and the third merge
+    class in the streaming-sketch set: HLL merges by MAX (idempotent),
+    Bloom by OR (idempotent), the centroid sketch by SUM — associative
+    and commutative but NOT idempotent, so the stream stages each file
+    exactly ONCE (no duplicate copies) and every appended vector
+    contributes exactly once. Each micro-batch assigns ITS OWN append
+    rows (vec_id % 5 = 0) against the frozen broadcast codebook — the
+    stream-static lookup pattern — reduces them to (cell, dim) micro-sums
+    + per-cell counts inside foreachBatch (constant ≤ K·d rows per batch)
+    and APPENDS both sketch tables to the store. The final readout
+    SUM-merges the store and hands it to the batch operator as its
+    ``app_sketch``, so the streamed drift audit equals the batch audit
+    bit-for-bit and the same batch SQL oracle gates it. Trigger
+    parameterized via SPARK_GRAFT_STREAM_TRIGGER_FILES like the other
+    sketch-maintenance rows.
+    See operators/similarity.py::ivf_incremental_update/ivf_cell_sketch."""
+    from ..operators.similarity import (
+        ivf_assign_to_codebook,
+        ivf_base_codebook,
+        ivf_cell_sketch,
+        ivf_incremental_update,
+    )
+
+    batch_emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    codebook = ivf_base_codebook(batch_emb, n_centroids=16, append_mod=5)
+
+    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    emb = stream_table(
+        spark, sf_dir, "embeddings", max_files_per_trigger=trigger_files, copies=1
+    )
+    store_cd = scratch_dir("ivf-cd-store")
+    store_n = scratch_dir("ivf-n-store")
+    ckpt = scratch_dir("ivf-ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        appended = batch_df.filter(F.col("vec_id") % 5 == 0)
+        cells = ivf_assign_to_codebook(appended, codebook)
+        cd, cnt = ivf_cell_sketch(cells, "sa", "na")
+        cd.write.mode("append").parquet(store_cd)
+        cnt.write.mode("append").parquet(store_n)
+
+    q = (
+        emb.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("ivf sketch stream did not terminate")
+
+    app_cd = (
+        spark.read.parquet(store_cd)
+        .groupBy("cell", "dim")
+        .agg(F.sum("sa").alias("sa"))
+    )
+    app_n = spark.read.parquet(store_n).groupBy("cell").agg(
+        F.sum("na").cast("bigint").alias("na")
+    )
+    return ivf_incremental_update(
+        batch_emb,
+        n_centroids=16,
+        append_mod=5,
+        drift_threshold_micros=20000,
+        app_sketch=(app_cd, app_n),
+    )

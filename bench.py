@@ -213,6 +213,8 @@ EXTRA_QUERIES = [
     "ivf_incremental_update",
     "bloom_decontaminate",
     "st_bloom_filter_maintenance",
+    "split_leakage_audit",
+    "st_ivf_incremental_maintenance",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
