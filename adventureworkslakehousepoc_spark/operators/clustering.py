@@ -153,17 +153,20 @@ def semantic_prune_pairs(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
         .join(assign.select("vec_id", "cluster"), "vec_id")
         .withColumn("norm", F.sqrt(dot_product("embedding", "embedding")))
-        # materialize once: both self-join sides would otherwise recompute
-        # the full k-means DAG (no exchange reuse across aliased subtrees).
-        # The production analog is writing the assignment table before the
-        # pruning pass — SemDeDup's own structure.
-        .localCheckpoint()
+        # materialize once (persist, RELEASED in the finally below): both
+        # self-join sides would otherwise recompute the full k-means DAG
+        # (no exchange reuse across aliased subtrees). The production
+        # analog is writing the assignment table before the pruning pass —
+        # SemDeDup's own structure. A checkpoint here leaked the
+        # embedding-scale frame across calls (see SCALE.md round-10
+        # cache-release note).
+        .persist()
     )
     a, b = e.alias("a"), e.alias("b")
     score = quantize(
         dot_product("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
     )
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -177,6 +180,13 @@ def semantic_prune_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+    try:
+        # pair-list-sized; eager so the assignment cache releases on return
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "semantic_prune_pairs_out")
+    finally:
+        e.unpersist()
 
 
 def mmr_diverse_topk(
@@ -248,7 +258,9 @@ def mmr_diverse_topk(
     scored = (
         base.join(F.broadcast(cent), "group_id")
         .select("group_id", "vec_id", "v", cos_u("v", "c").alias("rel_u"))
-        .localCheckpoint(eager=True)
+        # persist (released below): the greedy loop re-reads this
+        # embedding-scale frame every step; a checkpoint leaked it
+        .persist()
     )
     sel = None
     out = []
@@ -299,14 +311,17 @@ def mmr_diverse_topk(
         )
         out.append(sel_step)
         sel = sel_step if sel is None else sel.unionByName(sel_step)
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.select(
-        "group_id",
-        "step",
-        "vec_id",
-        F.col("rel_u").alias("rel_micros"),
-        F.col("maxsim_u").alias("maxsim_micros"),
-        F.col("score_du").alias("score_deci_micros"),
-    )
+    try:
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res.select(
+            "group_id",
+            "step",
+            "vec_id",
+            F.col("rel_u").alias("rel_micros"),
+            F.col("maxsim_u").alias("maxsim_micros"),
+            F.col("score_du").alias("score_deci_micros"),
+        )
+    finally:
+        scored.unpersist()
