@@ -819,6 +819,102 @@ def substring_dedup_coverage(
     )
 
 
+def substring_dedup_rewrite(
+    docs: DataFrame, n_words: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus REWRITE completing ``substring_dedup_coverage`` — the
+    Lee et al. 2022 ExactSubstr removal step at position granularity:
+    every word covered by a removable (non-first-occurrence duplicated)
+    sliding window is dropped, the document is re-assembled from the
+    surviving words, and the output is hash-verifiable without shipping
+    rewritten text to the driver: (doc_id, n_words, n_removed_words,
+    n_kept_words, cleaned_hash) for every document with ≥ ``n_words``
+    words.
+
+    The removable intervals come from the same first-occurrence election
+    and gaps-and-islands merge as the coverage op; the rewrite itself is
+    ONE doc-keyed join hanging each document's (tiny) merged-interval
+    array on its word array, then a pure-expression filter over word
+    positions (``exists`` against the interval list — no per-word join,
+    no second text shuffle). Docs with no removable windows pass through
+    with their original word sequence hashed.
+
+    Scale: identical cost profile to the coverage op (one token-scale
+    digest shuffle; islands on the dup-mass stream) plus the one
+    doc-keyed rewrite join every rewrite must pay — its interval side is
+    leak-run-sized, its text side one row per doc.
+    """
+    words = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")), "doc_id"
+    ).select("doc_id", F.split(F.col("t"), " ").alias("ws"))
+    with_n = words.withColumn("n_w", F.size("ws")).filter(F.col("n_w") >= n_words)
+    wins = with_n.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_w - {n_words}), "
+                f"i -> md5(array_join(slice(ws, i + 1, {n_words}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup = (
+        wins.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "brk", F.when(F.col("pos") - F.col("prev") > n_words, 1).otherwise(0)
+        )
+        .withColumn("isl_id", F.sum("brk").over(wd))
+    )
+    # merged removable intervals as ONE array per doc: [a, b] in WORD
+    # positions (1-based inclusive) — a = first window start + 1,
+    # b = last window start + n_words
+    intervals = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg(F.min("pos").alias("a"), F.max("pos").alias("b"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("a") + 1).alias("lo"),
+                        (F.col("b") + n_words).alias("hi"),
+                    )
+                )
+            ).alias("iv")
+        )
+    )
+    rebuilt = with_n.join(intervals, "doc_id", "left").withColumn(
+        "iv",
+        F.coalesce(
+            "iv",
+            F.expr("array()").cast("array<struct<lo:int,hi:int>>"),
+        ),
+    )
+    kept = F.expr(
+        "filter(sequence(1, n_w),"
+        " p -> not exists(iv, r -> p >= r.lo and p <= r.hi))"
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.col("n_w").cast("bigint").alias("n_words"),
+        (F.col("n_w") - F.size(kept)).cast("bigint").alias("n_removed_words"),
+        F.size(kept).cast("bigint").alias("n_kept_words"),
+        F.md5(
+            F.expr(
+                "array_join(transform(filter(sequence(1, n_w),"
+                " p -> not exists(iv, r -> p >= r.lo and p <= r.hi)),"
+                " p -> element_at(ws, p)), ' ')"
+            )
+        ).alias("cleaned_hash"),
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

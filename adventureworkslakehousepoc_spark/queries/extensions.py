@@ -1523,6 +1523,80 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_coverage(_docs(spark, sf_dir), n_words=10)
 
 
+@query(
+    "dedup_substring_rewrite",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wn AS (SELECT doc_id, ws, len(ws) AS n_w FROM w WHERE len(ws) >= 10),
+    wins AS (
+      SELECT doc_id, g.i AS pos,
+             md5(array_to_string(ws[g.i + 1 : g.i + 10], ' ')) AS h
+      FROM wn, unnest(generate_series(0, n_w - 10)) AS g(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM brk
+    ),
+    iv AS (
+      SELECT doc_id, isl_id, MIN(pos) + 1 AS lo, MAX(pos) + 10 AS hi
+      FROM isl GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT wn.doc_id, wn.n_w, g.p FROM wn,
+             unnest(generate_series(1, wn.n_w)) AS g(p)
+    ),
+    keptp AS (
+      SELECT p.doc_id, p.p
+      FROM pos p LEFT JOIN iv
+        ON iv.doc_id = p.doc_id AND p.p BETWEEN iv.lo AND iv.hi
+      WHERE iv.doc_id IS NULL
+    ),
+    clean AS (
+      SELECT k.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(wn.ws[k.p], ' ' ORDER BY k.p)) AS cleaned_hash
+      FROM keptp k JOIN wn ON wn.doc_id = k.doc_id
+      GROUP BY 1
+    )
+    SELECT wn.doc_id,
+           CAST(wn.n_w AS BIGINT) AS n_words,
+           CAST(wn.n_w - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed_words,
+           CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept_words,
+           COALESCE(c.cleaned_hash, md5('')) AS cleaned_hash
+    FROM wn LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def dedup_substring_rw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr corpus rewrite at position granularity
+    (operators/dedup.py::substring_dedup_rewrite): words covered by
+    removable (non-first-occurrence) sliding duplicated windows are
+    dropped, documents re-assembled from survivors, output hash-verified
+    (cleaned md5) without shipping text to the driver — the removal step
+    whose report is dedup_substring_coverage. One token-scale digest
+    shuffle + one doc-keyed rewrite join; the position filter is a pure
+    expression against each doc's merged-interval array."""
+    from ..operators.dedup import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(_docs(spark, sf_dir), n_words=10)
+
+
 # deterministic per-doc URL synthesis (the documents table carries no URL
 # column): scheme/www/port/trailing-slash/tracking-param variants are keyed
 # off doc_id residues so every canonicalization rule fires on real rows and

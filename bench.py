@@ -215,6 +215,7 @@ EXTRA_QUERIES = [
     "st_bloom_filter_maintenance",
     "split_leakage_audit",
     "st_ivf_incremental_maintenance",
+    "dedup_substring_rewrite",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -434,6 +434,37 @@ def test_substring_coverage_first_occurrence_and_islands(spark):
     assert out[2].dup_ratio_micros == 10 * 1000000 // 25
 
 
+def test_substring_rewrite_removes_exactly_covered_words(spark):
+    """The rewrite must remove exactly the coverage op's covered words:
+    the first occurrence survives verbatim (hash of the original text), a
+    verbatim copy empties entirely (md5 of ''), and an embedded shared
+    window excises exactly its 10 words from the middle."""
+    import hashlib
+
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        substring_dedup_coverage,
+        substring_dedup_rewrite,
+    )
+
+    base = " ".join(f"w{i}" for i in range(12))
+    pre = " ".join(f"x{i}" for i in range(10))
+    post = " ".join(f"y{i}" for i in range(5))
+    mid = pre + " " + " ".join(f"w{i}" for i in range(10)) + " " + post
+    rows = [(0, base), (1, base), (2, mid)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in substring_dedup_rewrite(docs, n_words=10).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0].n_removed_words == 0 and out[0].cleaned_hash == md5(base)
+    assert out[1].n_kept_words == 0 and out[1].cleaned_hash == md5("")
+    assert out[2].n_removed_words == 10
+    assert out[2].cleaned_hash == md5(pre + " " + post)
+    cov = {
+        r.doc_id: r for r in substring_dedup_coverage(docs, n_words=10).collect()
+    }
+    for d in out:
+        assert out[d].n_removed_words == cov[d].covered_dup_words
+
+
 def test_split_leakage_audit_flags_cross_split_clusters_only(spark):
     """A template cluster straddling train/test leaks (exact cross-pair
     count); a same-split cluster and a singleton must not appear. Doc ids
