@@ -854,3 +854,107 @@ def ann_recall_calibration(
         )
 
     return calibrate(ivf_top, "ivf").unionByName(calibrate(pq_top, "pq"))
+
+
+def bitext_margin_mining(
+    embeddings: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    bits: int = 8,
+    margin_threshold_micros: int = 1_050_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix bitext criterion): a source/target pair qualifies not
+    by raw cosine but by cosine RELATIVE to each side's neighborhood
+    density,
+
+        margin(x, y) = cos(x, y) / (Σ_{z∈NNk(x)} cos(x,z)/2k
+                                    + Σ_{z∈NNk(y)} cos(y,z)/2k)
+
+    which suppresses hubs (vectors cosine-close to everything) that raw
+    thresholds mis-mine. Labels stand in for the two languages/domains.
+
+    Spark restatement with the engine's discipline: candidates are
+    BLOCKED by the sign-LSH bucket (the scale path — cross pairs form
+    within buckets only, ≈|src|·|tgt|/2^bits, never corpus×corpus);
+    cosines quantize to integer micros; each side's k-NN sum uses its
+    ACTUAL candidate count kx = min(k, |cands|), so the margin is the
+    exact rational  cos·2·kx·ky·10⁶ div (sx·ky + sy·kx)  — no float
+    division crosses the engine boundary. Each source keeps its argmax-
+    margin target (tie: smaller tgt_id) above ``margin_threshold_micros``
+    (1.05 — the standard ratio-margin cut).
+
+    Returns (src_id, tgt_id, cos_micros, margin_micros), one row per
+    mined source.
+
+    Scale: one bucketed cross join (the honest candidate term), two
+    grouped top-k passes over the candidate stream (map-side-combined
+    sums), one broadcast-joined margin projection, one max_by argmax.
+    At 10⁹ vectors raise ``bits`` so bucket populations stay bounded —
+    same knob as ``cosine_topk_bucketed``.
+    """
+    e = embeddings.withColumn("bucket", sign_lsh_bucket("embedding", bits))
+    src = e.filter(F.col("label") == src_label).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("se"), "bucket"
+    )
+    tgt = e.filter(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("te"), "bucket"
+    )
+    cands = src.join(tgt, "bucket").select(
+        "src_id",
+        "tgt_id",
+        F.floor(cosine_similarity("se", "te") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cos_u"),
+    )
+    # per-side neighborhood mass: sum of the k best cosines + the actual
+    # neighbor count (kx ≤ k) — grouped_topk keeps the per-group windows
+    # skew-safe
+    order = [F.desc("cos_u"), F.asc("tgt_id")]
+    nx = (
+        grouped_topk(cands, ["src_id"], k, order)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_u").alias("sx"),
+            F.count(F.lit(1)).cast("bigint").alias("kx"),
+        )
+    )
+    order_y = [F.desc("cos_u"), F.asc("src_id")]
+    ny = (
+        grouped_topk(cands, ["tgt_id"], k, order_y)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_u").alias("sy"),
+            F.count(F.lit(1)).cast("bigint").alias("ky"),
+        )
+    )
+    scored = (
+        cands.join(nx, "src_id")
+        .join(ny, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_u",
+            F.expr(
+                "cast((cast(cos_u as decimal(38,0)) * 2 * kx * ky * 1000000)"
+                " div greatest(sx * ky + sy * kx, 1) as bigint)"
+            ).alias("margin_micros"),
+        )
+    )
+    return (
+        scored.groupBy("src_id")
+        .agg(
+            F.expr(
+                "max_by(struct(tgt_id, cos_u, margin_micros),"
+                " struct(margin_micros, -tgt_id))"
+            ).alias("b")
+        )
+        .select(
+            "src_id",
+            F.col("b.tgt_id").alias("tgt_id"),
+            F.col("b.cos_u").alias("cos_micros"),
+            F.col("b.margin_micros").alias("margin_micros"),
+        )
+        .filter(F.col("margin_micros") > margin_threshold_micros)
+    )

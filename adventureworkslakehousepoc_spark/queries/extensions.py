@@ -426,6 +426,76 @@ def ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITEXT_COS_U = (
+    "CAST(FLOOR(list_dot_product(CAST(s.se AS DOUBLE[]), CAST(t.te AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(s.se AS DOUBLE[]), CAST(s.se AS DOUBLE[])))"
+    "    * sqrt(list_dot_product(CAST(t.te AS DOUBLE[]), CAST(t.te AS DOUBLE[]))))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "bitext_margin_mining",
+    f"""
+    WITH wb AS (
+      SELECT vec_id, label, embedding, CAST({_BUCKET_SQL} AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    src AS (SELECT vec_id AS src_id, embedding AS se, bucket FROM wb WHERE label = 0),
+    tgt AS (SELECT vec_id AS tgt_id, embedding AS te, bucket FROM wb WHERE label = 1),
+    cands AS (
+      SELECT s.src_id, t.tgt_id, {_BITEXT_COS_U} AS cos_u
+      FROM src s JOIN tgt t USING (bucket)
+    ),
+    nx AS (
+      SELECT src_id, CAST(SUM(cos_u) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS kx
+      FROM (
+        SELECT src_id, cos_u,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cos_u DESC, tgt_id) AS rn
+        FROM cands
+      ) WHERE rn <= 4 GROUP BY 1
+    ),
+    ny AS (
+      SELECT tgt_id, CAST(SUM(cos_u) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS ky
+      FROM (
+        SELECT tgt_id, cos_u,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos_u DESC, src_id) AS rn
+        FROM cands
+      ) WHERE rn <= 4 GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.src_id, c.tgt_id, c.cos_u,
+             CAST((CAST(c.cos_u AS HUGEINT) * 2 * n1.kx * n2.ky * 1000000)
+                  // GREATEST(n1.sx * n2.ky + n2.sy * n1.kx, 1) AS BIGINT)
+               AS margin_micros
+      FROM cands c JOIN nx n1 USING (src_id) JOIN ny n2 USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cos_u AS cos_micros, margin_micros FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin_micros DESC, tgt_id) AS rn
+      FROM scored
+    ) WHERE rn = 1 AND margin_micros > 1050000
+    """,
+)
+def bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix criterion; operators/similarity.py::
+    bitext_margin_mining): cross-label candidate pairs blocked by the
+    sign-LSH bucket, cosine scored in integer micros, each side's k-NN
+    neighborhood mass computed at actual candidate counts, exact-rational
+    margin, per-source argmax above the 1.05 ratio cut — the hub-robust
+    parallel-pair miner raw cosine thresholds cannot be."""
+    from ..operators.similarity import bitext_margin_mining
+
+    return bitext_margin_mining(
+        _emb(spark, sf_dir), src_label=0, tgt_label=1, k=4, bits=8
+    )
+
+
 @query(
     "ann_pandas_udf_scores",
     f"SELECT vec_id, label, score FROM ({_SCORED_SQL})",

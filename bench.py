@@ -216,6 +216,7 @@ EXTRA_QUERIES = [
     "split_leakage_audit",
     "st_ivf_incremental_maintenance",
     "dedup_substring_rewrite",
+    "bitext_margin_mining",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

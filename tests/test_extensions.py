@@ -434,6 +434,71 @@ def test_substring_coverage_first_occurrence_and_islands(spark):
     assert out[2].dup_ratio_micros == 10 * 1000000 // 25
 
 
+def test_bitext_margin_mining_suppresses_hubs(spark):
+    """The ratio margin must mine the true translation even when a HUB
+    target (cosine-close to every source) beats it on raw cosine —
+    verified against an exact integer replay of the same bucketing,
+    quantization, k-NN sums, and margin arithmetic."""
+    import math
+
+    import numpy as np
+
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        bitext_margin_mining,
+    )
+
+    eps = 0.05
+    d = 8
+    def basis(i):
+        v = np.full(d, eps)
+        v[i] = 1.0
+        return v / np.linalg.norm(v)
+
+    s = [basis(i) for i in range(3)]
+    # true targets: rotated enough that the hub beats them on raw cosine
+    t = [
+        (s[i] + 1.7 * basis(i + 3)) / np.linalg.norm(s[i] + 1.7 * basis(i + 3))
+        for i in range(3)
+    ]
+    hub = (s[0] + s[1] + s[2]) / np.linalg.norm(s[0] + s[1] + s[2])
+    rows = [(i, [float(x) for x in s[i]], 0) for i in range(3)]
+    rows += [(10 + i, [float(x) for x in t[i]], 1) for i in range(3)]
+    rows.append((99, [float(x) for x in hub], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.src_id: r for r in bitext_margin_mining(df, k=4, bits=8).collect()}
+
+    # exact replay (all vectors share bucket 255: every coordinate > 0)
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in rows}
+    def cos_u(a, b):
+        c = float(vecs[a] @ vecs[b]) / (
+            math.sqrt(float(vecs[a] @ vecs[a])) * math.sqrt(float(vecs[b] @ vecs[b]))
+        )
+        return math.floor(c * 1e6 + 0.5)
+
+    srcs, tgts = [0, 1, 2], [10, 11, 12, 99]
+    cu = {(a, b): cos_u(a, b) for a in srcs for b in tgts}
+    sx = {a: (sum(sorted((cu[(a, b)] for b in tgts), reverse=True)[:4]), min(4, len(tgts))) for a in srcs}
+    sy = {b: (sum(sorted((cu[(a, b)] for a in srcs), reverse=True)[:4]), min(4, len(srcs))) for b in tgts}
+    expect = {}
+    for a in srcs:
+        best = None
+        for b in tgts:
+            num = cu[(a, b)] * 2 * sx[a][1] * sy[b][1] * 1000000
+            den = max(sx[a][0] * sy[b][1] + sy[b][0] * sx[a][1], 1)
+            m = num // den
+            key = (m, -b)
+            if best is None or key > best[0]:
+                best = (key, b, m)
+        if best[2] > 1050000:
+            expect[a] = (best[1], best[2])
+
+    assert {a: (r.tgt_id, r.margin_micros) for a, r in out.items()} == expect
+    for i, a in enumerate(srcs):
+        # the hub wins on raw cosine yet the margin mines the true target
+        assert cu[(a, 99)] > cu[(a, 10 + i)]
+        assert out[a].tgt_id == 10 + i
+
+
 def test_substring_rewrite_removes_exactly_covered_words(spark):
     """The rewrite must remove exactly the coverage op's covered words:
     the first occurrence survives verbatim (hash of the original text), a
