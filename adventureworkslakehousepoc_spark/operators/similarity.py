@@ -882,11 +882,13 @@ def bitext_margin_mining(
     ACTUAL candidate count kx = min(k, |cands|), so the margin is the
     exact rational  cos·2·kx·ky·10⁶ div (sx·ky + sy·kx)  — no float
     division crosses the engine boundary. Each source keeps its argmax-
-    margin target (tie: smaller tgt_id) above ``margin_threshold_micros``
-    (1.05 — the standard ratio-margin cut).
+    margin target (tie: smaller tgt_id); ``mined`` flags pairs above
+    ``margin_threshold_micros`` (1.05 — the standard ratio-margin cut)
+    rather than filtering, so the output doubles as the tuning audit
+    (the margin distribution over ALL sources) the cut is chosen from.
 
-    Returns (src_id, tgt_id, cos_micros, margin_micros), one row per
-    mined source.
+    Returns (src_id, tgt_id, cos_micros, margin_micros, mined), one row
+    per source with ≥ 1 bucket-mate.
 
     Scale: one bucketed cross join (the honest candidate term), two
     grouped top-k passes over the candidate stream (map-side-combined
@@ -955,6 +957,8 @@ def bitext_margin_mining(
             F.col("b.tgt_id").alias("tgt_id"),
             F.col("b.cos_u").alias("cos_micros"),
             F.col("b.margin_micros").alias("margin_micros"),
+            F.expr(
+                f"cast(b.margin_micros > {margin_threshold_micros} as int)"
+            ).alias("mined"),
         )
-        .filter(F.col("margin_micros") > margin_threshold_micros)
     )

@@ -474,11 +474,13 @@ _BITEXT_COS_U = (
                AS margin_micros
       FROM cands c JOIN nx n1 USING (src_id) JOIN ny n2 USING (tgt_id)
     )
-    SELECT src_id, tgt_id, cos_u AS cos_micros, margin_micros FROM (
+    SELECT src_id, tgt_id, cos_u AS cos_micros, margin_micros,
+           CAST(margin_micros > 1050000 AS INTEGER) AS mined
+    FROM (
       SELECT *, row_number() OVER (PARTITION BY src_id
                                    ORDER BY margin_micros DESC, tgt_id) AS rn
       FROM scored
-    ) WHERE rn = 1 AND margin_micros > 1050000
+    ) WHERE rn = 1
     """,
 )
 def bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -489,10 +489,11 @@ def test_bitext_margin_mining_suppresses_hubs(spark):
             key = (m, -b)
             if best is None or key > best[0]:
                 best = (key, b, m)
-        if best[2] > 1050000:
-            expect[a] = (best[1], best[2])
+        expect[a] = (best[1], best[2], int(best[2] > 1050000))
 
-    assert {a: (r.tgt_id, r.margin_micros) for a, r in out.items()} == expect
+    assert {
+        a: (r.tgt_id, r.margin_micros, r.mined) for a, r in out.items()
+    } == expect
     for i, a in enumerate(srcs):
         # the hub wins on raw cosine yet the margin mines the true target
         assert cu[(a, 99)] > cu[(a, 10 + i)]
