@@ -61,6 +61,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
+# DuckDB bucket expression of the repo-wide split42 hash split (shared by
+# the rho-loss / bloom / leakage / pipeline-v7 oracles)
+_RHO_SPLIT = (
+    "(strpos('0123456789abcdef',"
+    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef',"
+    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -4856,6 +4866,190 @@ def training_corpus_pipeline_v6_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_V7_SQL = f"""
+    WITH g0 AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split,
+             ws
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws, {_RHO_SPLIT} AS bucket
+            FROM documents)
+      WHERE len(ws) >= 5
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, split,
+             md5(array_to_string(ws[gg.i + 1 : gg.i + 5], ' ')) AS g
+      FROM g0, unnest(generate_series(0, len(ws) - 5)) AS gg(i)
+    ),
+    test_g AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+    cand_g AS (SELECT doc_id, g FROM grams WHERE split <> 'test'),
+    probes_t AS (
+      SELECT CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 65536 AS idx
+      FROM test_g, unnest(generate_series(0, 3)) AS p(p)
+    ),
+    bitmap AS (
+      SELECT CAST(idx // 32 AS INTEGER) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(idx % 32 AS INTEGER)) AS word
+      FROM probes_t GROUP BY 1
+    ),
+    cand_probes AS (
+      SELECT doc_id, g,
+             CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 65536 AS idx
+      FROM cand_g, unnest(generate_series(0, 3)) AS p(p)
+    ),
+    hits AS (
+      SELECT doc_id, g,
+             CASE WHEN SUM(CASE WHEN (COALESCE(b.word, 0)
+                                      & (CAST(1 AS BIGINT)
+                                         << CAST(cp.idx % 32 AS INTEGER))) <> 0
+                               THEN 1 ELSE 0 END) = 4
+                  THEN 1 ELSE 0 END AS bloom_hit
+      FROM cand_probes cp
+      LEFT JOIN bitmap b ON b.word_idx = CAST(cp.idx // 32 AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, CAST(MAX(bloom_hit) AS INTEGER) AS flagged
+      FROM hits GROUP BY 1
+    ),
+    -- corpus-in: every NON-TEST doc (test rows are the held-out benchmark,
+    -- never training data); sub-5-word docs carry no probe n-grams and
+    -- pass the gate trivially
+    corpus_in AS (
+      SELECT d.doc_id, d.source, d.text,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words_raw,
+             COALESCE(f.flagged, 0) AS flagged
+      FROM (SELECT doc_id, source, text,
+                   ({_RHO_SPLIT}) AS bucket FROM documents) d
+      LEFT JOIN flagged f USING (doc_id)
+      WHERE d.bucket >= 25
+    ),
+    surv AS (SELECT * FROM corpus_in WHERE flagged = 0),
+    -- ExactSubstr rewrite OVER THE SURVIVOR SET (composition order:
+    -- window frequencies and first occurrences count survivors only)
+    w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM surv),
+    wn AS (SELECT doc_id, source, ws, len(ws) AS n_w FROM w WHERE len(ws) >= 10),
+    wins AS (
+      SELECT doc_id, g.i AS pos,
+             md5(array_to_string(ws[g.i + 1 : g.i + 10], ' ')) AS h
+      FROM wn, unnest(generate_series(0, n_w - 10)) AS g(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) > 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM brk
+    ),
+    per_isl AS (
+      SELECT doc_id, isl_id, MIN(pos) AS a, MAX(pos) AS b
+      FROM isl GROUP BY 1, 2
+    ),
+    removed AS (
+      SELECT doc_id, CAST(SUM(b - a + 10) AS BIGINT) AS n_removed
+      FROM per_isl GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT s.source, s.n_words_raw,
+             s.n_words_raw - COALESCE(r.n_removed, 0) AS n_kept
+      FROM surv s LEFT JOIN removed r USING (doc_id)
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(c.flagged) AS BIGINT) AS n_decontam_removed,
+           CAST(COUNT(*) - SUM(c.flagged) AS BIGINT) AS n_docs_out,
+           CAST(SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw ELSE 0 END)
+                AS BIGINT) AS raw_words,
+           (SELECT CAST(SUM(p.n_kept) AS BIGINT) FROM per_doc p
+            WHERE p.source = c.source) AS kept_words,
+           CAST((SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw ELSE 0 END)
+                 - (SELECT SUM(p.n_kept) FROM per_doc p
+                    WHERE p.source = c.source)) * 1000000
+                // GREATEST(SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw
+                                     ELSE 0 END), 1) AS BIGINT)
+             AS rewrite_removed_ratio_micros
+    FROM corpus_in c GROUP BY 1
+    """
+
+
+@query("training_corpus_pipeline_v7", _V7_SQL)
+def training_corpus_pipeline_v7_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 corpus pipeline: Bloom test-set decontamination gate
+    (flagged docs drop — the one-sided prefilter, FPs included by design)
+    → ExactSubstr position-level rewrite over the SURVIVOR set (window
+    frequencies count survivors only) → per-source yield report
+    (docs in/removed/out, raw vs kept words, rewrite removal ratio).
+    Composes the round-10 operators end-to-end under one oracle; the
+    corpus-scale work is the bloom probe scan (broadcast bitmap), one
+    token-scale window-digest shuffle, and two keyed aggregates."""
+    from ..operators.dedup import substring_dedup_rewrite
+    from ..operators.sketches import bloom_decontaminate
+    from ..operators.sampling import split_column
+
+    docs = _docs(spark, sf_dir)
+    flags = bloom_decontaminate(docs, n_words=5).select("doc_id", "flagged")
+    corpus_in = (
+        docs.filter(split_column("doc_id") != "test")
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words_raw"),
+            F.coalesce("flagged", F.lit(0)).alias("flagged"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    surv = corpus_in.filter(F.col("flagged") == 0)
+    rw = substring_dedup_rewrite(surv, n_words=10).select("doc_id", "n_removed_words")
+    per_doc = surv.join(rw, "doc_id", "left").select(
+        "source",
+        "n_words_raw",
+        (
+            F.col("n_words_raw") - F.coalesce("n_removed_words", F.lit(0))
+        ).alias("n_kept"),
+    )
+    kept = per_doc.groupBy("source").agg(
+        F.sum("n_kept").cast("bigint").alias("kept_words")
+    )
+    return (
+        corpus_in.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_in"),
+            F.sum("flagged").cast("bigint").alias("n_decontam_removed"),
+            (F.count(F.lit(1)) - F.sum("flagged")).cast("bigint").alias("n_docs_out"),
+            F.sum(F.expr("if(flagged = 0, n_words_raw, 0)"))
+            .cast("bigint")
+            .alias("raw_words"),
+        )
+        .join(kept, "source")
+        .select(
+            "source",
+            "n_docs_in",
+            "n_decontam_removed",
+            "n_docs_out",
+            "raw_words",
+            "kept_words",
+            F.expr(
+                "cast((raw_words - kept_words) * 1000000"
+                " div greatest(raw_words, 1) as bigint)"
+            ).alias("rewrite_removed_ratio_micros"),
+        )
+    )
+
+
 @query("bt_winrate_calibration", _bt_calibration_oracle_sql())
 def bt_winrate_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed vs Bradley-Terry-predicted win rate per decided item pair
@@ -5979,14 +6173,6 @@ def hll_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(_docs(spark, sf_dir), m=64)
 
 
-_RHO_SPLIT = (
-    "(strpos('0123456789abcdef',"
-    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef',"
-    " substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-)
-
-
 @query(
     "rho_loss_selection",
     f"""
@@ -6174,7 +6360,7 @@ _BLOOM_SQL = f"""
     test_g AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
     cand_g AS (SELECT doc_id, g FROM grams WHERE split <> 'test'),
     probes_t AS (
-      SELECT CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 4096 AS idx
+      SELECT CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 65536 AS idx
       FROM test_g, unnest(generate_series(0, 3)) AS p(p)
     ),
     bitmap AS (
@@ -6184,7 +6370,7 @@ _BLOOM_SQL = f"""
     ),
     cand_probes AS (
       SELECT doc_id, g,
-             CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 4096 AS idx
+             CAST(('0x' || substr(md5(g), p.p * 8 + 1, 8)) AS BIGINT) % 65536 AS idx
       FROM cand_g, unnest(generate_series(0, 3)) AS p(p)
     ),
     hits AS (

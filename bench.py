@@ -217,6 +217,7 @@ EXTRA_QUERIES = [
     "st_ivf_incremental_maintenance",
     "dedup_substring_rewrite",
     "bitext_margin_mining",
+    "training_corpus_pipeline_v7",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
