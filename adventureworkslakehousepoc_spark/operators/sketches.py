@@ -423,9 +423,19 @@ def bloom_probe_flags(
     re-shuffled the candidate stream k-wide — the probe's 30× timing
     caught it). One-sided: a 0 is certain absence; a 1 may be a false
     positive with the standard (1 − e^{-kn/m})^k rate."""
+    # DENSE word array, built once in the 1-row frame: Spark map lookups
+    # are linear scans of the entry array, so a map-typed bitmap costs
+    # O(m/32) per probe (measured 3× on the whole operator at m=65536);
+    # element_at on an array is O(1)
+    n_words = m_bits // _BLOOM_WORD
     bm = bitmap.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias(
+            "bmm"
+        )
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " w -> coalesce(element_at(bmm, cast(w as int)), cast(0 as bigint)))"
         ).alias("bm")
     )
     return cands.crossJoin(F.broadcast(bm)).select(
@@ -434,7 +444,7 @@ def bloom_probe_flags(
             f"cast(forall(transform(sequence(0, {k - 1}), p ->"
             f" cast(conv(substring(md5({col}), p * 8 + 1, 8), 16, 10) as bigint)"
             f" % {m_bits}),"
-            f" i -> (coalesce(element_at(bm, cast(i div {_BLOOM_WORD} as int)), 0)"
+            f" i -> (element_at(bm, cast(i div {_BLOOM_WORD} as int) + 1)"
             f" & shiftleft(cast(1 as bigint), cast(i % {_BLOOM_WORD} as int)))"
             " != 0) as int)"
         ).alias("bloom_hit"),
@@ -504,7 +514,11 @@ def bloom_decontaminate(
     ``bitmap`` (optional): a pre-merged (word_idx, word) table — e.g. the
     streaming-maintenance store — used instead of building one here; the
     bit_or merge contract makes the two bit-identical."""
-    grams = bloom_ngrams(docs, n_words, text_col, id_col)
+    # persist (released in the finally): the distinct-gram table feeds
+    # three consumers (bitmap build, exact-audit join, candidate probes)
+    # and recomputes its token-scale shuffle per consumer otherwise
+    # (measured ~3× on the 30× probe)
+    grams = bloom_ngrams(docs, n_words, text_col, id_col).persist()
     test_g = grams.filter(F.col("split") == "test").select("g").distinct()
     cand_g = grams.filter(F.col("split") != "test").select("doc_id", "g")
     if bitmap is None:
@@ -517,7 +531,7 @@ def bloom_decontaminate(
         test_g.withColumn("exact_hit", F.lit(1)), "g", "left"
     ).select("doc_id", "g", F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"))
     hits = bloom_probe_flags(cand_with_exact, bitmap, "g", m_bits, k)
-    return (
+    out = (
         hits.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
@@ -535,3 +549,10 @@ def bloom_decontaminate(
             F.expr("cast(n_bloom_hits > 0 as int)").alias("flagged"),
         )
     )
+    try:
+        # per-doc-sized; eager so the gram cache is released on return
+        from ..plans.audit import eager_checkpoint
+
+        return eager_checkpoint(out, "bloom_decontaminate_out")
+    finally:
+        grams.unpersist()
