@@ -637,3 +637,72 @@ def split_leakage_audit(
         ).alias("n_cross_pairs"),
         "representative_id",
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    prefix_words: int = 8,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMEDY ``split_leakage_audit`` prescribes: assign train/val/
+    test by hashing the duplicate-cluster key (here the same
+    ``prefix_words``-word template-prefix digest; any dedup cluster id
+    swaps in) instead of the document id, so every member of a cluster
+    lands in the SAME split by construction and cross-split leakage is
+    structurally zero. Same md5-bucket arithmetic as ``split_column``
+    (seed ``split42c:``), so per-split mass stays ≈ the configured
+    percentages in expectation.
+
+    Returns per (split) one row: (split, n_docs, n_clusters,
+    n_leaking_clusters, share_micros) — ``n_leaking_clusters`` is the
+    audit re-run on the NEW assignment and must be 0 on every row (the
+    fixed point; emitted rather than asserted so the driver's oracle gate
+    verifies it).
+
+    Scale: one digest projection + two digest-keyed aggregates — the
+    split itself stays a pure scan-side expression usable inside any
+    plan.
+    """
+    test_hi = (256 * test_pct) // 100
+    val_hi = test_hi + (256 * val_pct) // 100
+    ch = F.md5(
+        F.expr(f"array_join(slice(split({text_col}, ' '), 1, {prefix_words}), ' ')")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split42c:"), ch)), 1, 2), 16, 10
+    ).cast("int")
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ch.alias("content_hash"),
+        F.when(bucket < test_hi, "test")
+        .when(bucket < val_hi, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    clusters = per.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("split").cast("bigint").alias("n_splits"),
+        F.first("split").alias("split"),
+    )
+    total = per.agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    return (
+        clusters.groupBy("split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(F.expr("if(n_splits > 1, 1, 0)"))
+            .cast("bigint")
+            .alias("n_leaking_clusters"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_leaking_clusters",
+            F.expr("n_docs * 1000000 div tot").cast("bigint").alias("share_micros"),
+        )
+    )

@@ -6446,6 +6446,59 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_audit(_docs(spark, sf_dir))
 
 
+@query(
+    "cluster_safe_split",
+    """
+    WITH per AS (
+      SELECT doc_id,
+             md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+               AS content_hash
+      FROM documents
+    ),
+    pb AS (
+      SELECT doc_id, content_hash,
+             (strpos('0123456789abcdef',
+                     substr(md5('split42c:' || content_hash), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5('split42c:' || content_hash), 2, 1)) - 1)
+               AS bucket
+      FROM per
+    ),
+    assigned AS (
+      SELECT doc_id, content_hash,
+             CASE WHEN bucket < 25 THEN 'test' WHEN bucket < 50 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM pb
+    ),
+    clusters AS (
+      SELECT content_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+             MIN(split) AS split
+      FROM assigned GROUP BY 1
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM assigned)
+    SELECT split,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaking_clusters,
+           CAST(SUM(n_docs) * 1000000 // tot AS BIGINT) AS share_micros
+    FROM clusters, total GROUP BY 1, tot
+    """,
+)
+def cluster_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-safe split assignment — the remedy split_leakage_audit
+    prescribes (operators/quality.py::cluster_safe_split): hash the
+    duplicate-cluster key (template-prefix digest) instead of the doc id,
+    so every cluster member shares a split by construction; the output
+    re-runs the leakage audit on the new assignment (n_leaking_clusters
+    must be 0 — the fixed point, oracle-gated rather than asserted)."""
+    from ..operators.quality import cluster_safe_split
+
+    return cluster_safe_split(_docs(spark, sf_dir))
+
+
 @query("bloom_decontaminate", _BLOOM_SQL)
 def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered test-set decontamination

@@ -218,6 +218,7 @@ EXTRA_QUERIES = [
     "dedup_substring_rewrite",
     "bitext_margin_mining",
     "training_corpus_pipeline_v7",
+    "cluster_safe_split",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
