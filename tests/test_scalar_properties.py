@@ -274,3 +274,85 @@ def test_span_rewrite_conserves_distinct_spans(spark, docs):
         for j in range(len(ws) // 5):
             distinct_spans.add(" ".join(ws[j * 5 : j * 5 + 5]))
     assert sum(r.n_kept for r in out) == len(distinct_spans)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=30
+        ).map(lambda ws: " ".join(f"w{c}" for c in ws)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_substring_coverage_invariants(spark, docs):
+    """Sliding-window ExactSubstr invariants on arbitrary corpora:
+    (a) exactly one instance of every distinct window survives globally
+    (Σ n_dup_windows == Σ n_windows − #distinct window texts);
+    (b) per doc, covered words never exceed the word count and the run
+    stats stay mutually consistent."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        substring_dedup_coverage,
+    )
+
+    L = 4
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = substring_dedup_coverage(sdf, n_words=L).collect()
+    distinct, total = set(), 0
+    for i, t in rows:
+        ws = t.split(" ")
+        for j in range(len(ws) - L + 1):
+            distinct.add(" ".join(ws[j : j + L]))
+            total += 1
+    assert sum(r.n_dup_windows for r in out) == total - len(distinct)
+    n_words = {i: len(t.split(" ")) for i, t in rows}
+    for r in out:
+        assert 0 <= r.covered_dup_words <= n_words[r.doc_id]
+        assert r.max_dup_run_words <= r.covered_dup_words
+        assert (r.n_dup_runs == 0) == (r.n_dup_windows == 0)
+        if r.n_dup_runs:
+            assert r.covered_dup_words >= r.n_dup_runs * L
+
+
+@settings(**_SETTINGS)
+@given(
+    grams=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8),
+                   min_size=1, max_size=40),
+    probe=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8),
+                   min_size=1, max_size=20),
+)
+def test_bloom_membership_one_sided(spark, grams, probe):
+    """Bloom membership on arbitrary item sets: every true member hits
+    (zero false negatives — the one-sided guarantee), and flags agree
+    with a pure-python replay of the same md5 bit arithmetic."""
+    import hashlib
+
+    from adventureworkslakehousepoc_spark.operators.sketches import (
+        _BLOOM_K,
+        _BLOOM_M,
+        bloom_probe_flags,
+        bloom_words,
+    )
+
+    items = spark.createDataFrame([(g,) for g in set(grams)], ["g"])
+    bitmap = bloom_words(items, "g")
+    cands = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probe)], ["pid", "g"]
+    )
+    out = {r.pid: r.bloom_hit for r in bloom_probe_flags(cands, bitmap, "g").collect()}
+
+    bits = set()
+    for g in set(grams):
+        h = hashlib.md5(g.encode()).hexdigest()
+        for p in range(_BLOOM_K):
+            bits.add(int(h[p * 8 : p * 8 + 8], 16) % _BLOOM_M)
+    for i, p in enumerate(probe):
+        h = hashlib.md5(p.encode()).hexdigest()
+        expected = all(
+            int(h[q * 8 : q * 8 + 8], 16) % _BLOOM_M in bits for q in range(_BLOOM_K)
+        )
+        assert out[i] == int(expected)
+        if p in set(grams):
+            assert out[i] == 1  # no false negatives, ever
