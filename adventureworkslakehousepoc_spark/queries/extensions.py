@@ -5652,6 +5652,59 @@ def multimodal_ppm_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppm_p6_decode(ppm_p6_encode(_docs(spark, sf_dir)))
 
 
+@query(
+    "multimodal_wav_decode",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(32 + doc_id % 64 AS BIGINT) AS n_samples,
+             repeat(md5(text), 12) AS ph
+      FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n_samples,
+        list_transform(generate_series(0, CAST(n_samples AS INTEGER) - 1),
+          i -> (strpos('0123456789abcdef', substr(ph, 4 * i + 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(ph, 4 * i + 2, 1)) - 1)
+               + 256 * ((strpos('0123456789abcdef', substr(ph, 4 * i + 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(ph, 4 * i + 4, 1)) - 1))
+        ) AS us
+      FROM t
+    ),
+    sg AS (
+      SELECT doc_id, n_samples,
+             list_transform(us,
+               u -> CAST(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS BIGINT))
+               AS ss
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           n_samples,
+           CAST(list_sum(ss) AS BIGINT) AS sum_amplitude,
+           CAST(list_sum(list_transform(ss, x -> abs(x))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(ss, x -> abs(x))) AS BIGINT) AS peak_abs,
+           CAST(list_sum(list_transform(ss, x -> abs(x))) * 1000000
+                // GREATEST(n_samples, 1) AS BIGINT) AS mean_abs_micros
+    FROM sg
+    """,
+)
+def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode — the audio twin of the PPM row:
+    synthesize valid RIFF/WAVE PCM payloads per document (expression-
+    level encoder; genuine files the stdlib wave module opens, proven in
+    tests), then decode them back with the pure-relational WAV decoder
+    (hex header parse of the little-endian PCM fields + signed-16-bit
+    sample folds, zero Python row loops, no stub on this path). The
+    oracle recomputes the statistics from the format spec, so the gate
+    proves the decoder reads the binary correctly.
+    See operators/multimodal.py::wav_pcm_encode/wav_pcm_decode."""
+    from ..operators.multimodal import wav_pcm_decode, wav_pcm_encode
+
+    return wav_pcm_decode(wav_pcm_encode(_docs(spark, sf_dir)))
+
+
 def _probe_cal_oracle_sql(iters: int = 5, buckets: int = 10) -> str:
     """Unrolled fit (the fit oracle's head + g/w CTE chain, reused
     verbatim) + final-weight scoring + equal-width probability binning —

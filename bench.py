@@ -219,6 +219,7 @@ EXTRA_QUERIES = [
     "bitext_margin_mining",
     "training_corpus_pipeline_v7",
     "cluster_safe_split",
+    "multimodal_wav_decode",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -434,6 +434,44 @@ def test_substring_coverage_first_occurrence_and_islands(spark):
     assert out[2].dup_ratio_micros == 10 * 1000000 // 25
 
 
+def test_wav_codec_roundtrips_against_stdlib_wave(spark):
+    """The expression-level WAV encoder must emit files the stdlib wave
+    module opens (genuine RIFF/PCM), and the relational decoder's header
+    fields and amplitude statistics must equal a struct-level python
+    parse of those same bytes."""
+    import io
+    import struct
+    import wave
+
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        wav_pcm_decode,
+        wav_pcm_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "hello world of audio"), (12, "another doc"), (63, "x")],
+        ["doc_id", "text"],
+    )
+    enc = wav_pcm_encode(df)
+    dec = {r.doc_id: r for r in wav_pcm_decode(enc).collect()}
+    for r in enc.collect():
+        w = wave.open(io.BytesIO(bytes(r.payload)))
+        samples = struct.unpack(
+            "<%dh" % w.getnframes(), w.readframes(w.getnframes())
+        )
+        d = dec[r.doc_id]
+        assert (d.sample_rate, d.n_channels, d.bits_per_sample) == (
+            w.getframerate(),
+            w.getnchannels(),
+            8 * w.getsampwidth(),
+        )
+        assert d.n_samples == w.getnframes()
+        assert d.sum_amplitude == sum(samples)
+        assert d.sum_abs == sum(abs(x) for x in samples)
+        assert d.peak_abs == max(abs(x) for x in samples)
+        assert d.mean_abs_micros == d.sum_abs * 1000000 // d.n_samples
+
+
 def test_bitext_margin_mining_suppresses_hubs(spark):
     """The ratio margin must mine the true translation even when a HUB
     target (cosine-close to every source) beats it on raw cosine —
