@@ -5705,6 +5705,54 @@ def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_pcm_decode(wav_pcm_encode(_docs(spark, sf_dir)))
 
 
+@query(
+    "multimodal_y4m_decode",
+    """
+    WITH t AS (
+      SELECT doc_id, 4 AS w, CAST(2 + doc_id % 3 AS INTEGER) AS h,
+             CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+             repeat(md5(text), 15) AS ph
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf, ph, CAST(g.f AS INTEGER) AS frame_idx
+      FROM t, unnest(generate_series(0, nf - 1)) AS g(f)
+    ),
+    ys AS (
+      SELECT doc_id, w, h, nf, frame_idx,
+             CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+               i -> (strpos('0123456789abcdef',
+                            substr(ph, frame_idx * 6 * w * h + 2 * i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(ph, frame_idx * 6 * w * h + 2 * i + 2, 1)) - 1)
+             )) AS BIGINT) AS y_sum
+      FROM fr
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           nf AS n_frames, frame_idx,
+           CAST(1 AS INTEGER) AS marker_ok, y_sum,
+           CAST(y_sum * 1000000 // GREATEST(w * h, 1) AS BIGINT)
+             AS y_mean_micros
+    FROM ys
+    """,
+)
+def multimodal_y4m_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video decode, completing the real-codec trio (PPM
+    image / WAV audio / y4m video): synthesize valid YUV4MPEG2 streams
+    per document (expression-level encoder; genuine multi-frame y4m any
+    ffmpeg-family tool reads), then decode with the pure-relational y4m
+    decoder — hex header parse, fixed-stride FRAME walk with per-frame
+    marker verification, per-frame luma-plane folds; one row per
+    (doc, frame), the frame-sampling input shape. No stub, no UDF. The
+    oracle recomputes from the format spec (marker_ok constant 1 there —
+    the SPARK side actually verifies the bytes).
+    See operators/multimodal.py::y4m_encode/y4m_decode."""
+    from ..operators.multimodal import y4m_decode, y4m_encode
+
+    return y4m_decode(y4m_encode(_docs(spark, sf_dir)))
+
+
+
 def _probe_cal_oracle_sql(iters: int = 5, buckets: int = 10) -> str:
     """Unrolled fit (the fit oracle's head + g/w CTE chain, reused
     verbatim) + final-weight scoring + equal-width probability binning —

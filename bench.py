@@ -220,6 +220,7 @@ EXTRA_QUERIES = [
     "training_corpus_pipeline_v7",
     "cluster_safe_split",
     "multimodal_wav_decode",
+    "multimodal_y4m_decode",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -472,6 +472,36 @@ def test_wav_codec_roundtrips_against_stdlib_wave(spark):
         assert d.mean_abs_micros == d.sum_abs * 1000000 // d.n_samples
 
 
+def test_y4m_codec_roundtrips_against_byte_parse(spark):
+    """The expression-level y4m encoder must emit genuine YUV4MPEG2
+    streams (header + FRAME-marker walk parses byte-exactly in python),
+    and the relational decoder's per-frame luma sums must equal the
+    python parse of those same bytes."""
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        y4m_decode,
+        y4m_encode,
+    )
+
+    texts = {7: "video doc one", 12: "another", 2: "x"}
+    df = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    enc = y4m_encode(df)
+    payloads = {r.doc_id: bytes(r.payload) for r in enc.collect()}
+    out = y4m_decode(enc).collect()
+    assert len(out) == sum(2 + d % 4 for d in texts)
+    for r in out:
+        hdr, rest = payloads[r.doc_id].split(b"\n", 1)
+        parts = hdr.decode().split(" ")
+        w, h = int(parts[1][1:]), int(parts[2][1:])
+        assert parts[0] == "YUV4MPEG2" and parts[6] == "C444"
+        fsz = 3 * w * h
+        off = (6 + fsz) * r.frame_idx
+        assert rest[off : off + 6] == b"FRAME\n" and r.marker_ok == 1
+        frame = rest[off + 6 : off + 6 + fsz]
+        assert (r.width, r.height) == (w, h)
+        assert r.y_sum == sum(frame[: w * h])
+        assert r.y_mean_micros == r.y_sum * 1000000 // (w * h)
+
+
 def test_bitext_margin_mining_suppresses_hubs(spark):
     """The ratio margin must mine the true translation even when a HUB
     target (cosine-close to every source) beats it on raw cosine —
