@@ -35,6 +35,7 @@ __all__ = [
     "wav_pcm_decode",
     "y4m_encode",
     "y4m_decode",
+    "image_ahash_pairs",
 ]
 
 
@@ -498,3 +499,158 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
             "y_sum * 1000000 div greatest(width * height, 1)"
         ).alias("y_mean_micros"),
     )
+
+
+def image_ahash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL PPM payloads — the
+    multimodal member of the dedup family: each image's average hash
+    (aHash — per-pixel gray vs the image's own mean gray, packed into a
+    ≤48-bit fingerprint) is banded into ``bands`` 12-bit blocks, and
+    near-duplicate candidate pairs form ONLY inside (width, height,
+    band_idx, band_bits) buckets — never all-pairs. By pigeonhole, any
+    pair within ``max_hamming`` ≤ bands−1 bit flips shares at least one
+    identical band, so recall is exact at the configured threshold
+    (the same soundness argument as the SimHash text path; the operator
+    raises if the threshold breaks it). Verification is an exact
+    ``bit_count(xor)`` on the two fingerprints.
+
+    Returns (doc_a, doc_b, width, height, hamming), doc_a < doc_b,
+    hamming ≤ ``max_hamming`` (0 = pixel-identical under aHash).
+
+    Scale: fingerprints are one expression pass over the payload scan
+    (gray fold + mean + bit pack); the bucket join streams band
+    collision lists, never the corpus square. Fingerprints are 8 bytes —
+    the index this builds is what image dedup ships to later snapshots.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall"
+            f" guarantee for {bands} bands (must be ≤ {bands - 1})"
+        )
+    # CONTENT-derived encode (dims from the image digest, not the row id —
+    # an image's shape is a property of its bytes, and identical content
+    # must yield identical files for dedup to see it): same canonical P6
+    # layout as ppm_p6_encode, genuine netpbm files
+    b0 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 2), 16, 10).cast("int")
+    w = (F.lit(4) + b0 % 5).cast("int")
+    h = (F.lit(3) + (b0 / 5).cast("int") % 4).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"),
+        F.unhex(
+            F.expr(
+                f"substring(repeat(md5(encode({text_col}, 'UTF-8')), 28), 1, "
+                f"2 * (4 + cast(conv(substring(md5({text_col}), 1, 2), 16, 10) as int) % 5)"
+                f" * (3 + cast(conv(substring(md5({text_col}), 1, 2), 16, 10) as int) div 5 % 4) * 3)"
+            )
+        ),
+    )
+    enc = docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+    hx = F.hex(F.col("payload"))
+    hdr_pat = "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A((?:3[0-9])+)0A"
+    wheX = F.regexp_extract(hx, hdr_pat, 1)
+    hheX = F.regexp_extract(hx, hdr_pat, 2)
+    mheX = F.regexp_extract(hx, hdr_pat, 3)
+    dig = lambda c: F.regexp_replace(c, "3(.)", "$1").cast("int")  # noqa: E731
+    hdr_hex_len = (
+        F.lit(6) + F.length(wheX) + F.lit(2) + F.length(hheX) + F.lit(2)
+        + F.length(mheX) + F.lit(2)
+    )
+    base = enc.select(
+        "doc_id",
+        dig(wheX).alias("w"),
+        dig(hheX).alias("h"),
+        hx.alias("hx"),
+        hdr_hex_len.alias("hh"),
+    )
+    byte_at = (
+        "cast(conv(substring(hx, hh + 2 * ({o}) + 1, 2), 16, 10) as bigint)"
+    )
+    gray_i = (
+        "(" + byte_at.format(o="3 * i") + " + " + byte_at.format(o="3 * i + 1")
+        + " + " + byte_at.format(o="3 * i + 2") + ") div 3"
+    )
+    grays = base.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(
+            f"transform(sequence(0, w * h - 1), i -> {gray_i})"
+        ).alias("gs"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        "gs",
+        F.expr(
+            "aggregate(gs, cast(0 as bigint), (acc, x) -> acc + x)"
+            " div (w * h)"
+        ).alias("mean_gray"),
+    )
+    # materialize the fingerprint table (8 bytes/doc): without it the
+    # whole hex→gray→mean→bits chain re-inlines into every band row and
+    # BOTH join sides (measured 30× slower); this is also the "index this
+    # builds" of the docstring — fingerprints persist, payloads don't
+    from ..plans.audit import eager_checkpoint
+
+    fp = eager_checkpoint(
+        grays.select(
+            "doc_id",
+            "w",
+            "h",
+            F.expr(
+                "aggregate(zip_with(gs, sequence(0, size(gs) - 1),"
+                " (g, i) -> if(g >= mean_gray, shiftleft(cast(1 as bigint), i),"
+                " cast(0 as bigint))), cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("fp"),
+        ),
+        "image_ahash_fingerprints",
+    )
+    banded = fp.select(
+        "doc_id",
+        "w",
+        "h",
+        "fp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                " j -> struct(j AS j, (fp div shiftleft(cast(1 as bigint),"
+                " j * 12)) % 4096 AS b))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "w", "h", "fp", F.col("bb.j").alias("j"), F.col("bb.b").alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.w").alias("width"),
+            F.col("a.h").alias("height"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        "width",
+        "height",
+        F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -5752,6 +5752,88 @@ def multimodal_y4m_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y4m_decode(y4m_encode(_docs(spark, sf_dir)))
 
 
+_AHASH_BYTE = (
+    "(strpos('0123456789abcdef', substr(ph, 2 * ({o}) + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(ph, 2 * ({o}) + 2, 1)) - 1)"
+)
+
+
+@query(
+    "image_ahash_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:8], ' ') AS tpl
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, repeat(md5(tpl), 28) AS ph,
+             CAST(('0x' || substr(md5(tpl), 1, 2)) AS BIGINT) AS b0
+      FROM t
+    ),
+    dims AS (
+      SELECT doc_id, ph,
+             CAST(4 + b0 % 5 AS INTEGER) AS w,
+             CAST(3 + (b0 // 5) % 4 AS INTEGER) AS h
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, w * h - 1),
+               i -> (({_AHASH_BYTE.format(o='3 * i')})
+                     + ({_AHASH_BYTE.format(o='3 * i + 1')})
+                     + ({_AHASH_BYTE.format(o='3 * i + 2')})) // 3) AS gs
+      FROM dims
+    ),
+    m AS (
+      SELECT doc_id, w, h, gs,
+             CAST(list_sum(gs) // (w * h) AS BIGINT) AS mg
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id, w, h,
+             CAST(list_sum(list_transform(generate_series(1, w * h),
+               i -> CASE WHEN gs[i] >= mg
+                         THEN CAST(1 AS BIGINT) << (i - 1)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+      FROM m
+    ),
+    bd AS (
+      SELECT doc_id, w, h, fp, CAST(j.j AS INTEGER) AS j,
+             (fp // (CAST(1 AS BIGINT) << (CAST(j.j AS INTEGER) * 12))) % 4096 AS b
+      FROM f, unnest(generate_series(0, 3)) AS j(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.w AS width, a.h AS height, a.fp AS fa, b2.fp AS fb
+      FROM bd a JOIN bd b2
+        ON a.w = b2.w AND a.h = b2.h AND a.j = b2.j AND a.b = b2.b
+       AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, width, height,
+           CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+)
+def image_ahash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL PPM payloads
+    (operators/multimodal.py::image_ahash_pairs): per-image average hash
+    (gray-vs-own-mean bits) banded into 12-bit blocks, candidate pairs
+    form only inside (shape, band) buckets (pigeonhole-exact recall at
+    hamming <= 3), verified by exact bit_count(xor). Images synthesize
+    from each doc's 8-word template prefix (same banner -> identical
+    file), the multimodal member of the dedup family. Oracle recomputes
+    fingerprints from the format spec."""
+    from ..operators.multimodal import image_ahash_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')").alias("tpl"),
+    )
+    return image_ahash_pairs(docs, text_col="tpl")
+
+
+
 
 def _probe_cal_oracle_sql(iters: int = 5, buckets: int = 10) -> str:
     """Unrolled fit (the fit oracle's head + g/w CTE chain, reused

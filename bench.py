@@ -221,6 +221,7 @@ EXTRA_QUERIES = [
     "cluster_safe_split",
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
+    "image_ahash_dedup",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

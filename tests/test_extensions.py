@@ -502,6 +502,29 @@ def test_y4m_codec_roundtrips_against_byte_parse(spark):
         assert r.y_mean_micros == r.y_sum * 1000000 // (w * h)
 
 
+def test_image_ahash_pairs_dedup_and_guardrail(spark):
+    """Identical image content pairs at hamming 0 (and dims derive from
+    content, so the pair shares a shape); unrelated content produces no
+    pair at the strict threshold; thresholds that break the pigeonhole
+    recall guarantee raise instead of silently losing recall."""
+    import pytest as _pytest
+
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        image_ahash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same banner text"), (2, "same banner text"), (9, "other content")],
+        ["doc_id", "text"],
+    )
+    out = image_ahash_pairs(df).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, 0)]
+    assert out[0].width == out[0].width and out[0].height >= 3
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_ahash_pairs(df, max_hamming=4, bands=4)
+
+
 def test_bitext_margin_mining_suppresses_hubs(spark):
     """The ratio margin must mine the true translation even when a HUB
     target (cosine-close to every source) beats it on raw cosine —
