@@ -5833,6 +5833,131 @@ def image_ahash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash_pairs(docs, text_col="tpl")
 
 
+@query(
+    "multimodal_corpus_datasheet",
+    """
+    WITH img AS (
+      SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h,
+             repeat(md5(text), 28) AS ph
+      FROM documents
+    ),
+    img_s AS (
+      SELECT 'image/ppm' AS media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_payloads,
+             CAST(SUM(w * h) AS BIGINT) AS n_units,
+             CAST(SUM(sub.s) AS BIGINT) AS unit_sum
+      FROM (
+        SELECT w, h,
+               list_sum(list_transform(generate_series(0, CAST(w * h * 3 AS INTEGER) - 1),
+                 i -> (strpos('0123456789abcdef', substr(ph, 2 * i + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(ph, 2 * i + 2, 1)) - 1))) AS s
+        FROM img
+      ) sub
+    ),
+    wav AS (
+      SELECT doc_id, CAST(32 + doc_id % 64 AS BIGINT) AS ns,
+             repeat(md5(text), 12) AS ph
+      FROM documents
+    ),
+    wav_s AS (
+      SELECT 'audio/wav' AS media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_payloads,
+             CAST(SUM(ns) AS BIGINT) AS n_units,
+             CAST(SUM(sub.s) AS BIGINT) AS unit_sum
+      FROM (
+        SELECT ns,
+               list_sum(list_transform(generate_series(0, CAST(ns AS INTEGER) - 1),
+                 i -> abs((strpos('0123456789abcdef', substr(ph, 4 * i + 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(ph, 4 * i + 2, 1)) - 1)
+                        + 256 * ((strpos('0123456789abcdef', substr(ph, 4 * i + 3, 1)) - 1) * 16
+                                 + (strpos('0123456789abcdef', substr(ph, 4 * i + 4, 1)) - 1))
+                        - CASE WHEN (strpos('0123456789abcdef', substr(ph, 4 * i + 1, 1)) - 1) * 16
+                                    + (strpos('0123456789abcdef', substr(ph, 4 * i + 2, 1)) - 1)
+                                    + 256 * ((strpos('0123456789abcdef', substr(ph, 4 * i + 3, 1)) - 1) * 16
+                                             + (strpos('0123456789abcdef', substr(ph, 4 * i + 4, 1)) - 1))
+                                    >= 32768 THEN 65536 ELSE 0 END))) AS s
+        FROM wav
+      ) sub
+    ),
+    vid AS (
+      SELECT doc_id, 4 AS w, CAST(2 + doc_id % 3 AS INTEGER) AS h,
+             CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+             repeat(md5(text), 15) AS ph
+      FROM documents
+    ),
+    vid_s AS (
+      SELECT 'video/y4m' AS media_type,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_payloads,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(sub.s) AS BIGINT) AS unit_sum
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(0, w * h - 1),
+                 i -> (strpos('0123456789abcdef',
+                              substr(ph, g.f * 6 * w * h + 2 * i + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(ph, g.f * 6 * w * h + 2 * i + 2, 1)) - 1))) AS s
+        FROM vid, unnest(generate_series(0, nf - 1)) AS g(f)
+      ) sub
+    )
+    SELECT media_type, n_payloads, n_units, unit_sum,
+           CAST(unit_sum * 1000000 // GREATEST(n_units, 1) AS BIGINT)
+             AS unit_mean_micros
+    FROM (SELECT * FROM img_s UNION ALL SELECT * FROM wav_s
+          UNION ALL SELECT * FROM vid_s)
+    """,
+)
+def multimodal_corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal corpus datasheet: ONE report over all three real
+    codecs — images (pixel-byte mass over genuine PPM files), audio
+    (absolute amplitude over genuine WAV PCM), video (per-frame luma
+    over genuine y4m streams) — each family encoded and DECODED through
+    its own relational codec, reduced to (media_type, n_payloads,
+    n_units, unit_sum, unit_mean_micros). The capstone composition of
+    the multimodal stack; all three decode legs are scan-side expression
+    work reduced map-side to one row each."""
+    from ..operators.multimodal import (
+        ppm_p6_decode,
+        ppm_p6_encode,
+        wav_pcm_decode,
+        wav_pcm_encode,
+        y4m_decode,
+        y4m_encode,
+    )
+
+    docs = _docs(spark, sf_dir)
+    img = ppm_p6_decode(ppm_p6_encode(docs)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("n_pixels").cast("bigint").alias("n_units"),
+        F.sum(F.expr("r_sum + g_sum + b_sum")).cast("bigint").alias("unit_sum"),
+    ).select(F.lit("image/ppm").alias("media_type"), "*")
+    aud = wav_pcm_decode(wav_pcm_encode(docs)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("n_samples").cast("bigint").alias("n_units"),
+        F.sum("sum_abs").cast("bigint").alias("unit_sum"),
+    ).select(F.lit("audio/wav").alias("media_type"), "*")
+    vid = y4m_decode(y4m_encode(docs)).agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_payloads"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("y_sum").cast("bigint").alias("unit_sum"),
+    ).select(F.lit("video/y4m").alias("media_type"), "*")
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .select(
+            "media_type",
+            "n_payloads",
+            "n_units",
+            "unit_sum",
+            F.expr(
+                "cast(unit_sum * 1000000 div greatest(n_units, 1) as bigint)"
+            ).alias("unit_mean_micros"),
+        )
+    )
+
+
+
 
 
 def _probe_cal_oracle_sql(iters: int = 5, buckets: int = 10) -> str:

@@ -222,6 +222,7 @@ EXTRA_QUERIES = [
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
     "image_ahash_dedup",
+    "multimodal_corpus_datasheet",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
