@@ -36,6 +36,8 @@ __all__ = [
     "y4m_encode",
     "y4m_decode",
     "image_ahash_pairs",
+    "image_phash_pairs",
+    "DCT_COS_MICROS",
 ]
 
 
@@ -327,8 +329,9 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
     integer-exact.
 
     Scale: one projection over the payload scan; per-row work is linear
-    in payload size; the sample folds are ``aggregate`` over
-    ``sequence`` ranges — no shuffle until the caller aggregates."""
+    in payload size; the samples are parsed ONCE (``transform``) and all
+    three statistics come from ONE ``aggregate`` fold over a struct
+    accumulator — no shuffle until the caller aggregates."""
     hx = F.hex(F.col(payload_col))
 
     def le_at(byte_off: int, n_bytes: int):
@@ -356,15 +359,23 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         (le_at(40, 4) / 2).cast("bigint").alias("n_samples"),
     )
     # 16-bit signed LE sample i: bytes 44+2i (LSB), 45+2i (MSB) → hex
-    # chars 89+4i and 91+4i; signed = u − 65536·[u ≥ 32768]
-    s_expr = (
-        "(cast(conv(concat(substring(hx, 91 + 4 * i, 2),"
-        " substring(hx, 89 + 4 * i, 2)), 16, 10) as bigint))"
-    )
-    signed = f"({s_expr} - if({s_expr} >= 32768, 65536, 0))"
-    fold = lambda body: F.expr(  # noqa: E731
-        "aggregate(sequence(0, cast(n_samples as int) - 1),"
-        f" cast(0 as bigint), (acc, i) -> {body})"
+    # chars 89+4i and 91+4i; signed = u − 65536·[u ≥ 32768]. SINGLE
+    # PASS: `transform` materializes each unsigned sample ONCE (one
+    # conv + two substrings per sample), then ONE `aggregate` folds a
+    # struct accumulator for (sum, sum_abs, peak) — referencing the
+    # already-materialized bigint is free, unlike re-parsing the hex.
+    signed = "(u - if(u >= 32768, 65536, 0))"
+    stats = F.expr(
+        "aggregate("
+        " transform(sequence(0, cast(n_samples as int) - 1), i ->"
+        "  cast(conv(concat(substring(hx, 91 + 4 * i, 2),"
+        "   substring(hx, 89 + 4 * i, 2)), 16, 10) as bigint)),"
+        " named_struct('s', cast(0 as bigint), 'sa', cast(0 as bigint),"
+        "  'pk', cast(0 as bigint)),"
+        " (acc, u) -> named_struct("
+        f"  's', acc.s + {signed},"
+        f"  'sa', acc.sa + abs({signed}),"
+        f"  'pk', greatest(acc.pk, abs({signed}))))"
     )
     return base.select(
         "doc_id",
@@ -372,12 +383,16 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         "n_channels",
         "bits_per_sample",
         "n_samples",
-        fold(f"acc + {signed}").alias("sum_amplitude"),
-        fold(f"acc + abs({signed})").alias("sum_abs"),
-        F.expr(
-            "aggregate(sequence(0, cast(n_samples as int) - 1),"
-            f" cast(0 as bigint), (acc, i) -> greatest(acc, abs({signed})))"
-        ).alias("peak_abs"),
+        stats.alias("_st"),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        F.col("_st.s").alias("sum_amplitude"),
+        F.col("_st.sa").alias("sum_abs"),
+        F.col("_st.pk").alias("peak_abs"),
     ).select(
         "*",
         F.expr("sum_abs * 1000000 div greatest(n_samples, 1)").alias(
@@ -652,5 +667,173 @@ def image_ahash_pairs(
         "doc_b",
         "width",
         "height",
+        F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# integer micro-fixed-point DCT basis: cos(pi*k/8) for k = 0..15 (the
+# full period the 4x4 DCT-II needs), floor(x*1e6 + 0.5). EMBEDDED as
+# literals — never computed via cos() at query time — so Spark and the
+# DuckDB oracle run bit-identical integer arithmetic with no libm in
+# either engine's hot path.
+DCT_COS_MICROS: tuple[int, ...] = (
+    1000000, 923880, 707107, 382683, 0, -382683, -707107, -923880,
+    -1000000, -923880, -707107, -382683, 0, 382683, 707107, 923880,
+)
+
+
+def image_phash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DCT perceptual-hash (pHash) image dedup over the REAL PPM
+    payloads — the frequency-domain sibling of ``image_ahash_pairs``:
+    aHash thresholds raw brightness (so any global exposure shift flips
+    bits), while pHash signs the low-frequency 2D DCT-II coefficients of
+    a fixed 4x4 nearest-neighbor downsample, which is invariant to the
+    image's absolute brightness (the DC coefficient is excluded) and to
+    its original dimensions (every image lands on the same 4x4 grid, so
+    the candidate buckets need no shape key — re-encodes at different
+    sizes can still collide, exactly what aHash cannot do).
+
+    The DCT uses an EMBEDDED integer micro-cosine table
+    (``DCT_COS_MICROS``) — all arithmetic is bigint-exact, engine
+    portable, no float cosines at query time. Bit k = sign of AC
+    coefficient k (the integer-deterministic variant of the classic
+    median threshold). The 15-bit fingerprint is banded into ``bands``
+    5-bit blocks; candidate pairs form ONLY inside (band_idx, band_bits)
+    buckets — by pigeonhole any pair within ``max_hamming`` <= bands-1
+    bit flips shares an identical band, so recall is exact at the
+    configured threshold (raises when the threshold breaks it).
+    Verification is an exact ``bit_count(xor)``.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <=
+    ``max_hamming``.
+
+    Scale: fingerprints are one expression pass over the payload scan
+    (gray fold -> 4x4 resample -> 16-term integer DCT per bit); the
+    bucket join streams band collision lists, never the corpus square.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall"
+            f" guarantee for {bands} bands (must be <= {bands - 1})"
+        )
+    # same CONTENT-derived encode as image_ahash_pairs: dims from the
+    # image digest, canonical P6 payload, genuine netpbm files
+    b0 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 2), 16, 10).cast("int")
+    w = (F.lit(4) + b0 % 5).cast("int")
+    h = (F.lit(3) + (b0 / 5).cast("int") % 4).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"),
+        F.unhex(
+            F.expr(
+                f"substring(repeat(md5(encode({text_col}, 'UTF-8')), 28), 1, "
+                f"2 * (4 + cast(conv(substring(md5({text_col}), 1, 2), 16, 10) as int) % 5)"
+                f" * (3 + cast(conv(substring(md5({text_col}), 1, 2), 16, 10) as int) div 5 % 4) * 3)"
+            )
+        ),
+    )
+    enc = docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+    hx = F.hex(F.col("payload"))
+    hdr_pat = "^50360A((?:3[0-9])+)20((?:3[0-9])+)0A((?:3[0-9])+)0A"
+    wheX = F.regexp_extract(hx, hdr_pat, 1)
+    hheX = F.regexp_extract(hx, hdr_pat, 2)
+    mheX = F.regexp_extract(hx, hdr_pat, 3)
+    dig = lambda c: F.regexp_replace(c, "3(.)", "$1").cast("int")  # noqa: E731
+    hdr_hex_len = (
+        F.lit(6) + F.length(wheX) + F.lit(2) + F.length(hheX) + F.lit(2)
+        + F.length(mheX) + F.lit(2)
+    )
+    base = enc.select(
+        "doc_id",
+        dig(wheX).alias("w"),
+        dig(hheX).alias("h"),
+        hx.alias("hx"),
+        hdr_hex_len.alias("hh"),
+    )
+    byte_at = (
+        "cast(conv(substring(hx, hh + 2 * ({o}) + 1, 2), 16, 10) as bigint)"
+    )
+    gray_i = (
+        "(" + byte_at.format(o="3 * i") + " + " + byte_at.format(o="3 * i + 1")
+        + " + " + byte_at.format(o="3 * i + 2") + ") div 3"
+    )
+    # fixed 4x4 nearest-neighbor resample: cell (u, v) reads the source
+    # pixel ((u*w) div 4, (v*h) div 4) — defined for every w, h >= 1
+    g4 = (
+        "transform(sequence(0, 15), s -> element_at(gs, cast("
+        "((s div 4) * h div 4) * w + ((s % 4) * w div 4) + 1 as int)))"
+    )
+    # AC coefficient k (k = v*4+u, k >= 1): 16-term integer DCT-II with
+    # the basis-product weights folded to COMPILE-TIME literals (the
+    # doubly-nested aggregate-lambda form is pathologically slow on the
+    # interpreted no-codegen path the fingerprint checkpoint takes);
+    # bit k-1 = sign of the coefficient.
+    def _coeff(k: int) -> str:
+        u, v = k % 4, k // 4
+        terms = []
+        for s in range(16):
+            x, y = s % 4, s // 4
+            wgt = (
+                DCT_COS_MICROS[((2 * x + 1) * u) % 16]
+                * DCT_COS_MICROS[((2 * y + 1) * v) % 16]
+            )
+            if wgt:
+                terms.append(f"element_at(g4, {s + 1}) * cast({wgt} as bigint)")
+        return " + ".join(terms) if terms else "cast(0 as bigint)"
+
+    fp_expr = " + ".join(
+        f"if(({_coeff(k)}) > 0, cast({1 << (k - 1)} as bigint), cast(0 as bigint))"
+        for k in range(1, 16)
+    )
+    grays = base.select(
+        "doc_id",
+        "w",
+        "h",
+        F.expr(f"transform(sequence(0, w * h - 1), i -> {gray_i})").alias("gs"),
+    ).select("doc_id", "w", "h", F.expr(g4).alias("g4"))
+    from ..plans.audit import eager_checkpoint
+
+    fp = eager_checkpoint(
+        grays.select("doc_id", F.expr(fp_expr).alias("fp")),
+        "image_phash_fingerprints",
+    )
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                " j -> struct(j AS j, (fp div shiftleft(cast(1 as bigint),"
+                " j * 5)) % 32 AS b))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", F.col("bb.j").alias("j"), F.col("bb.b").alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
         F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)

@@ -938,9 +938,15 @@ def bitext_margin_mining(
             "src_id",
             "tgt_id",
             "cos_u",
+            # a non-positive denominator means the neighborhood cosine
+            # mass is net-negative — the Artetxe-Schwenk ratio is
+            # undefined there, so emit margin 0 (never mined) instead of
+            # clamping the denominator to 1 and manufacturing a huge
+            # bogus margin (round-10 advice)
             F.expr(
-                "cast((cast(cos_u as decimal(38,0)) * 2 * kx * ky * 1000000)"
-                " div greatest(sx * ky + sy * kx, 1) as bigint)"
+                "case when sx * ky + sy * kx <= 0 then cast(0 as bigint)"
+                " else cast((cast(cos_u as decimal(38,0)) * 2 * kx * ky"
+                " * 1000000) div (sx * ky + sy * kx) as bigint) end"
             ).alias("margin_micros"),
         )
     )

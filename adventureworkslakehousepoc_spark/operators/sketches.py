@@ -318,14 +318,26 @@ def kmv_source_overlap(
             " div greatest(theta, 1) as bigint) end"
         ).alias("union_card_est"),
     )
-    # exact audit from the full distinct (source, hash) table
+    # exact audit from the full distinct (source, hash) table. ONE
+    # groupBy on h (not a self-join): each shared hash carries its
+    # sorted source set, and the ≤|sources|² pair fan-out happens
+    # inside the already-grouped row — the shingle table shuffles once
+    # instead of twice, and no join ever rematches the corpus.
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     inter = (
-        sh.alias("p").join(
-            sh.alias("q"),
-            (F.col("p.h") == F.col("q.h")) & (F.col("p.source") < F.col("q.source")),
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss) - i - 1), b ->"
+                    " struct(a as sa, b as sb))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(F.col("p.source").alias("sa"), F.col("q.source").alias("sb"))
+        .groupBy(F.col("pr.sa").alias("sa"), F.col("pr.sb").alias("sb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
     exact = (

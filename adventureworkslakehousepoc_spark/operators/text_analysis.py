@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "language_id",
+    "langid_ngram_profile",
     "quality_scores",
     "token_counts",
     "fingerprints",
@@ -1085,5 +1086,104 @@ def tokenizer_fertility(
             F.expr("(n_tokens * 1000000) div greatest(n_docs, 1)").alias(
                 "tokens_per_doc_micros"
             ),
+        )
+    )
+
+
+def langid_ngram_profile(
+    docs: DataFrame,
+    profile_size: int = 40,
+    doc_profile_size: int = 15,
+    train_mod: int = 10,
+    train_lt: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """PROFILE-LEARNED n-gram language ID (Cavnar & Trenkle 1994's
+    out-of-place measure) — the trained counterpart of the marker-word
+    ``language_id`` heuristic: per-language character-trigram rank
+    profiles are LEARNED from a deterministic labeled split of the
+    corpus itself (``doc_id % train_mod < train_lt``), broadcast, and
+    every document is classified by the rank-displacement distance
+    between its own top-``doc_profile_size`` trigram profile and each
+    language profile (absent trigrams cost the maximum displacement
+    ``profile_size``). Argmin per document, ties broken by language
+    name — fully deterministic integer arithmetic, no floats anywhere.
+
+    Returns (doc_id, lang, pred_lang, oop_dist, correct) — true label
+    rides along so the caller can reduce to a confusion matrix or
+    accuracy; ``correct`` is the 0/1 agreement flag.
+
+    Scale: the trigram explode feeds two keyed aggregates (token-scale,
+    map-side combined); the language profile is |langs|·profile_size
+    rows — broadcast; the per-document profile is |docs|·doc_profile_size
+    rows cross-joined against the broadcast language list (≤ dozens) and
+    probed against the broadcast profile, so after the doc-profile
+    window NOTHING shuffles on more than |docs| keys. The language
+    profile build uses ``grouped_topk`` — |langs| is tiny, and a naive
+    per-language window would funnel the whole token stream into
+    |langs| tasks."""
+    from .dedup import spread
+    from .similarity import grouped_topk
+
+    tris = spread(docs, id_col).filter(F.length(text_col) >= 3).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 2),"
+                f" i -> substring({text_col}, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    doc_tf = tris.groupBy("doc_id", "lang", "tri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # language profiles come from the TRAIN split only — labels are
+    # consumed here and nowhere else, so the apply side is honest
+    train_tf = (
+        doc_tf.filter(F.col("doc_id") % train_mod < train_lt)
+        .groupBy("lang", "tri")
+        .agg(F.sum("tf").cast("bigint").alias("cnt"))
+    )
+    prof = grouped_topk(
+        train_tf, ["lang"], profile_size, [F.desc("cnt"), F.asc("tri")], "rl"
+    ).select(F.col("lang").alias("cand_lang"), "tri", "rl")
+    langs = prof.select("cand_lang").distinct()
+    dprof = grouped_topk(
+        doc_tf, ["doc_id"], doc_profile_size, [F.desc("tf"), F.asc("tri")], "rd"
+    ).select("doc_id", "lang", "tri", "rd")
+    scored = (
+        dprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["cand_lang", "tri"], "left")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("rd") - F.col("rl")), F.lit(profile_size)
+                )
+            )
+            .cast("bigint")
+            .alias("oop_dist")
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "min_by(struct(cand_lang, oop_dist),"
+                " struct(oop_dist, cand_lang))"
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("b.cand_lang").alias("pred_lang"),
+            F.col("b.oop_dist").alias("oop_dist"),
+        )
+        .select(
+            "*",
+            F.expr("cast(pred_lang = lang as int)").alias("correct"),
         )
     )

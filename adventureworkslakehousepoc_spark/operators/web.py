@@ -33,9 +33,12 @@ _TRACKING_KEYS = ("ref", "fbclid", "gclid", "mc_eid")
 
 def _tracking_predicate(var: str = "p") -> str:
     """SQL boolean over one ``key=value`` query-param string: true when the
-    param survives (is NOT a tracking param)."""
-    drops = [f"{var} like '{pfx}%'" for pfx in _TRACKING_PREFIXES]
-    drops += [f"{var} like '{key}=%'" for key in _TRACKING_KEYS]
+    param survives (is NOT a tracking param). Prefix tests use
+    ``startswith`` — NOT SQL ``LIKE`` — because ``_`` is a single-char
+    LIKE wildcard, so ``like 'utm_%'`` would also drop non-tracking
+    params such as ``utmost=1`` (round-10 advice)."""
+    drops = [f"startswith({var}, '{pfx}')" for pfx in _TRACKING_PREFIXES]
+    drops += [f"startswith({var}, '{key}=')" for key in _TRACKING_KEYS]
     return f"{var} != '' and not ({' or '.join(drops)})"
 
 

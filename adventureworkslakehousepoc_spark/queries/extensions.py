@@ -479,8 +479,9 @@ _BITEXT_COS_U = (
     ),
     scored AS (
       SELECT c.src_id, c.tgt_id, c.cos_u,
-             CAST((CAST(c.cos_u AS HUGEINT) * 2 * n1.kx * n2.ky * 1000000)
-                  // GREATEST(n1.sx * n2.ky + n2.sy * n1.kx, 1) AS BIGINT)
+             CASE WHEN n1.sx * n2.ky + n2.sy * n1.kx <= 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((CAST(c.cos_u AS HUGEINT) * 2 * n1.kx * n2.ky * 1000000)
+                       // (n1.sx * n2.ky + n2.sy * n1.kx) AS BIGINT) END
                AS margin_micros
       FROM cands c JOIN nx n1 USING (src_id) JOIN ny n2 USING (tgt_id)
     )
@@ -1748,9 +1749,10 @@ _URL_SYNTH_SQL = """
              regexp_replace(regexp_extract(pathq, '^[^?]*'), '/+$', '') AS path,
              array_to_string(list_sort(list_filter(
                string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
-               p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'
-                    OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%'
-                    OR p LIKE 'mc_eid=%'))), '&') AS kept
+               p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                    OR starts_with(p, 'ref=')
+                    OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')
+                    OR starts_with(p, 'mc_eid=')))), '&') AS kept
       FROM norm
     ),
     canon AS (
@@ -4972,11 +4974,11 @@ _V7_SQL = f"""
            CAST(COUNT(*) - SUM(c.flagged) AS BIGINT) AS n_docs_out,
            CAST(SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw ELSE 0 END)
                 AS BIGINT) AS raw_words,
-           (SELECT CAST(SUM(p.n_kept) AS BIGINT) FROM per_doc p
-            WHERE p.source = c.source) AS kept_words,
+           COALESCE((SELECT CAST(SUM(p.n_kept) AS BIGINT) FROM per_doc p
+            WHERE p.source = c.source), 0) AS kept_words,
            CAST((SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw ELSE 0 END)
-                 - (SELECT SUM(p.n_kept) FROM per_doc p
-                    WHERE p.source = c.source)) * 1000000
+                 - COALESCE((SELECT SUM(p.n_kept) FROM per_doc p
+                    WHERE p.source = c.source), 0)) * 1000000
                 // GREATEST(SUM(CASE WHEN c.flagged = 0 THEN c.n_words_raw
                                      ELSE 0 END), 1) AS BIGINT)
              AS rewrite_removed_ratio_micros
@@ -5034,16 +5036,20 @@ def training_corpus_pipeline_v7_q(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("raw_words"),
         )
-        .join(kept, "source")
+        # LEFT join + COALESCE: a source whose every doc is
+        # decontamination-flagged has no survivor row in `kept` — an
+        # inner join would drop the whole source while the oracle keeps
+        # it (round-10 advice); kept_words = 0 on both sides instead.
+        .join(kept, "source", "left")
         .select(
             "source",
             "n_docs_in",
             "n_decontam_removed",
             "n_docs_out",
             "raw_words",
-            "kept_words",
+            F.coalesce("kept_words", F.lit(0)).cast("bigint").alias("kept_words"),
             F.expr(
-                "cast((raw_words - kept_words) * 1000000"
+                "cast((raw_words - coalesce(kept_words, 0)) * 1000000"
                 " div greatest(raw_words, 1) as bigint)"
             ).alias("rewrite_removed_ratio_micros"),
         )
@@ -6812,7 +6818,8 @@ def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered test-set decontamination
     (operators/sketches.py::bloom_words/bloom_probe_flags/
     bloom_decontaminate): the test hash split's distinct 5-gram set
-    compresses to a <=128-row mergeable bitmap (bit_or cells); candidate
+    compresses to a mergeable bitmap of <= _BLOOM_M/_BLOOM_WORD = 2048
+    word rows (65536 bits, bit_or cells); candidate
     docs probe the broadcast bitmap map-side and flag on any hit; the
     exact semi-join audits the realized false-positive rate. Membership
     completes the sketch quartet (CM frequency / HLL cardinality / KMV
@@ -6886,3 +6893,153 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import histogram_quantile_sketch
 
     return histogram_quantile_sketch(_docs(spark, sf_dir))
+
+
+@query(
+    "langid_ngram_profile",
+    """
+    WITH tr AS (
+      SELECT doc_id, lang, substr(text, CAST(g.i AS INTEGER), 3) AS tri
+      FROM documents, unnest(generate_series(1, len(text) - 2)) AS g(i)
+      WHERE len(text) >= 3
+    ),
+    doc_tf AS (
+      SELECT doc_id, lang, tri, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tr GROUP BY 1, 2, 3
+    ),
+    train_tf AS (
+      SELECT lang, tri, CAST(SUM(tf) AS BIGINT) AS cnt
+      FROM doc_tf WHERE doc_id % 10 < 5 GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT lang AS cand_lang, tri, rl FROM (
+        SELECT lang, tri,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tri) AS rl
+        FROM train_tf
+      ) WHERE rl <= 40
+    ),
+    langs AS (SELECT DISTINCT cand_lang FROM prof),
+    dprof AS (
+      SELECT doc_id, lang, tri, rd FROM (
+        SELECT doc_id, lang, tri,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, tri) AS rd
+        FROM doc_tf
+      ) WHERE rd <= 15
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, l.cand_lang,
+             CAST(SUM(COALESCE(abs(d.rd - p.rl), 40)) AS BIGINT) AS oop_dist
+      FROM dprof d CROSS JOIN langs l
+      LEFT JOIN prof p ON p.cand_lang = l.cand_lang AND p.tri = d.tri
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang, oop_dist,
+           CAST(cand_lang = lang AS INTEGER) AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY oop_dist, cand_lang) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def langid_ngram_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-learned n-gram language ID (Cavnar-Trenkle out-of-place
+    measure; operators/text_analysis.py::langid_ngram_profile): per-lang
+    character-trigram rank profiles learned from the deterministic
+    doc_id%10<5 train split, broadcast, every doc classified by rank
+    displacement against its own top-15 trigram profile, argmin per doc.
+    The trained counterpart of the marker-word language_id heuristic —
+    feeds the fertility/UniMax operators that assume a lang column.
+    Pure integer arithmetic end to end."""
+    from ..operators.text_analysis import langid_ngram_profile
+
+    return langid_ngram_profile(_docs(spark, sf_dir))
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of image_phash_pairs: same content-derived PPM
+    frame as the aHash oracle, then fixed 4x4 nearest-neighbor
+    resample -> integer micro-cosine DCT-II -> AC-sign bits -> 5-bit
+    banded buckets -> exact bit_count(xor) verify."""
+    from ..operators.multimodal import DCT_COS_MICROS
+
+    ct = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in DCT_COS_MICROS) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:8], ' ') AS tpl
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, repeat(md5(tpl), 28) AS ph,
+             CAST(('0x' || substr(md5(tpl), 1, 2)) AS BIGINT) AS b0
+      FROM t
+    ),
+    dims AS (
+      SELECT doc_id, ph,
+             CAST(4 + b0 % 5 AS INTEGER) AS w,
+             CAST(3 + (b0 // 5) % 4 AS INTEGER) AS h
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, w * h - 1),
+               i -> (({_AHASH_BYTE.format(o='3 * i')})
+                     + ({_AHASH_BYTE.format(o='3 * i + 1')})
+                     + ({_AHASH_BYTE.format(o='3 * i + 2')})) // 3) AS gs
+      FROM dims
+    ),
+    g4t AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15),
+               s -> gs[((s // 4) * h // 4) * w + ((s % 4) * w // 4) + 1]) AS g4
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 15), k ->
+               CASE WHEN list_sum(list_transform(generate_series(0, 15), s ->
+                      g4[s + 1]
+                      * ({ct})[((2 * (s % 4) + 1) * (k % 4)) % 16 + 1]
+                      * ({ct})[((2 * (s // 4) + 1) * (k // 4)) % 16 + 1])) > 0
+                    THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+      FROM g4t
+    ),
+    bd AS (
+      SELECT doc_id, fp, CAST(j.j AS INTEGER) AS j,
+             (fp // (CAST(1 AS BIGINT) << (CAST(j.j AS INTEGER) * 5))) % 32 AS b
+      FROM f, unnest(generate_series(0, 2)) AS j(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.fp AS fa, b2.fp AS fb
+      FROM bd a JOIN bd b2
+        ON a.j = b2.j AND a.b = b2.b AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 2
+    """
+
+
+@query("image_phash_dedup", _phash_oracle_sql())
+def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash (pHash) image dedup over REAL PPM payloads
+    (operators/multimodal.py::image_phash_pairs): fixed 4x4
+    nearest-neighbor resample, integer micro-cosine DCT-II, AC-sign
+    fingerprint — brightness- and size-invariant where aHash is not —
+    banded into 5-bit blocks (pigeonhole-exact recall at hamming <= 2),
+    verified by exact bit_count(xor). Same content-derived image frame
+    as image_ahash_dedup (8-word template prefix); oracle recomputes the
+    fingerprints from the format spec with the same embedded cosine
+    table."""
+    from ..operators.multimodal import image_phash_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')").alias("tpl"),
+    )
+    return image_phash_pairs(docs, text_col="tpl")

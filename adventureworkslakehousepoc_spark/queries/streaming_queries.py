@@ -835,7 +835,8 @@ def st_bloom_filter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of ``st_hll_sketch_maintenance``: documents arrive as a 2-file
     stream (parameterized trigger, default maxFilesPerTrigger=1 forcing
     >= 2 micro-batches); each micro-batch reduces its OWN test-split
-    5-gram set to a ≤128-row Bloom word table inside foreachBatch and
+    5-gram set to a Bloom word table of ≤ _BLOOM_M/_BLOOM_WORD = 2048
+    rows (65536 bits) inside foreachBatch and
     APPENDS it to the bitmap store (constant bytes per batch). The final
     readout merges the store by cell-wise bit_or — associative/
     commutative/idempotent, so the streamed bitmap equals the batch

@@ -82,7 +82,11 @@ def stage_stream_dir(*parquet_files: str) -> str:
     Spark-written)). Part files are collected RECURSIVELY so a
     hive-partitioned table (nested ``key=value`` subdirs) expands too, and
     a directory whose expansion yields zero part files raises instead of
-    staging an empty stream."""
+    staging an empty stream. Hive-partitioned tables keep their
+    ``key=value`` directory components RECREATED under the staging dir —
+    partition-column values live in the directory names, not the part
+    files, so flattening the parts would silently drop (or mistype) the
+    partition columns (round-10 advice)."""
     import glob as _glob
 
     d = _tmpdir("src")
@@ -100,7 +104,17 @@ def stage_stream_dir(*parquet_files: str) -> str:
                     " zero rows"
                 )
             for part in parts:
-                os.symlink(part, os.path.join(d, f"batch-{i:05d}.parquet"))
+                # keep any key=value components between the table root and
+                # the part file so Spark's partition discovery still sees
+                # the partition-column values
+                rel_dirs = [
+                    c
+                    for c in os.path.relpath(os.path.dirname(part), f).split(os.sep)
+                    if "=" in c
+                ]
+                sub = os.path.join(d, *rel_dirs) if rel_dirs else d
+                os.makedirs(sub, exist_ok=True)
+                os.symlink(part, os.path.join(sub, f"batch-{i:05d}.parquet"))
                 i += 1
         else:
             os.symlink(f, os.path.join(d, f"batch-{i:05d}.parquet"))

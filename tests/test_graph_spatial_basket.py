@@ -144,7 +144,7 @@ from hypothesis import strategies as st
 _PSET = dict(
     max_examples=8,
     deadline=None,
-    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    suppress_health_check=list(HealthCheck),
 )
 
 
