@@ -37,7 +37,10 @@ __all__ = [
     "y4m_decode",
     "image_ahash_pairs",
     "image_phash_pairs",
+    "crossmodal_pair_audit",
     "DCT_COS_MICROS",
+    "DCT16_COS_MICROS",
+    "dct_sign_fp_terms",
 ]
 
 
@@ -681,11 +684,57 @@ DCT_COS_MICROS: tuple[int, ...] = (
     -1000000, -923880, -707107, -382683, 0, 382683, 707107, 923880,
 )
 
+# cos(pi*k/16) for k = 0..31 at the same micro fixed point — the basis
+# period the 8x8 grid needs (the production fingerprint width: 63 AC
+# bits, 16-bit band buckets)
+DCT16_COS_MICROS: tuple[int, ...] = (
+    1000000, 980785, 923880, 831470, 707107, 555570, 382683, 195090,
+    0, -195090, -382683, -555570, -707107, -831470, -923880, -980785,
+    -1000000, -980785, -923880, -831470, -707107, -555570, -382683, -195090,
+    0, 195090, 382683, 555570, 707107, 831470, 923880, 980785,
+)
+
+
+def dct_sign_fp_terms(grid: int, elem) -> tuple[list[str], list[str]]:
+    """Engine-portable expression strings for the SEPARABLE integer
+    DCT-II sign fingerprint over a ``grid`` x ``grid`` gray array:
+    ``rowdct[p]`` (p = u + grid*y) is the x-pass sum for frequency u of
+    row y; ``coefs[k-1]`` (k = u + grid*v >= 1) sums the y-pass over the
+    rowdct array. Associativity makes the two-pass integer result
+    IDENTICAL to the direct 2D sum of basis products, at O(grid^3)
+    terms instead of O(grid^4). All weights are compile-time literals
+    from the embedded micro-cosine tables; ``elem(name, i)`` renders
+    1-based element access in the target dialect (Spark ``element_at``,
+    DuckDB ``name[i]``) so the DuckDB oracle is generated from the SAME
+    weight code."""
+    ct = {4: DCT_COS_MICROS, 8: DCT16_COS_MICROS}[grid]
+    period = 4 * grid
+    rowdct = []
+    for y in range(grid):
+        for u in range(grid):
+            terms = [
+                f"{elem('gr', y * grid + x + 1)} * cast({ct[((2 * x + 1) * u) % period]} as bigint)"
+                for x in range(grid)
+                if ct[((2 * x + 1) * u) % period]
+            ]
+            rowdct.append(" + ".join(terms) if terms else "cast(0 as bigint)")
+    coefs = []
+    for k in range(1, grid * grid):
+        u, v = k % grid, k // grid
+        terms = [
+            f"{elem('rd', u + grid * y + 1)} * cast({ct[((2 * y + 1) * v) % period]} as bigint)"
+            for y in range(grid)
+            if ct[((2 * y + 1) * v) % period]
+        ]
+        coefs.append(" + ".join(terms) if terms else "cast(0 as bigint)")
+    return rowdct, coefs
+
 
 def image_phash_pairs(
     docs: DataFrame,
-    max_hamming: int = 2,
-    bands: int = 3,
+    max_hamming: int = 3,
+    bands: int = 4,
+    grid: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -699,23 +748,30 @@ def image_phash_pairs(
     the candidate buckets need no shape key — re-encodes at different
     sizes can still collide, exactly what aHash cannot do).
 
-    The DCT uses an EMBEDDED integer micro-cosine table
-    (``DCT_COS_MICROS``) — all arithmetic is bigint-exact, engine
-    portable, no float cosines at query time. Bit k = sign of AC
-    coefficient k (the integer-deterministic variant of the classic
-    median threshold). The 15-bit fingerprint is banded into ``bands``
-    5-bit blocks; candidate pairs form ONLY inside (band_idx, band_bits)
-    buckets — by pigeonhole any pair within ``max_hamming`` <= bands-1
-    bit flips shares an identical band, so recall is exact at the
-    configured threshold (raises when the threshold breaks it).
-    Verification is an exact ``bit_count(xor)``.
+    The DCT uses EMBEDDED integer micro-cosine tables
+    (``DCT_COS_MICROS`` / ``DCT16_COS_MICROS``) — all arithmetic is
+    bigint-exact, engine portable, no float cosines at query time. Bit
+    k = sign of AC coefficient k (the integer-deterministic variant of
+    the classic median threshold). The grid**2-1-bit fingerprint (63
+    bits at the default ``grid=8``; 15 at the compact ``grid=4``) is
+    banded into ``bands`` equal-width blocks; candidate pairs form ONLY
+    inside (band_idx, band_bits) buckets — by pigeonhole any pair
+    within ``max_hamming`` <= bands-1 bit flips shares an identical
+    band, so recall is exact at the configured threshold (raises when
+    the threshold breaks it). Verification is an exact
+    ``bit_count(xor)``.
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <=
     ``max_hamming``.
 
     Scale: fingerprints are one expression pass over the payload scan
-    (gray fold -> 4x4 resample -> 16-term integer DCT per bit); the
-    bucket join streams band collision lists, never the corpus square.
+    (gray fold -> grid resample -> separable integer DCT, O(grid^3)
+    literal-weight terms); the bucket join streams band collision
+    lists, never the corpus square. Bucket cardinality is what makes
+    the default honest at corpus scale: grid=8 gives 2^16 buckets per
+    band (the 30x probe showed grid=4's 2^5 buckets collapsing the
+    candidate stream into 32 lists — fine at 10^5 images, quadratic
+    grief at 10^9).
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -765,46 +821,42 @@ def image_phash_pairs(
         "(" + byte_at.format(o="3 * i") + " + " + byte_at.format(o="3 * i + 1")
         + " + " + byte_at.format(o="3 * i + 2") + ") div 3"
     )
-    # fixed 4x4 nearest-neighbor resample: cell (u, v) reads the source
-    # pixel ((u*w) div 4, (v*h) div 4) — defined for every w, h >= 1
-    g4 = (
-        "transform(sequence(0, 15), s -> element_at(gs, cast("
-        "((s div 4) * h div 4) * w + ((s % 4) * w div 4) + 1 as int)))"
+    # fixed grid x grid nearest-neighbor resample: cell (u, v) reads
+    # the source pixel ((u*w) div grid, (v*h) div grid) — defined for
+    # every w, h >= 1. The flat literal-weight form matters: the
+    # doubly-nested aggregate-lambda DCT is pathologically slow on the
+    # interpreted no-codegen path the fingerprint checkpoint takes.
+    gr_expr = (
+        f"transform(sequence(0, {grid * grid - 1}), s -> element_at(gs, cast("
+        f"((s div {grid}) * h div {grid}) * w + ((s % {grid}) * w div {grid})"
+        " + 1 as int)))"
     )
-    # AC coefficient k (k = v*4+u, k >= 1): 16-term integer DCT-II with
-    # the basis-product weights folded to COMPILE-TIME literals (the
-    # doubly-nested aggregate-lambda form is pathologically slow on the
-    # interpreted no-codegen path the fingerprint checkpoint takes);
-    # bit k-1 = sign of the coefficient.
-    def _coeff(k: int) -> str:
-        u, v = k % 4, k // 4
-        terms = []
-        for s in range(16):
-            x, y = s % 4, s // 4
-            wgt = (
-                DCT_COS_MICROS[((2 * x + 1) * u) % 16]
-                * DCT_COS_MICROS[((2 * y + 1) * v) % 16]
-            )
-            if wgt:
-                terms.append(f"element_at(g4, {s + 1}) * cast({wgt} as bigint)")
-        return " + ".join(terms) if terms else "cast(0 as bigint)"
-
+    rowdct, coefs = dct_sign_fp_terms(
+        grid, lambda n, i: f"element_at({n}, {i})"
+    )
+    rd_expr = "array(" + ", ".join(rowdct) + ")"
     fp_expr = " + ".join(
-        f"if(({_coeff(k)}) > 0, cast({1 << (k - 1)} as bigint), cast(0 as bigint))"
-        for k in range(1, 16)
+        f"if(({c}) > 0, cast({1 << k} as bigint), cast(0 as bigint))"
+        for k, c in enumerate(coefs)
     )
-    grays = base.select(
-        "doc_id",
-        "w",
-        "h",
-        F.expr(f"transform(sequence(0, w * h - 1), i -> {gray_i})").alias("gs"),
-    ).select("doc_id", "w", "h", F.expr(g4).alias("g4"))
+    grays = (
+        base.select(
+            "doc_id",
+            "w",
+            "h",
+            F.expr(f"transform(sequence(0, w * h - 1), i -> {gray_i})").alias("gs"),
+        )
+        .select("doc_id", F.expr(gr_expr).alias("gr"))
+        .select("doc_id", F.expr(rd_expr).alias("rd"))
+    )
     from ..plans.audit import eager_checkpoint
 
     fp = eager_checkpoint(
         grays.select("doc_id", F.expr(fp_expr).alias("fp")),
         "image_phash_fingerprints",
     )
+    n_bits = grid * grid - 1
+    bpb = -(-n_bits // bands)  # ceil: every bit lands in exactly one band
     banded = fp.select(
         "doc_id",
         "fp",
@@ -812,7 +864,7 @@ def image_phash_pairs(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
                 " j -> struct(j AS j, (fp div shiftleft(cast(1 as bigint),"
-                " j * 5)) % 32 AS b))"
+                f" j * {bpb})) % {1 << bpb} AS b))"
             )
         ).alias("bb"),
     ).select("doc_id", "fp", F.col("bb.j").alias("j"), F.col("bb.b").alias("b"))
@@ -837,3 +889,102 @@ def image_phash_pairs(
         "doc_b",
         F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def crossmodal_pair_audit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-modal consistency audit — the pairing QA step a text+audio
+    +video corpus needs before (text, media) pairs feed training: every
+    document's WAV and y4m payloads are DECODED through the real
+    relational codecs and the decoded structure is reconciled against
+    the payload's byte size and the text's word count. Three checks per
+    doc, reduced to one report row per source:
+
+      * audio_sized_ok  — container byte length equals the canonical
+        44-byte header + 2 bytes per decoded 16-bit sample,
+      * video_sized_ok  — byte length equals the stream header + decoded
+        n_frames x ('FRAME\\n' + w*h*3 C444 bytes),
+      * audio_underscaled — fewer decoded samples than text words (an
+        impossible narration: flags truncated/mispaired audio).
+
+    Returns (source, n_docs, n_audio_sized_ok, n_video_sized_ok,
+    n_audio_underscaled, total_samples, total_frames,
+    samples_per_word_micros) — the last is the per-source pacing ratio
+    sum(samples)*1e6 div sum(words). Integer-exact end to end.
+
+    Scale: both decode legs are scan-side expression work; the three
+    doc-keyed joins shuffle on doc_id only (no payload bytes move after
+    the decode projection); the final aggregate is one keyed reduce to
+    |sources| rows."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_words"),
+    )
+    wav_enc = wav_pcm_encode(docs, text_col=text_col, id_col=id_col)
+    wav = (
+        wav_pcm_decode(wav_enc)
+        .join(wav_enc.select("doc_id", "byte_len"), "doc_id")
+        .select(
+            "doc_id",
+            "n_samples",
+            F.expr("cast(byte_len = 44 + 2 * n_samples as int)").alias(
+                "audio_sized_ok"
+            ),
+        )
+    )
+    vid_enc = y4m_encode(docs, text_col=text_col, id_col=id_col)
+    vid = (
+        y4m_decode(vid_enc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames_seen"),
+            F.max("width").alias("vw"),
+            F.max("height").alias("vh"),
+        )
+        .join(vid_enc.select("doc_id", "byte_len"), "doc_id")
+        .select(
+            "doc_id",
+            "n_frames_seen",
+            # header 'YUV4MPEG2 W4 H<h> F25:1 Ip A1:1 C444\n' = 35 bytes
+            # for the 1-digit dims this corpus emits; each frame is the
+            # 6-byte marker + w*h*3 C444 payload bytes
+            F.expr(
+                "cast(byte_len = 35 + n_frames_seen * (6 + vw * vh * 3)"
+                " as int)"
+            ).alias("video_sized_ok"),
+        )
+    )
+    per_doc = (
+        base.join(wav, "doc_id")
+        .join(vid, "doc_id")
+        .select(
+            "source",
+            "n_words",
+            "n_samples",
+            "audio_sized_ok",
+            "n_frames_seen",
+            "video_sized_ok",
+            F.expr("cast(n_samples < n_words as int)").alias(
+                "audio_underscaled"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("audio_sized_ok").cast("bigint").alias("n_audio_sized_ok"),
+            F.sum("video_sized_ok").cast("bigint").alias("n_video_sized_ok"),
+            F.sum("audio_underscaled")
+            .cast("bigint")
+            .alias("n_audio_underscaled"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+            F.sum("n_frames_seen").cast("bigint").alias("total_frames"),
+            F.expr(
+                "cast(sum(n_samples) * 1000000 div greatest(sum(n_words), 1)"
+                " as bigint)"
+            ).alias("samples_per_word_micros"),
+        )
+    )

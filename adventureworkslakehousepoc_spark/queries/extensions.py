@@ -6958,14 +6958,24 @@ def langid_ngram_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_ngram_profile(_docs(spark, sf_dir))
 
 
-def _phash_oracle_sql() -> str:
+def _phash_oracle_sql(grid: int = 8, bands: int = 4, max_hamming: int = 3) -> str:
     """DuckDB replay of image_phash_pairs: same content-derived PPM
-    frame as the aHash oracle, then fixed 4x4 nearest-neighbor
-    resample -> integer micro-cosine DCT-II -> AC-sign bits -> 5-bit
-    banded buckets -> exact bit_count(xor) verify."""
-    from ..operators.multimodal import DCT_COS_MICROS
+    frame as the aHash oracle, then fixed grid x grid nearest-neighbor
+    resample -> SEPARABLE integer micro-cosine DCT-II (row pass, column
+    pass — expression strings generated by the SAME weight code the
+    Spark side uses) -> AC-sign bits -> equal-width banded buckets ->
+    exact bit_count(xor) verify."""
+    from ..operators.multimodal import dct_sign_fp_terms
 
-    ct = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in DCT_COS_MICROS) + "]"
+    rowdct, coefs = dct_sign_fp_terms(grid, lambda n, i: f"{n}[{i}]")
+    rd_list = "[" + ", ".join(rowdct) + "]"
+    fp_sum = " + ".join(
+        f"(CASE WHEN ({c}) > 0 THEN CAST({1 << k} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for k, c in enumerate(coefs)
+    )
+    n_bits = grid * grid - 1
+    bpb = -(-n_bits // bands)
     return f"""
     WITH t AS (
       SELECT doc_id,
@@ -6993,25 +7003,18 @@ def _phash_oracle_sql() -> str:
     ),
     g4t AS (
       SELECT doc_id,
-             list_transform(generate_series(0, 15),
-               s -> gs[((s // 4) * h // 4) * w + ((s % 4) * w // 4) + 1]) AS g4
+             list_transform(generate_series(0, {grid * grid - 1}),
+               s -> gs[((s // {grid}) * h // {grid}) * w
+                       + ((s % {grid}) * w // {grid}) + 1]) AS gr
       FROM g
     ),
-    f AS (
-      SELECT doc_id,
-             CAST(list_sum(list_transform(generate_series(1, 15), k ->
-               CASE WHEN list_sum(list_transform(generate_series(0, 15), s ->
-                      g4[s + 1]
-                      * ({ct})[((2 * (s % 4) + 1) * (k % 4)) % 16 + 1]
-                      * ({ct})[((2 * (s // 4) + 1) * (k // 4)) % 16 + 1])) > 0
-                    THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)
-                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
-      FROM g4t
-    ),
+    rdt AS (SELECT doc_id, {rd_list} AS rd FROM g4t),
+    f AS (SELECT doc_id, CAST({fp_sum} AS BIGINT) AS fp FROM rdt),
     bd AS (
       SELECT doc_id, fp, CAST(j.j AS INTEGER) AS j,
-             (fp // (CAST(1 AS BIGINT) << (CAST(j.j AS INTEGER) * 5))) % 32 AS b
-      FROM f, unnest(generate_series(0, 2)) AS j(j)
+             (fp // (CAST(1 AS BIGINT) << (CAST(j.j AS INTEGER) * {bpb})))
+               % {1 << bpb} AS b
+      FROM f, unnest(generate_series(0, {bands - 1})) AS j(j)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -7021,21 +7024,22 @@ def _phash_oracle_sql() -> str:
     )
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 2
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
     """
 
 
 @query("image_phash_dedup", _phash_oracle_sql())
 def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual-hash (pHash) image dedup over REAL PPM payloads
-    (operators/multimodal.py::image_phash_pairs): fixed 4x4
-    nearest-neighbor resample, integer micro-cosine DCT-II, AC-sign
-    fingerprint — brightness- and size-invariant where aHash is not —
-    banded into 5-bit blocks (pigeonhole-exact recall at hamming <= 2),
-    verified by exact bit_count(xor). Same content-derived image frame
-    as image_ahash_dedup (8-word template prefix); oracle recomputes the
-    fingerprints from the format spec with the same embedded cosine
-    table."""
+    (operators/multimodal.py::image_phash_pairs): fixed 8x8
+    nearest-neighbor resample, separable integer micro-cosine DCT-II,
+    63-bit AC-sign fingerprint — brightness- and size-invariant where
+    aHash is not — banded into 16-bit blocks (pigeonhole-exact recall
+    at hamming <= 3, 2^16 buckets per band so the candidate stream
+    stays bucketed at corpus scale), verified by exact bit_count(xor).
+    Same content-derived image frame as image_ahash_dedup (8-word
+    template prefix); the oracle's DCT expressions are GENERATED by the
+    same weight code the Spark side uses."""
     from ..operators.multimodal import image_phash_pairs
 
     docs = _docs(spark, sf_dir).select(
@@ -7043,3 +7047,53 @@ def image_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')").alias("tpl"),
     )
     return image_phash_pairs(docs, text_col="tpl")
+
+
+@query(
+    "crossmodal_pair_audit",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(32 + doc_id % 64 AS BIGINT) AS ns,
+             CAST(2 + doc_id % 3 AS BIGINT) AS vh,
+             CAST(2 + doc_id % 4 AS BIGINT) AS nf
+      FROM documents
+    ),
+    per_doc AS (
+      -- under the deterministic encode the size identities hold by
+      -- construction, so the oracle asserts 1; the Spark side must EARN
+      -- the same 1 by decoding the payload bytes and reconciling
+      SELECT source, n_words, ns, nf,
+             1 AS audio_sized_ok,
+             1 AS video_sized_ok,
+             CASE WHEN ns < n_words THEN 1 ELSE 0 END AS audio_underscaled
+      FROM base
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(audio_sized_ok) AS BIGINT) AS n_audio_sized_ok,
+           CAST(SUM(video_sized_ok) AS BIGINT) AS n_video_sized_ok,
+           CAST(SUM(audio_underscaled) AS BIGINT) AS n_audio_underscaled,
+           CAST(SUM(ns) AS BIGINT) AS total_samples,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(ns) * 1000000 // GREATEST(SUM(n_words), 1) AS BIGINT)
+             AS samples_per_word_micros
+    FROM per_doc GROUP BY 1
+    """,
+)
+def crossmodal_pair_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pairing QA (operators/multimodal.py::
+    crossmodal_pair_audit): WAV and y4m payloads are encoded AND decoded
+    through the real relational codecs, and the decoded structure
+    (sample count, frame count, frame dims) is reconciled against the
+    container byte size and the text word count — per-source counts of
+    size-consistent audio/video payloads, impossible-narration flags
+    (fewer samples than words), and the samples-per-word pacing ratio.
+    The oracle replays the format spec's deterministic arithmetic; the
+    Spark side earns the same numbers by actually walking the payload
+    bytes (a decode leg that miscounted samples or frames would break
+    the size identities and the hash)."""
+    from ..operators.multimodal import crossmodal_pair_audit
+
+    return crossmodal_pair_audit(_docs(spark, sf_dir))
