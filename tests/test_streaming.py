@@ -197,3 +197,36 @@ def test_stage_stream_dir_expands_directory_tables(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(staged)
     out = run_available_now(stream, "stage-dir-test")
     assert out.count() == 100
+
+
+def test_stage_stream_dir_preserves_hive_partition_columns(spark, tmp_path):
+    """Round-11 advice fix: a hive-partitioned table's partition-column
+    values live in the key=value directory names — staging must recreate
+    that structure, or the stream silently drops/mistypes the column."""
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.streaming.runner import (
+        stage_stream_dir,
+    )
+
+    tbl = str(tmp_path / "t.parquet")
+    spark.range(20).select("id", (F.col("id") % 3).alias("pk")).write.partitionBy(
+        "pk"
+    ).parquet(tbl)
+    staged = stage_stream_dir(tbl)
+    sdf = spark.readStream.schema("id bigint, pk bigint").parquet(staged)
+    q = (
+        sdf.groupBy("pk")
+        .count()
+        .writeStream.format("memory")
+        .queryName("hive_stage_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.pk: r["count"]
+        for r in spark.sql("select * from hive_stage_test").collect()
+    }
+    assert got == {0: 7, 1: 7, 2: 6}
