@@ -223,6 +223,10 @@ EXTRA_QUERIES = [
     "multimodal_y4m_decode",
     "image_ahash_dedup",
     "multimodal_corpus_datasheet",
+    # round-11 operators
+    "langid_ngram_profile",
+    "image_phash_dedup",
+    "crossmodal_pair_audit",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
