@@ -821,38 +821,55 @@ def image_phash_pairs(
         "(" + byte_at.format(o="3 * i") + " + " + byte_at.format(o="3 * i + 1")
         + " + " + byte_at.format(o="3 * i + 2") + ") div 3"
     )
-    # fixed grid x grid nearest-neighbor resample: cell (u, v) reads
-    # the source pixel ((u*w) div grid, (v*h) div grid) — defined for
-    # every w, h >= 1. The flat literal-weight form matters: the
-    # doubly-nested aggregate-lambda DCT is pathologically slow on the
-    # interpreted no-codegen path the fingerprint checkpoint takes.
-    gr_expr = (
-        f"transform(sequence(0, {grid * grid - 1}), s -> element_at(gs, cast("
-        f"((s div {grid}) * h div {grid}) * w + ((s % {grid}) * w div {grid})"
-        " + 1 as int)))"
-    )
-    rowdct, coefs = dct_sign_fp_terms(
-        grid, lambda n, i: f"element_at({n}, {i})"
-    )
-    rd_expr = "array(" + ", ".join(rowdct) + ")"
+    # THREE MATERIALIZED STAGES (gray plane -> row DCT -> fingerprint),
+    # each a flat literal-weight projection over the PREVIOUS stage's
+    # stored array. The staging is load-bearing, not stylistic: with one
+    # collapsed projection, Catalyst inlines the producer expression
+    # into every element_at reference — the gray transform re-evaluates
+    # 64x per row inside the resample, the row-DCT 504x inside the
+    # coefficient sums — a multiplicative interpreted blow-up measured
+    # at ~40 s for 5k images (vs ~7 s staged). Each checkpoint stores a
+    # per-image array (<=0.5 KB), the natural index-build artifacts.
+    # The nearest-neighbor resample (cell (u, v) reads source pixel
+    # ((u*w) div grid, (v*h) div grid) — defined for every w, h >= 1)
+    # is folded into the row-DCT index arithmetic.
+    ct = {4: DCT_COS_MICROS, 8: DCT16_COS_MICROS}[grid]
+    period = 4 * grid
+    rd_terms = []
+    for pcell in range(grid * grid):
+        u, y = pcell % grid, pcell // grid
+        terms = [
+            f"element_at(gs, cast(({y} * h div {grid}) * w"
+            f" + ({x} * w div {grid}) + 1 as int))"
+            f" * cast({ct[((2 * x + 1) * u) % period]} as bigint)"
+            for x in range(grid)
+            if ct[((2 * x + 1) * u) % period]
+        ]
+        rd_terms.append(" + ".join(terms) if terms else "cast(0 as bigint)")
+    _, coefs = dct_sign_fp_terms(grid, lambda n, i: f"element_at({n}, {i})")
     fp_expr = " + ".join(
         f"if(({c}) > 0, cast({1 << k} as bigint), cast(0 as bigint))"
         for k, c in enumerate(coefs)
     )
-    grays = (
+    from ..plans.audit import eager_checkpoint
+
+    gs_df = eager_checkpoint(
         base.select(
             "doc_id",
             "w",
             "h",
             F.expr(f"transform(sequence(0, w * h - 1), i -> {gray_i})").alias("gs"),
-        )
-        .select("doc_id", F.expr(gr_expr).alias("gr"))
-        .select("doc_id", F.expr(rd_expr).alias("rd"))
+        ),
+        "image_phash_gray",
     )
-    from ..plans.audit import eager_checkpoint
-
+    rd_df = eager_checkpoint(
+        gs_df.select(
+            "doc_id", F.expr("array(" + ", ".join(rd_terms) + ")").alias("rd")
+        ),
+        "image_phash_rowdct",
+    )
     fp = eager_checkpoint(
-        grays.select("doc_id", F.expr(fp_expr).alias("fp")),
+        rd_df.select("doc_id", F.expr(fp_expr).alias("fp")),
         "image_phash_fingerprints",
     )
     n_bits = grid * grid - 1
