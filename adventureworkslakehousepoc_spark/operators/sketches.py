@@ -252,8 +252,12 @@ def kmv_source_overlap(
     jaccard_est_micros, union_card_est, jaccard_exact_micros,
     abs_err_micros).
     """
+    from .dedup import spread
     from .similarity import grouped_topk
 
+    # rebalance before the shingle/md5 fan-out: a single-split parquet
+    # input would otherwise pin the whole hash workload to one core
+    docs = spread(docs, id_col)
     words = docs.select(
         F.col("source"), F.split(F.col(text_col), " ").alias("ws")
     )
