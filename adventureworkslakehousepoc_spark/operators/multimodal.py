@@ -238,10 +238,12 @@ def ppm_p6_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFram
     )
 
     def chan_sum(c: int):
-        # byte value of pixel p channel c = conv(hex pair at 2*(3p+c), 16, 10)
+        # byte value of pixel p channel c = conv(hex pair at 2*(3p+c), 16, 10);
+        # the n_pixels < 1 guard keeps a degenerate 0-dim header from folding
+        # sequence(0, -1)'s descending [0, -1] garbage indices
         return F.expr(
-            "aggregate(sequence(0, cast(n_pixels as int) - 1), 0L, "
-            f"(acc, p) -> acc + cast(conv(substring(pix_hex, 2 * (3 * p + {c}) + 1, 2), 16, 10) as bigint))"
+            "if(n_pixels < 1, 0L, aggregate(sequence(0, cast(n_pixels as int) - 1), 0L, "
+            f"(acc, p) -> acc + cast(conv(substring(pix_hex, 2 * (3 * p + {c}) + 1, 2), 16, 10) as bigint)))"
         )
 
     out = base.select(
@@ -368,8 +370,14 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
     # struct accumulator for (sum, sum_abs, peak) — referencing the
     # already-materialized bigint is free, unlike re-parsing the hex.
     signed = "(u - if(u >= 32768, 65536, 0))"
+    # NB: Spark's sequence(0, n-1) generates a DESCENDING [0, -1] when
+    # n = 0, so an (exotic but valid) zero-sample WAV must short-circuit
+    # to the zero accumulator instead of folding two garbage indices
     stats = F.expr(
-        "aggregate("
+        "if(n_samples < 1,"
+        " named_struct('s', cast(0 as bigint), 'sa', cast(0 as bigint),"
+        "  'pk', cast(0 as bigint)),"
+        " aggregate("
         " transform(sequence(0, cast(n_samples as int) - 1), i ->"
         "  cast(conv(concat(substring(hx, 91 + 4 * i, 2),"
         "   substring(hx, 89 + 4 * i, 2)), 16, 10) as bigint)),"
@@ -378,7 +386,7 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         " (acc, u) -> named_struct("
         f"  's', acc.s + {signed},"
         f"  'sa', acc.sa + abs({signed}),"
-        f"  'pk', greatest(acc.pk, abs({signed}))))"
+        f"  'pk', greatest(acc.pk, abs({signed})))))"
     )
     return base.select(
         "doc_id",
@@ -507,9 +515,10 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
             " as int)"
         ).alias("marker_ok"),
         F.expr(
-            "aggregate(sequence(0, width * height - 1), cast(0 as bigint),"
+            "if(width * height < 1, cast(0 as bigint),"
+            " aggregate(sequence(0, width * height - 1), cast(0 as bigint),"
             " (acc, i) -> acc + conv(substring(hx,"
-            " hh + frame_idx * sh + 12 + 2 * i + 1, 2), 16, 10))"
+            " hh + frame_idx * sh + 12 + 2 * i + 1, 2), 16, 10)))"
         ).alias("y_sum"),
     ).select(
         "*",

@@ -230,3 +230,66 @@ def test_crossmodal_audit_flags_underscaled_audio(spark):
     row = crossmodal_pair_audit(docs).collect()[0]
     assert row.n_audio_underscaled == 1
     assert row.total_samples == 32 + 33
+
+
+# --------------------------------------------------------------------------
+# codec degenerate-payload guards (Spark's sequence(0, -1) is DESCENDING)
+# --------------------------------------------------------------------------
+
+
+def test_wav_decode_zero_sample_file_yields_zero_stats(spark):
+    """A canonical-header WAV with an empty data chunk is a valid file;
+    the sample fold must short-circuit to zeros, not fold sequence(0,-1)'s
+    descending [0, -1] garbage indices."""
+    import struct
+
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        wav_pcm_decode,
+    )
+
+    def wav_bytes(n_samples):
+        data = b"\x01\x00" * n_samples
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    payloads = spark.createDataFrame(
+        [(0, bytearray(wav_bytes(0))), (1, bytearray(wav_bytes(3)))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r for r in wav_pcm_decode(payloads).collect()}
+    assert got[0].n_samples == 0
+    assert (got[0].sum_amplitude, got[0].sum_abs, got[0].peak_abs) == (0, 0, 0)
+    assert got[1].n_samples == 3
+    assert got[1].sum_amplitude == 3  # three samples of value 1
+    assert got[1].peak_abs == 1
+
+
+def test_wav_roundtrip_against_stdlib_wave_module(spark, tmp_path):
+    """The relational decoder must agree with a file the stdlib `wave`
+    writer produced — proof the codec reads REAL files, not just its own
+    encoder's output."""
+    import wave
+
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        wav_pcm_decode,
+    )
+
+    path = tmp_path / "t.wav"
+    samples = [100, -200, 32767, -32768, 0, 7]
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in samples))
+    payloads = spark.createDataFrame(
+        [(0, bytearray(path.read_bytes()))], "doc_id bigint, payload binary"
+    )
+    row = wav_pcm_decode(payloads).collect()[0]
+    assert row.sample_rate == 16000
+    assert row.n_samples == len(samples)
+    assert row.sum_amplitude == sum(samples)
+    assert row.sum_abs == sum(abs(s) for s in samples)
+    assert row.peak_abs == 32768
