@@ -240,10 +240,14 @@ def ppm_p6_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFram
     def chan_sum(c: int):
         # byte value of pixel p channel c = conv(hex pair at 2*(3p+c), 16, 10);
         # the n_pixels < 1 guard keeps a degenerate 0-dim header from folding
-        # sequence(0, -1)'s descending [0, -1] garbage indices
+        # sequence(0, -1)'s descending [0, -1] garbage indices; the
+        # one-element transform binds the (collapsed, hex-of-payload)
+        # pix_hex expression ONCE per row instead of re-hexing per pixel
         return F.expr(
-            "if(n_pixels < 1, 0L, aggregate(sequence(0, cast(n_pixels as int) - 1), 0L, "
-            f"(acc, p) -> acc + cast(conv(substring(pix_hex, 2 * (3 * p + {c}) + 1, 2), 16, 10) as bigint)))"
+            "if(n_pixels < 1, 0L,"
+            " element_at(transform(array(pix_hex), pv ->"
+            " aggregate(sequence(0, cast(n_pixels as int) - 1), 0L, "
+            f"(acc, p) -> acc + cast(conv(substring(pv, 2 * (3 * p + {c}) + 1, 2), 16, 10) as bigint))), 1))"
         )
 
     out = base.select(
@@ -370,23 +374,31 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
     # struct accumulator for (sum, sum_abs, peak) — referencing the
     # already-materialized bigint is free, unlike re-parsing the hex.
     signed = "(u - if(u >= 32768, 65536, 0))"
-    # NB: Spark's sequence(0, n-1) generates a DESCENDING [0, -1] when
+    # NB1: Spark's sequence(0, n-1) generates a DESCENDING [0, -1] when
     # n = 0, so an (exotic but valid) zero-sample WAV must short-circuit
-    # to the zero accumulator instead of folding two garbage indices
+    # to the zero accumulator instead of folding two garbage indices.
+    # NB2: the one-element transform(array(hx), hv -> ...) is Spark
+    # SQL's let-binding idiom — after projection collapse `hx` is the
+    # hex(payload) EXPRESSION, and referencing it directly inside the
+    # per-sample lambda would re-hex the whole payload per sample
+    # (O(len^2) per row on real-size audio); the binding evaluates it
+    # exactly once per row.
+    zeros = (
+        "named_struct('s', cast(0 as bigint), 'sa', cast(0 as bigint),"
+        " 'pk', cast(0 as bigint))"
+    )
     stats = F.expr(
-        "if(n_samples < 1,"
-        " named_struct('s', cast(0 as bigint), 'sa', cast(0 as bigint),"
-        "  'pk', cast(0 as bigint)),"
+        f"if(n_samples < 1, {zeros},"
+        " element_at(transform(array(hx), hv ->"
         " aggregate("
         " transform(sequence(0, cast(n_samples as int) - 1), i ->"
-        "  cast(conv(concat(substring(hx, 91 + 4 * i, 2),"
-        "   substring(hx, 89 + 4 * i, 2)), 16, 10) as bigint)),"
-        " named_struct('s', cast(0 as bigint), 'sa', cast(0 as bigint),"
-        "  'pk', cast(0 as bigint)),"
+        "  cast(conv(concat(substring(hv, 91 + 4 * i, 2),"
+        "   substring(hv, 89 + 4 * i, 2)), 16, 10) as bigint)),"
+        f" {zeros},"
         " (acc, u) -> named_struct("
         f"  's', acc.s + {signed},"
         f"  'sa', acc.sa + abs({signed}),"
-        f"  'pk', greatest(acc.pk, abs({signed})))))"
+        f"  'pk', greatest(acc.pk, abs({signed}))))), 1))"
     )
     return base.select(
         "doc_id",
@@ -516,9 +528,10 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
         ).alias("marker_ok"),
         F.expr(
             "if(width * height < 1, cast(0 as bigint),"
+            " element_at(transform(array(hx), hv ->"
             " aggregate(sequence(0, width * height - 1), cast(0 as bigint),"
-            " (acc, i) -> acc + conv(substring(hx,"
-            " hh + frame_idx * sh + 12 + 2 * i + 1, 2), 16, 10)))"
+            " (acc, i) -> acc + conv(substring(hv,"
+            " hh + frame_idx * sh + 12 + 2 * i + 1, 2), 16, 10))), 1))"
         ).alias("y_sum"),
     ).select(
         "*",
