@@ -124,8 +124,10 @@ def bigram_lm_scores(
         "doc_id",
         F.explode(
             F.expr(
+                # let-bound: split once per row, not per bigram
+                "element_at(transform(array(ws), ws -> "
                 "transform(sequence(1, size(ws) - 1), "
-                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))), 1)"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -207,8 +209,10 @@ def kneser_ney_bigram_scores(
         "doc_id",
         F.explode(
             F.expr(
+                # let-bound: split once per row, not per bigram
+                "element_at(transform(array(ws), ws -> "
                 "transform(sequence(1, size(ws) - 1), "
-                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))), 1)"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
@@ -310,8 +314,10 @@ def rho_loss_selection(
             "split",
             F.explode(
                 F.expr(
+                    # let-bound: split once per row, not per bigram
+                    "element_at(transform(array(ws), ws -> "
                     "transform(sequence(1, size(ws) - 1), "
-                    "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                    "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))), 1)"
                 )
             ).alias("bg"),
         )

@@ -267,8 +267,11 @@ def kmv_source_overlap(
             "source",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ',"
-                    " element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"
+                    # let-bound: split once per row, not per shingle
+                    "element_at(transform(array(ws), ws ->"
+                    " transform(sequence(1, size(ws) - 2), i -> concat_ws(' ',"
+                    " element_at(ws, i), element_at(ws, i + 1),"
+                    " element_at(ws, i + 2)))), 1)"
                 )
             ).alias("s"),
         )
@@ -490,8 +493,10 @@ def bloom_ngrams(
             "split",
             F.explode(
                 F.expr(
+                    # let-bound: split once per row, not per gram
+                    "element_at(transform(array(ws), ws -> "
                     f"transform(sequence(0, size(ws) - {n_words}), "
-                    f"i -> md5(array_join(slice(ws, i + 1, {n_words}), ' ')))"
+                    f"i -> md5(array_join(slice(ws, i + 1, {n_words}), ' ')))), 1)"
                 )
             ).alias("g"),
         )

@@ -130,10 +130,12 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     words = F.split(norm, " ")
     shingle4 = (
+        # let-bound: normalize+split once per row, not per shingle
+        "element_at(transform(array(words), words -> "
         "CASE WHEN size(words) >= 4 THEN "
         "array_min(transform(sequence(1, size(words) - 3), "
         "i -> md5(concat_ws(' ', element_at(words, i), element_at(words, i + 1), "
-        "element_at(words, i + 2), element_at(words, i + 3))))) ELSE NULL END"
+        "element_at(words, i + 2), element_at(words, i + 3))))) ELSE NULL END), 1)"
     )
     from .dedup import spread
 
@@ -394,11 +396,13 @@ def ngram_continuations(
     n = prefix_n + 1
     idx_prefix = ", ".join(f"element_at(words, i + {k})" for k in range(prefix_n))
     pair_expr = (
+        # let-bound: split once per row, not per n-gram
+        "element_at(transform(array(words), words -> "
         f"CASE WHEN size(words) >= {n} THEN "
         f"transform(sequence(1, size(words) - {n - 1}), "
         f"i -> struct(concat_ws(' ', {idx_prefix}) AS prefix, "
         f"element_at(words, i + {prefix_n}) AS next_word)) "
-        "ELSE array() END"
+        "ELSE array() END), 1)"
     )
     pairs = docs.select(
         F.split(F.col(text_col), " ").alias("words")
@@ -481,9 +485,11 @@ def collocation_pmi(
     bigrams = words.select(
         F.explode(
             F.expr(
+                # let-bound: split once per row, not per bigram
+                "element_at(transform(array(ws), ws -> "
                 "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
                 "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
-                "ELSE array() END"
+                "ELSE array() END), 1)"
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
@@ -789,11 +795,13 @@ def nucleus_continuations(
     n = prefix_n + 1
     idx_prefix = ", ".join(f"element_at(words, i + {k})" for k in range(prefix_n))
     pair_expr = (
+        # let-bound: split once per row, not per n-gram
+        "element_at(transform(array(words), words -> "
         f"CASE WHEN size(words) >= {n} THEN "
         f"transform(sequence(1, size(words) - {n - 1}), "
         f"i -> struct(concat_ws(' ', {idx_prefix}) AS prefix, "
         f"element_at(words, i + {prefix_n}) AS next_word)) "
-        "ELSE array() END"
+        "ELSE array() END), 1)"
     )
     from pyspark.sql import Window
 
