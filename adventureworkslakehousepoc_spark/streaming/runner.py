@@ -86,11 +86,32 @@ def stage_stream_dir(*parquet_files: str) -> str:
     ``key=value`` directory components RECREATED under the staging dir —
     partition-column values live in the directory names, not the part
     files, so flattening the parts would silently drop (or mistype) the
-    partition columns (round-10 advice)."""
+    partition columns (round-10 advice). All staged inputs must share ONE
+    partition-key structure: mixing a partitioned table with a flat file
+    (or two tables with different keys) under one staging root gives Spark
+    partition discovery mixed directory depths, which it rejects or
+    mis-infers far from the cause — so that mix raises HERE with the two
+    conflicting layouts named (round-11 advice)."""
     import glob as _glob
 
     d = _tmpdir("src")
     i = 0
+    seen_layout: tuple[str, ...] | None = None
+    seen_src: str | None = None
+
+    def _check_layout(keys: tuple[str, ...], src: str) -> None:
+        nonlocal seen_layout, seen_src
+        if seen_layout is None:
+            seen_layout, seen_src = keys, src
+        elif keys != seen_layout:
+            raise ValueError(
+                "stage_stream_dir: mixed partition layouts under one staging"
+                f" root — {seen_src!r} has partition keys {list(seen_layout)}"
+                f" but {src!r} has {list(keys)}; Spark partition discovery"
+                " rejects or mis-infers mixed directory structures. Stage"
+                " each table into its own directory instead."
+            )
+
     for f in parquet_files:
         f = os.path.abspath(f)
         if os.path.isdir(f):
@@ -112,11 +133,13 @@ def stage_stream_dir(*parquet_files: str) -> str:
                     for c in os.path.relpath(os.path.dirname(part), f).split(os.sep)
                     if "=" in c
                 ]
+                _check_layout(tuple(c.split("=", 1)[0] for c in rel_dirs), f)
                 sub = os.path.join(d, *rel_dirs) if rel_dirs else d
                 os.makedirs(sub, exist_ok=True)
                 os.symlink(part, os.path.join(sub, f"batch-{i:05d}.parquet"))
                 i += 1
         else:
+            _check_layout((), f)
             os.symlink(f, os.path.join(d, f"batch-{i:05d}.parquet"))
             i += 1
     return d
