@@ -398,11 +398,15 @@ _BLOOM_WORD = 32  # bits per word row (BIGINT << 63 overflows in DuckDB)
 def _bloom_probe_idx(col: str, k: int = _BLOOM_K, m_bits: int = _BLOOM_M) -> Column:
     """Array of k bit indices for one item: consecutive 8-hex-char slices
     of md5 (32 bits each, independent enough for Bloom's FP bound) mod m —
-    deterministic and engine-portable (DuckDB replays the same slices)."""
+    deterministic and engine-portable (DuckDB replays the same slices).
+    The md5 is let-bound (one-element transform) so it folds ONCE per
+    item, not once per probe — the r12 loop-invariant HOF gate caught
+    the collapsed form re-hashing k times."""
     return F.expr(
+        f"element_at(transform(array(md5({col})), hh -> "
         f"transform(sequence(0, {k - 1}), p -> "
-        f"cast(conv(substring(md5({col}), p * 8 + 1, 8), 16, 10) as bigint)"
-        f" % {m_bits})"
+        f"cast(conv(substring(hh, p * 8 + 1, 8), 16, 10) as bigint)"
+        f" % {m_bits})), 1)"
     )
 
 
@@ -460,9 +464,11 @@ def bloom_probe_flags(
     return cands.crossJoin(F.broadcast(bm)).select(
         *[c for c in cands.columns],
         F.expr(
-            f"cast(forall(transform(sequence(0, {k - 1}), p ->"
-            f" cast(conv(substring(md5({col}), p * 8 + 1, 8), 16, 10) as bigint)"
-            f" % {m_bits}),"
+            # md5 let-bound: hashed once per item, not once per probe
+            f"cast(forall(element_at(transform(array(md5({col})), hh ->"
+            f" transform(sequence(0, {k - 1}), p ->"
+            f" cast(conv(substring(hh, p * 8 + 1, 8), 16, 10) as bigint)"
+            f" % {m_bits})), 1),"
             f" i -> (element_at(bm, cast(i div {_BLOOM_WORD} as int) + 1)"
             f" & shiftleft(cast(1 as bigint), cast(i % {_BLOOM_WORD} as int)))"
             " != 0) as int)"

@@ -55,3 +55,102 @@ def eager_checkpoint(df: DataFrame, label: str) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` with plan capture for the audit."""
     record_plan(label, df)
     return df.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Loop-invariant HOF audit (round-11 lesson, round-12 gate). Catalyst's
+# CollapseProject inlines an adjacent projection's computed column into
+# every reference — including references INSIDE a higher-order-function
+# lambda, where interpreted evaluation then re-computes the producer PER
+# ELEMENT: the codec folds were re-hexing the whole payload per sample
+# (O(len^2) per row) and every token-scale explode was re-splitting the
+# document per shingle. The fix is the one-element let-binding idiom
+# `transform(array(<producer>), v -> <body over v>)`. This audit detects
+# the BROKEN shape mechanically in a plan string: an expensive producer
+# call inside a lambdafunction body whose own arguments reference no
+# lambda variable — i.e. a loop-invariant expensive expression that
+# Catalyst will happily re-evaluate per element.
+# ---------------------------------------------------------------------------
+
+# Producers whose per-call cost is linear in their input (so per-element
+# re-evaluation multiplies a row-linear cost into row-quadratic). Cheap
+# per-call scalars (arithmetic, comparisons, element_at) are exempt.
+_EXPENSIVE_PRODUCERS = (
+    "split(",
+    "hex(",
+    "unhex(",
+    "regexp_extract(",
+    "regexp_replace(",
+    "regexp_extract_all(",
+    "sha2(",
+    "md5(",
+    "repeat(",
+    "reverse(",
+    "translate(",
+)
+
+
+def _balanced_span(text: str, open_idx: int) -> str:
+    """Return the substring of ``text`` from the '(' at ``open_idx`` through
+    its matching ')'. Plan strings never nest quotes around parens, so a
+    plain depth counter is exact."""
+    depth = 0
+    for j in range(open_idx, len(text)):
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx : j + 1]
+    return text[open_idx:]  # unbalanced tail (truncated plan) — best effort
+
+
+def find_loop_invariant_hof_calls(plan: str) -> list[str]:
+    """Scan a (logical or physical) plan string for expensive producer
+    calls that sit INSIDE a ``lambdafunction(...)`` body but whose own
+    argument subtree references no ``lambda`` variable — the exact
+    CollapseProject cost-multiplication shape SCALE.md documents. Returns
+    one snippet per offending call (deduplicated); empty list = clean.
+
+    The let-binding idiom passes by construction: in
+    ``transform(array(split(x)), v -> ...element_at(v, i)...)`` the
+    ``split`` sits in the transform's INPUT (outside every lambda body)
+    and the body's calls all reference ``lambda v``.
+
+    Scans LINE BY LINE (each plan node prints on one line) and skips
+    FileScan metadata lines (``DataFilters:`` etc.): those are
+    width-truncated mid-expression regardless of maxToStringFields,
+    and a truncated line's unbalanced parens would otherwise make one
+    lambda span swallow every node below it (observed: the quality-gate
+    Filter's pushed-down copy flagged clean projections two joins
+    away). The metadata lines only duplicate Filter/Project nodes that
+    ARE scanned in full."""
+    hits: list[str] = []
+    for line in plan.splitlines():
+        if (
+            "DataFilters:" in line
+            or "PushedFilters:" in line
+            or "PartitionFilters:" in line
+        ):
+            continue
+        pos = 0
+        while True:
+            k = line.find("lambdafunction(", pos)
+            if k < 0:
+                break
+            body = _balanced_span(line, k + len("lambdafunction"))
+            pos = k + len("lambdafunction(")  # nested lambdas scanned too
+            for fn in _EXPENSIVE_PRODUCERS:
+                j = 0
+                while True:
+                    i = body.find(fn, j)
+                    if i < 0:
+                        break
+                    args = _balanced_span(body, i + len(fn) - 1)
+                    j = i + len(fn)
+                    if "lambda " not in args:
+                        snippet = (fn + args)[:120]
+                        if snippet not in hits:
+                            hits.append(snippet)
+    return hits

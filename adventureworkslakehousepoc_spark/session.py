@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # plan-text audits (plans/audit.py, tests/test_physical.py) parse
+        # expression trees out of plan strings; the default 25-field
+        # truncation can elide the lambda bodies the loop-invariant HOF
+        # gate inspects
+        .config("spark.sql.debug.maxToStringFields", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

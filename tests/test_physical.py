@@ -175,7 +175,10 @@ def test_plan_audit_all_batch_queries(spark, sf_dir):
 
     import __spark_entry__ as entry_mod
 
-    from adventureworkslakehousepoc_spark.plans.audit import capture_plans
+    from adventureworkslakehousepoc_spark.plans.audit import (
+        capture_plans,
+        find_loop_invariant_hof_calls,
+    )
 
     qs = entry_mod.queries()
     failures = []
@@ -190,6 +193,14 @@ def test_plan_audit_all_batch_queries(spark, sf_dir):
             failures.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
             failures.append((name, "BatchEvalPython"))
+        # round-12 gate: loop-invariant expensive calls inside HOF lambdas
+        # (the CollapseProject cost-multiplication shape — see
+        # plans/audit.py and SCALE.md round 11). The optimized logical plan
+        # is the authoritative surface: CollapseProject has already run,
+        # so the inlined-producer shape is visible there.
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        for hit in find_loop_invariant_hof_calls(logical + plan):
+            failures.append((name, f"loop-invariant HOF call: {hit}"))
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Exchange SinglePartition" not in line:
@@ -221,3 +232,36 @@ def test_runtime_filter_plans_as_broadcast_semi_join(spark, sf_dir):
         .toString()
     )
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_loop_invariant_hof_gate_regression_fixture(spark, sf_dir):
+    """The loop-invariant HOF detector must flag the exact broken shape
+    SCALE.md round 11 documents (a computed producer inlined by
+    CollapseProject into a per-element lambda — re-evaluated per element,
+    O(len^2) per row) and must pass its let-bound fix. Both shapes are
+    built live so the fixture tracks Catalyst's actual plan printing."""
+    import os
+
+    from adventureworkslakehousepoc_spark.plans.audit import (
+        find_loop_invariant_hof_calls,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bad = docs.select(
+        F.expr(
+            "aggregate(sequence(1, size(split(text, ' '))), 0L,"
+            " (acc, i) -> acc + length(element_at(split(text, ' '), i)))"
+        ).alias("s")
+    )
+    bad_plan = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert find_loop_invariant_hof_calls(bad_plan), bad_plan
+
+    good = docs.select(
+        F.expr(
+            "element_at(transform(array(split(text, ' ')), ws ->"
+            " aggregate(sequence(1, size(ws)), 0L,"
+            " (acc, i) -> acc + length(element_at(ws, i)))), 1)"
+        ).alias("s")
+    )
+    good_plan = good._jdf.queryExecution().optimizedPlan().toString()
+    assert not find_loop_invariant_hof_calls(good_plan), good_plan
