@@ -37,6 +37,8 @@ __all__ = [
     "y4m_decode",
     "image_ahash_pairs",
     "image_phash_pairs",
+    "audio_fingerprint_pairs",
+    "video_phash_pairs",
     "crossmodal_pair_audit",
     "DCT_COS_MICROS",
     "DCT16_COS_MICROS",
@@ -443,12 +445,17 @@ def y4m_encode(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # frame payload hex: 3·w·h bytes per frame → 6·w·h hex chars; max
     # 5 frames × 4×4 → 480 chars ≤ 15 × 32 = 480
     frame_hex_len = (w * h * F.lit(6)).cast("int")
+    # the repeated-md5 hex stream is let-bound (one-element transform) so
+    # it folds ONCE per row — the collapsed form re-hashed and re-repeated
+    # it per frame (r12 loop-invariant HOF gate)
     frames = F.expr(
-        f"array_join(transform(sequence(1, 2 + {id_col} % 4), f ->"
+        f"element_at(transform(array(repeat(md5(encode({text_col},"
+        " 'UTF-8')), 15)), hs ->"
+        f" array_join(transform(sequence(1, 2 + {id_col} % 4), f ->"
         " concat('4652414D450A',"  # 'FRAME\n' in hex
-        f" substring(repeat(md5(encode({text_col}, 'UTF-8')), 15),"
+        f" substring(hs,"
         f" (f - 1) * (4 * (2 + {id_col} % 3) * 6) + 1,"
-        f" 4 * (2 + {id_col} % 3) * 6))), '')"
+        f" 4 * (2 + {id_col} % 3) * 6))), '')), 1)"
     )
     payload = F.concat(F.encode(header, "UTF-8"), F.unhex(frames))
     return docs.select(
@@ -986,12 +993,15 @@ def crossmodal_pair_audit(
         .select(
             "doc_id",
             "n_frames_seen",
-            # header 'YUV4MPEG2 W4 H<h> F25:1 Ip A1:1 C444\n' = 35 bytes
-            # for the 1-digit dims this corpus emits; each frame is the
-            # 6-byte marker + w*h*3 C444 payload bytes
+            # header 'YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C444\n' = 33 fixed
+            # bytes + the W/H digit runs — derived from the DECODED dims so
+            # multi-digit dimensions size-check correctly (round-11 advice;
+            # previously hardcoded 35, valid only for 1-digit dims); each
+            # frame is the 6-byte marker + w*h*3 C444 payload bytes
             F.expr(
-                "cast(byte_len = 35 + n_frames_seen * (6 + vw * vh * 3)"
-                " as int)"
+                "cast(byte_len = 33 + length(cast(vw as string))"
+                " + length(cast(vh as string))"
+                " + n_frames_seen * (6 + vw * vh * 3) as int)"
             ).alias("video_sized_ok"),
         )
     )
@@ -1026,4 +1036,336 @@ def crossmodal_pair_audit(
                 " as bigint)"
             ).alias("samples_per_word_micros"),
         )
+    )
+
+
+AUDIO_FP_FEATURES: tuple[str, ...] = ("en", "sa", "zc", "fx")
+
+
+def audio_fingerprint_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    windows: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio perceptual near-dup over the REAL WAV payloads — the audio
+    member of the modality trio's near-dup family (image has aHash +
+    pHash; this is the integer-exact analog of Chromaprint's band-energy
+    fingerprint): the PCM sample stream is DECODED through the real
+    relational codec, split into ``windows`` equal time windows, and four
+    integer band features are folded per window —
+
+      * en — energy (sum of squared samples),
+      * sa — mean-abs level (sum of |sample|),
+      * zc — zero crossings (a frequency-content proxy: sign flips
+        between consecutive samples),
+      * fx — spectral flux analog (sum of |delta| between consecutive
+        samples, i.e. high-band energy).
+
+    Bit (f*windows + w) = [feature f of window w exceeds the track's
+    per-window mean of f] — the aHash thresholding rule applied to
+    Chromaprint-style band energies, invariant to absolute gain ordering
+    and integer-deterministic (no floats, no FFT; zc/fx ARE the coarse
+    spectrum split). The (4*windows - 1)-bit fingerprint (63 at the
+    default 16 windows) is banded into ``bands`` equal-width blocks;
+    candidate pairs form ONLY inside (band_idx, band_bits) buckets —
+    pigeonhole-exact recall at ``max_hamming`` <= bands-1 (raises when
+    the threshold breaks it) — and are verified by exact
+    ``bit_count(xor)``.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <=
+    ``max_hamming``.
+
+    Scale: three materialized stages (sample array -> window features ->
+    fingerprint), each a flat projection over the PREVIOUS stage's stored
+    array — same CollapseProject discipline as ``image_phash_pairs``
+    (one collapsed projection would re-fold the sample stream per window
+    and per bit). Per-row work is linear in payload size; the bucket
+    join streams band collision lists (2^16 buckets per band at the
+    defaults), never the corpus square."""
+    n_bits = 4 * windows - 1
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall"
+            f" guarantee for {bands} bands (must be <= {bands - 1})"
+        )
+    from ..plans.audit import eager_checkpoint
+
+    enc = wav_pcm_encode(docs, text_col=text_col, id_col=id_col)
+    hx = F.hex(F.col("payload"))
+
+    def le_at(byte_off: int, n_bytes: int):
+        parts = [
+            F.substring(hx, 2 * (byte_off + i) + 1, 2)
+            for i in reversed(range(n_bytes))
+        ]
+        return F.conv(F.concat(*parts), 16, 10).cast("bigint")
+
+    ok = (
+        (F.substring(hx, 1, 8) == "52494646")
+        & (F.substring(hx, 17, 8) == "57415645")
+        & (le_at(20, 2) == 1)
+    )
+    base = enc.filter(ok).select(
+        "doc_id",
+        hx.alias("hx"),
+        (le_at(40, 4) / 2).cast("int").alias("n"),
+    )
+    # stage 1: signed 16-bit LE sample array, parsed ONCE (let-bound hex)
+    signed = "(u - if(u >= 32768, 65536, 0))"
+    ss_df = eager_checkpoint(
+        base.select(
+            "doc_id",
+            "n",
+            F.expr(
+                "if(n < 1, array(),"
+                " element_at(transform(array(hx), hv ->"
+                " transform(sequence(0, n - 1), i ->"
+                " element_at(transform(array(cast(conv(concat("
+                "  substring(hv, 91 + 4 * i, 2), substring(hv, 89 + 4 * i, 2)"
+                f" ), 16, 10) as bigint)), u -> {signed}), 1))), 1))"
+            ).alias("ss"),
+        ),
+        "audio_fp_samples",
+    )
+    # stage 2: per-window integer band features over the STORED samples
+    zeros = (
+        "named_struct('en', 0L, 'sa', 0L, 'zc', 0L, 'fx', 0L)"
+    )
+    el = "element_at(ss, cast({j} as int))"
+    e_j, e_p = el.format(j="j"), el.format(j="j - 1")
+    wf_df = eager_checkpoint(
+        ss_df.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {windows - 1}), w ->"
+                f" if((w + 1) * n div {windows} <= w * n div {windows},"
+                f" {zeros},"
+                f" aggregate(sequence(w * n div {windows} + 1,"
+                f" (w + 1) * n div {windows}), {zeros}, (acc, j) ->"
+                " named_struct("
+                f"  'en', acc.en + {e_j} * {e_j},"
+                f"  'sa', acc.sa + abs({e_j}),"
+                f"  'zc', acc.zc + if(j > w * n div {windows} + 1 and"
+                f"   (({e_p} >= 0) != ({e_j} >= 0)), 1L, 0L),"
+                f"  'fx', acc.fx + if(j > w * n div {windows} + 1,"
+                f"   abs({e_j} - {e_p}), 0L)))))"
+            ).alias("wf"),
+        ),
+        "audio_fp_window_features",
+    )
+    # stage 3: mean-threshold bits. The per-feature totals are let-bound
+    # in a one-element struct so they fold ONCE, not once per bit.
+    tot = ", ".join(
+        f"'t{f}', aggregate(wf, 0L, (a, x) -> a + x.{f})"
+        for f in AUDIO_FP_FEATURES
+    )
+    bit_terms = []
+    for k in range(n_bits):
+        f, w = AUDIO_FP_FEATURES[k // windows], k % windows
+        bit_terms.append(
+            f"if(element_at(wf, {w + 1}).{f} * {windows} > t.t{f},"
+            f" cast({1 << k} as bigint), 0L)"
+        )
+    fp = eager_checkpoint(
+        wf_df.select(
+            "doc_id",
+            F.expr(
+                f"element_at(transform(array(named_struct({tot})), t -> "
+                + " + ".join(bit_terms)
+                + "), 1)"
+            ).alias("fp"),
+        ),
+        "audio_fp_fingerprints",
+    )
+    bpb = -(-n_bits // bands)
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                " j -> struct(j AS j, (fp div shiftleft(cast(1 as bigint),"
+                f" j * {bpb})) % {1 << bpb} AS b))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", F.col("bb.j").alias("j"), F.col("bb.b").alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(fp_a ^ fp_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def video_phash_pairs(
+    docs: DataFrame,
+    grid: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video near-dup via per-frame perceptual fingerprints — the video
+    member of the modality near-dup family: every y4m frame's LUMA plane
+    is decoded from the real payload bytes, resampled to a fixed
+    ``grid`` x ``grid``, signed through the same separable integer
+    DCT-II as ``image_phash_pairs`` (shared ``dct_sign_fp_terms``
+    weight code, embedded micro-cosine literals), giving a
+    (grid^2 - 1)-bit fingerprint PER FRAME; the per-video fingerprint
+    SEQUENCE is then joined by a banded sequence-similarity rule:
+
+      * candidates — videos sharing an IDENTICAL frame fingerprint at
+        the same frame index (each (frame_idx, fp) is a bucket);
+      * verify — majority vote over the aligned frame prefix
+        (min(n_a, n_b) frames): kept iff more than half the aligned
+        frames have identical fingerprints.
+
+    Pigeonhole recall is EXACT for the majority rule: a qualifying pair
+    has >= 1 identical aligned frame, hence shares >= 1 bucket. Returns
+    (doc_a, doc_b, frames_compared, matching_frames), doc_a < doc_b.
+
+    Scale: fingerprints are three materialized stages (luma grid cells
+    -> row DCT -> frame fp), each a flat literal-weight projection over
+    the previous stage's stored array (the image_phash CollapseProject
+    discipline); the bucket join keys on (frame_idx, fp) — 2^15 buckets
+    per frame slot at grid=4, suiting the corpus's 4x2..4 frames; a
+    real-resolution corpus would pass grid=8 (63-bit frames, 2^63 key
+    space) and band each frame fp exactly as image_phash_pairs does.
+    The sequence verify moves only fingerprint arrays (<= 8 bytes per
+    frame), never pixel data."""
+    from ..plans.audit import eager_checkpoint
+
+    enc = y4m_encode(docs, text_col=text_col, id_col=id_col)
+    hx = F.hex(F.col("payload"))
+    hdr_pat = "^595556344D504547322057((?:3[0-9])+)2048((?:3[0-9])+)20"
+    wX = F.regexp_extract(hx, hdr_pat, 1)
+    hX = F.regexp_extract(hx, hdr_pat, 2)
+    dig = lambda c: F.regexp_replace(c, "3(.)", "$1").cast("int")  # noqa: E731
+    hdr_hex = F.lit(22) + F.length(wX) + F.lit(4) + F.length(hX) + F.lit(40)
+    width, height = dig(wX), dig(hX)
+    frame_hex = width * height * 6
+    stride_hex = F.lit(12) + frame_hex
+    n_frames = ((F.length(hx) - hdr_hex) / stride_hex).cast("int")
+    base = (
+        enc.select(
+            "doc_id",
+            hx.alias("hx"),
+            width.alias("w"),
+            height.alias("h"),
+            n_frames.alias("nf"),
+            hdr_hex.alias("hh"),
+            stride_hex.alias("sh"),
+        )
+        .filter(F.col("w").isNotNull() & (F.col("nf") >= 1))
+        .select(
+            "*",
+            F.explode(F.expr("sequence(0, nf - 1)")).alias("fi"),
+        )
+    )
+    # stage 1: per-frame luma resampled to the grid (nearest neighbor;
+    # luma = first w*h bytes after the 6-byte FRAME marker). The hex is
+    # let-bound so the payload is hexed once per frame row.
+    cell = (
+        "cast(conv(substring(hv, hh + fi * sh + 12"
+        f" + 2 * (((c div {grid}) * h div {grid}) * w"
+        f" + ((c % {grid}) * w div {grid})) + 1, 2), 16, 10) as bigint)"
+    )
+    gs_df = eager_checkpoint(
+        base.select(
+            "doc_id",
+            "nf",
+            "fi",
+            F.expr(
+                "element_at(transform(array(hx), hv ->"
+                f" transform(sequence(0, {grid * grid - 1}), c -> {cell})), 1)"
+            ).alias("gs"),
+        ),
+        "video_phash_gray",
+    )
+    rowdct, coefs = dct_sign_fp_terms(
+        grid, lambda n, i: f"element_at({'gs' if n == 'gr' else 'rd'}, {i})"
+    )
+    rd_df = eager_checkpoint(
+        gs_df.select(
+            "doc_id",
+            "nf",
+            "fi",
+            F.expr("array(" + ", ".join(rowdct) + ")").alias("rd"),
+        ),
+        "video_phash_rowdct",
+    )
+    fp_expr = " + ".join(
+        f"if(({c}) > 0, cast({1 << k} as bigint), cast(0 as bigint))"
+        for k, c in enumerate(coefs)
+    )
+    fp = eager_checkpoint(
+        rd_df.select("doc_id", "nf", "fi", F.expr(fp_expr).alias("fp")),
+        "video_phash_frame_fps",
+    )
+    seqs = fp.groupBy("doc_id", "nf").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(fi, fp))), s -> s.fp)"
+        ).alias("fps")
+    )
+    cands = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fi") == F.col("b.fi"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            seqs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("nf").alias("na"),
+                F.col("fps").alias("fa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            seqs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("nf").alias("nb"),
+                F.col("fps").alias("fb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(least(na, nb) as int)").alias("frames_compared"),
+            F.expr(
+                "aggregate(zip_with(slice(fa, 1, cast(least(na, nb) as int)),"
+                " slice(fb, 1, cast(least(na, nb) as int)),"
+                " (x, y) -> if(x = y, 1, 0)), 0, (acc, m) -> acc + m)"
+            ).alias("matching_frames"),
+        )
+        .filter(F.expr("2 * matching_frames > frames_compared"))
+    )
+    return verified.select(
+        "doc_a", "doc_b", "frames_compared", F.col("matching_frames").cast("int").alias("matching_frames")
     )

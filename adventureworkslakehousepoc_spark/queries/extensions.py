@@ -6895,9 +6895,17 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile_sketch(_docs(spark, sf_dir))
 
 
-@query(
-    "langid_ngram_profile",
-    """
+def _langid_oracle_sql(
+    profile_size: int = 40,
+    doc_profile_size: int = 15,
+    train_mod: int = 10,
+    train_lt: int = 5,
+) -> str:
+    """DuckDB replay of langid_ngram_profile, GENERATED from the same
+    parameters the operator call uses (round-11 advice: the constants
+    were previously hardcoded in the SQL text, so parity held only for
+    the wrapper's default arguments)."""
+    return f"""
     WITH tr AS (
       SELECT doc_id, lang, substr(text, CAST(g.i AS INTEGER), 3) AS tri
       FROM documents, unnest(generate_series(1, len(text) - 2)) AS g(i)
@@ -6909,7 +6917,7 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     train_tf AS (
       SELECT lang, tri, CAST(SUM(tf) AS BIGINT) AS cnt
-      FROM doc_tf WHERE doc_id % 10 < 5 GROUP BY 1, 2
+      FROM doc_tf WHERE doc_id % {train_mod} < {train_lt} GROUP BY 1, 2
     ),
     prof AS (
       SELECT lang AS cand_lang, tri, rl FROM (
@@ -6917,7 +6925,7 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY lang
                                   ORDER BY cnt DESC, tri) AS rl
         FROM train_tf
-      ) WHERE rl <= 40
+      ) WHERE rl <= {profile_size}
     ),
     langs AS (SELECT DISTINCT cand_lang FROM prof),
     dprof AS (
@@ -6926,11 +6934,12 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY tf DESC, tri) AS rd
         FROM doc_tf
-      ) WHERE rd <= 15
+      ) WHERE rd <= {doc_profile_size}
     ),
     scored AS (
       SELECT d.doc_id, d.lang, l.cand_lang,
-             CAST(SUM(COALESCE(abs(d.rd - p.rl), 40)) AS BIGINT) AS oop_dist
+             CAST(SUM(COALESCE(abs(d.rd - p.rl), {profile_size})) AS BIGINT)
+               AS oop_dist
       FROM dprof d CROSS JOIN langs l
       LEFT JOIN prof p ON p.cand_lang = l.cand_lang AND p.tri = d.tri
       GROUP BY 1, 2, 3
@@ -6942,8 +6951,13 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY oop_dist, cand_lang) AS rn
       FROM scored
     ) WHERE rn = 1
-    """,
-)
+    """
+
+
+_LANGID_PARAMS = dict(profile_size=40, doc_profile_size=15, train_mod=10, train_lt=5)
+
+
+@query("langid_ngram_profile", _langid_oracle_sql(**_LANGID_PARAMS))
 def langid_ngram_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-learned n-gram language ID (Cavnar-Trenkle out-of-place
     measure; operators/text_analysis.py::langid_ngram_profile): per-lang
@@ -6955,7 +6969,7 @@ def langid_ngram_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure integer arithmetic end to end."""
     from ..operators.text_analysis import langid_ngram_profile
 
-    return langid_ngram_profile(_docs(spark, sf_dir))
+    return langid_ngram_profile(_docs(spark, sf_dir), **_LANGID_PARAMS)
 
 
 def _phash_oracle_sql(grid: int = 8, bands: int = 4, max_hamming: int = 3) -> str:
@@ -7097,3 +7111,199 @@ def crossmodal_pair_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import crossmodal_pair_audit
 
     return crossmodal_pair_audit(_docs(spark, sf_dir))
+
+
+def _audio_fp_oracle_sql(
+    windows: int = 16, bands: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB replay of audio_fingerprint_pairs, GENERATED from the same
+    parameters the operator call uses (the langid round-11 advice rule):
+    the oracle rebuilds the deterministic PCM sample stream from the
+    encode spec (md5 hex, 16-bit LE, n = 32 + doc_id % 64), folds the
+    same four integer band features per window, thresholds against the
+    per-window mean, and replays the banded bucket join + exact
+    bit_count verify. The Spark side must EARN the same bits by decoding
+    the real WAV payload bytes."""
+    n_bits = 4 * windows - 1
+    bpb = -(-n_bits // bands)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, repeat(md5(text), 12) AS hs,
+             CAST(32 + doc_id % 64 AS INTEGER) AS n
+      FROM documents
+    ),
+    us AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(0, n - 1), i ->
+               CAST(('0x' || substr(hs, 4*i + 3, 2) || substr(hs, 4*i + 1, 2))
+                    AS BIGINT)) AS uu
+      FROM d
+    ),
+    sv AS (
+      SELECT doc_id, n,
+             list_transform(uu, u ->
+               u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) AS ss
+      FROM us
+    ),
+    wf AS (
+      SELECT doc_id, CAST(t.w AS INTEGER) AS w, n, ss,
+             (CAST(t.w AS INTEGER) * n) // {windows} AS lo,
+             ((CAST(t.w AS INTEGER) + 1) * n) // {windows} AS hi
+      FROM sv, unnest(generate_series(0, {windows - 1})) AS t(w)
+    ),
+    feat AS (
+      SELECT doc_id, w,
+        COALESCE(list_sum(list_transform(generate_series(lo + 1, hi),
+          j -> ss[j] * ss[j])), 0) AS en,
+        COALESCE(list_sum(list_transform(generate_series(lo + 1, hi),
+          j -> abs(ss[j]))), 0) AS sa,
+        COALESCE(list_sum(list_transform(generate_series(lo + 2, hi),
+          j -> CASE WHEN (ss[j-1] >= 0) <> (ss[j] >= 0)
+               THEN 1 ELSE 0 END)), 0) AS zc,
+        COALESCE(list_sum(list_transform(generate_series(lo + 2, hi),
+          j -> abs(ss[j] - ss[j-1]))), 0) AS fx
+      FROM wf
+    ),
+    tot AS (
+      SELECT doc_id, w, en, sa, zc, fx,
+             SUM(en) OVER (PARTITION BY doc_id) AS ten,
+             SUM(sa) OVER (PARTITION BY doc_id) AS tsa,
+             SUM(zc) OVER (PARTITION BY doc_id) AS tzc,
+             SUM(fx) OVER (PARTITION BY doc_id) AS tfx
+      FROM feat
+    ),
+    f AS (
+      SELECT doc_id, CAST(SUM(
+          (CASE WHEN en * {windows} > ten
+                THEN CAST(1 AS BIGINT) << w ELSE CAST(0 AS BIGINT) END)
+        + (CASE WHEN sa * {windows} > tsa
+                THEN CAST(1 AS BIGINT) << ({windows} + w)
+                ELSE CAST(0 AS BIGINT) END)
+        + (CASE WHEN zc * {windows} > tzc
+                THEN CAST(1 AS BIGINT) << (2 * {windows} + w)
+                ELSE CAST(0 AS BIGINT) END)
+        + (CASE WHEN w < {windows - 1} AND fx * {windows} > tfx
+                THEN CAST(1 AS BIGINT) << (3 * {windows} + w)
+                ELSE CAST(0 AS BIGINT) END)
+      ) AS BIGINT) AS fp
+      FROM tot GROUP BY 1
+    ),
+    bd AS (
+      SELECT doc_id, fp, CAST(j.j AS INTEGER) AS j,
+             (fp // (CAST(1 AS BIGINT) << (CAST(j.j AS INTEGER) * {bpb})))
+               % {1 << bpb} AS b
+      FROM f, unnest(generate_series(0, {bands - 1})) AS j(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.fp AS fa, b2.fp AS fb
+      FROM bd a JOIN bd b2
+        ON a.j = b2.j AND a.b = b2.b AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+_AUDIO_FP_PARAMS = dict(windows=16, bands=4, max_hamming=3)
+
+
+@query("audio_fingerprint_dedup", _audio_fp_oracle_sql(**_AUDIO_FP_PARAMS))
+def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup over REAL WAV payloads
+    (operators/multimodal.py::audio_fingerprint_pairs) — the audio
+    member of the modality near-dup trio (image aHash + pHash, video
+    frame-sequence): the PCM stream is decoded through the real
+    relational codec, folded into 16-window x 4-band integer features
+    (energy, level, zero crossings, flux — the integer-exact analog of
+    Chromaprint's band energies), mean-thresholded into a 63-bit
+    fingerprint, banded into 4 x 16-bit pigeonhole buckets (exact recall
+    at hamming <= 3), and verified by exact bit_count(xor)."""
+    from ..operators.multimodal import audio_fingerprint_pairs
+
+    return audio_fingerprint_pairs(_docs(spark, sf_dir), **_AUDIO_FP_PARAMS)
+
+
+def _video_phash_oracle_sql(grid: int = 4) -> str:
+    """DuckDB replay of video_phash_pairs, GENERATED from the same grid
+    parameter (and the SAME dct_sign_fp_terms weight code the Spark side
+    uses): rebuild the deterministic y4m luma stream from the encode
+    spec, per-frame grid resample -> separable integer DCT-II sign
+    fingerprint, (frame_idx, fp) bucket join, majority vote over the
+    aligned frame prefix. The Spark side must EARN the same frame
+    fingerprints by walking the real payload bytes."""
+    from ..operators.multimodal import dct_sign_fp_terms
+
+    rowdct, coefs = dct_sign_fp_terms(grid, lambda n, i: f"{n}[{i}]")
+    rd_list = "[" + ", ".join(rowdct) + "]"
+    fp_sum = " + ".join(
+        f"(CASE WHEN ({c}) > 0 THEN CAST({1 << k} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for k, c in enumerate(coefs)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, repeat(md5(text), 15) AS hs,
+             4 AS w, CAST(2 + doc_id % 3 AS INTEGER) AS h,
+             CAST(2 + doc_id % 4 AS INTEGER) AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, nf, CAST(f.f AS INTEGER) AS fi, w, h,
+             substr(hs, CAST(f.f AS INTEGER) * (w * h * 6) + 1,
+                    w * h * 2) AS lhex
+      FROM d, unnest(generate_series(0, nf - 1)) AS f(f)
+    ),
+    g4t AS (
+      SELECT doc_id, nf, fi,
+             list_transform(generate_series(0, {grid * grid - 1}),
+               c -> CAST(('0x' || substr(lhex,
+                    2 * (((c // {grid}) * h // {grid}) * w
+                         + ((c % {grid}) * w // {grid})) + 1, 2)) AS BIGINT))
+               AS gr
+      FROM fr
+    ),
+    rdt AS (SELECT doc_id, nf, fi, {rd_list} AS rd FROM g4t),
+    f AS (SELECT doc_id, nf, fi, CAST({fp_sum} AS BIGINT) AS fp FROM rdt),
+    grp AS (
+      SELECT doc_id, nf, list(fp ORDER BY fi) AS fps FROM f GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM f a JOIN f b
+        ON a.fi = b.fi AND a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(LEAST(ga.nf, gb.nf) AS INTEGER) AS frames_compared,
+             CAST(COALESCE(list_sum(list_transform(
+               generate_series(1, LEAST(ga.nf, gb.nf)),
+               i -> CASE WHEN ga.fps[i] = gb.fps[i] THEN 1 ELSE 0 END)), 0)
+               AS INTEGER) AS matching_frames
+      FROM cand c
+      JOIN grp ga ON ga.doc_id = c.doc_a
+      JOIN grp gb ON gb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, frames_compared, matching_frames
+    FROM v WHERE 2 * matching_frames > frames_compared
+    """
+
+
+_VIDEO_PHASH_PARAMS = dict(grid=4)
+
+
+@query("video_phash_dedup", _video_phash_oracle_sql(**_VIDEO_PHASH_PARAMS))
+def video_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via per-frame perceptual fingerprints
+    (operators/multimodal.py::video_phash_pairs) — closes the
+    every-modality-has-a-real-near-dup claim: each y4m frame's luma
+    plane is decoded from the real payload, grid-resampled, signed
+    through the shared separable integer DCT-II (same embedded
+    micro-cosine weight code as image pHash), and videos join on
+    identical (frame_idx, fp) buckets with a majority vote over the
+    aligned frame prefix (pigeonhole-exact recall for the majority
+    rule)."""
+    from ..operators.multimodal import video_phash_pairs
+
+    return video_phash_pairs(_docs(spark, sf_dir), **_VIDEO_PHASH_PARAMS)
