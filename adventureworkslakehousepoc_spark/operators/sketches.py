@@ -35,6 +35,9 @@ __all__ = [
     "bloom_words",
     "bloom_probe_flags",
     "bloom_decontaminate",
+    "bloom_design_check",
+    "cms_design_check",
+    "hll_design_check",
 ]
 
 
@@ -583,3 +586,75 @@ def bloom_decontaminate(
         return eager_checkpoint(out, "bloom_decontaminate_out")
     finally:
         grams.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Design-time parameter guards (round-12). The round-10 4096-bit Bloom
+# saturation was caught by a COMPOSITION, not the oracle — both engines
+# agreed on the useless all-hits answer. These analytic checks fail a bad
+# (m, k, w, d, m_registers) choice at plan-build time, before a single
+# byte is scanned; tests/test_sketch_properties.py pins each bound against
+# a pure-Python simulation of the exact md5 constructions above.
+# ---------------------------------------------------------------------------
+
+
+def bloom_design_check(
+    m_bits: int, k: int, n_items: int, max_fp: float = 0.02
+) -> float:
+    """Analytic Bloom false-positive rate (1 - e^{-kn/m})^k for the
+    planned item count; raises when it exceeds ``max_fp`` — i.e. when
+    the bitmap would silently saturate (the r10 failure mode: at
+    m=4096, n~4k grams the fill is ~98% and every probe reads as a
+    hit). Returns the expected FP rate."""
+    import math
+
+    if m_bits <= 0 or k <= 0:
+        raise ValueError("m_bits and k must be positive")
+    fill = 1.0 - math.exp(-k * n_items / m_bits)
+    fp = fill**k
+    if fp > max_fp:
+        raise ValueError(
+            f"Bloom(m={m_bits}, k={k}) saturates at n={n_items}:"
+            f" fill={fill:.1%}, expected FP {fp:.2%} > {max_fp:.2%} —"
+            " widen m_bits (m ~ 1.44 * k * n for the optimum)"
+        )
+    return fp
+
+
+def cms_design_check(
+    d: int, w: int, n_instances: int, min_heavy_count: int, max_rel_over: float = 0.5
+) -> float:
+    """Count-min noise floor: a width-``w`` row smears ~N/w spurious
+    count onto every cell, so a heavy hitter of true count C is only
+    readable when N/w << C (the min over d rows concentrates the bound
+    with failure probability ~e^-d, it does not shrink the floor).
+    Raises when the expected overestimate N/w exceeds ``max_rel_over``
+    of the smallest count the caller intends to read. Returns N/w."""
+    if d <= 0 or w <= 0:
+        raise ValueError("d and w must be positive")
+    floor = n_instances / w
+    if floor > max_rel_over * min_heavy_count:
+        raise ValueError(
+            f"CMS(d={d}, w={w}) noise floor N/w = {floor:.0f} drowns"
+            f" counts near {min_heavy_count} (allowed"
+            f" {max_rel_over:.0%}) — widen w past"
+            f" {n_instances / (max_rel_over * min_heavy_count):.0f}"
+        )
+    return floor
+
+
+def hll_design_check(m: int, target_rel_err: float = 0.15) -> float:
+    """HyperLogLog standard error 1.04/sqrt(m); raises when the chosen
+    register count cannot meet ``target_rel_err`` (and on a non-power-
+    of-two m, which breaks the bucket split). Returns the expected
+    relative error."""
+    if m < 16 or m & (m - 1) != 0:
+        raise ValueError(f"m={m} must be a power of two >= 16")
+    err = 1.04 / (m**0.5)
+    if err > target_rel_err:
+        raise ValueError(
+            f"HLL(m={m}) standard error {err:.1%} exceeds the"
+            f" {target_rel_err:.1%} target — need m >="
+            f" {int((1.04 / target_rel_err) ** 2) + 1} registers"
+        )
+    return err
