@@ -230,3 +230,37 @@ def test_stage_stream_dir_preserves_hive_partition_columns(spark, tmp_path):
         for r in spark.sql("select * from hive_stage_test").collect()
     }
     assert got == {0: 7, 1: 7, 2: 6}
+
+
+def test_stage_stream_dir_rejects_mixed_partition_layouts(spark, tmp_path):
+    """Round-12 advice fix: mixing a hive-partitioned table with a flat
+    file (or two tables with different partition keys) under one staging
+    root gives Spark partition discovery mixed directory depths, which it
+    rejects or mis-infers far from the cause — staging must raise HERE,
+    naming both layouts."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.streaming.runner import (
+        stage_stream_dir,
+    )
+
+    part = str(tmp_path / "part.parquet")
+    spark.range(6).select("id", (F.col("id") % 2).alias("pk")).write.partitionBy(
+        "pk"
+    ).parquet(part)
+    flat = str(tmp_path / "flat.parquet")
+    spark.range(4).coalesce(1).write.parquet(flat)
+
+    with _pytest.raises(ValueError, match="mixed partition layouts"):
+        stage_stream_dir(part, flat)
+
+    other = str(tmp_path / "other.parquet")
+    spark.range(6).select("id", (F.col("id") % 2).alias("qk")).write.partitionBy(
+        "qk"
+    ).parquet(other)
+    with _pytest.raises(ValueError, match="mixed partition layouts"):
+        stage_stream_dir(part, other)
+
+    # same layout still stages fine
+    assert stage_stream_dir(part, part)
