@@ -28,3 +28,29 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_compare_query_negative_controls(spark, sf_dir):
+    """The comparator must actually REJECT wrong results — guards the
+    whole 263-query parity story against a vacuous gate: a perturbed
+    value, a dropped row, and a renamed column must each fail, while
+    row order and column order must not matter (the driver's canonical
+    compare sorts both)."""
+    from tests.oracle_compare import compare_query
+
+    oracle = "SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t(k, v)"
+    good = spark.createDataFrame([(2, "y"), (1, "x")], "k int, v string")
+    ok, msg = compare_query(good.select("v", "k"), oracle, sf_dir)
+    assert ok, msg  # row/column order must be irrelevant
+
+    wrong_val = spark.createDataFrame([(1, "x"), (2, "z")], "k int, v string")
+    ok, msg = compare_query(wrong_val, oracle, sf_dir)
+    assert not ok and "value mismatch" in msg, msg
+
+    dropped = spark.createDataFrame([(1, "x")], "k int, v string")
+    ok, msg = compare_query(dropped, oracle, sf_dir)
+    assert not ok and "row count" in msg, msg
+
+    renamed = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    ok, msg = compare_query(renamed, oracle, sf_dir)
+    assert not ok and "column mismatch" in msg, msg
