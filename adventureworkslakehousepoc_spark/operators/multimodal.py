@@ -1078,11 +1078,16 @@ def audio_fingerprint_pairs(
     Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <=
     ``max_hamming``.
 
-    Scale: three materialized stages (sample array -> window features ->
-    fingerprint), each a flat projection over the PREVIOUS stage's stored
-    array — same CollapseProject discipline as ``image_phash_pairs``
-    (one collapsed projection would re-fold the sample stream per window
-    and per bit). Per-row work is linear in payload size; the bucket
+    Scale: TWO materialized stages (window features -> fingerprint). The
+    window features fold DIRECTLY from the let-bound hex — each sample
+    is parsed exactly once (the fold accumulator carries the previous
+    signed sample for zc/fx) and the decoded stream is never
+    materialized: an array staging would checkpoint ~4x the payload
+    bytes per row (20 MB/row for a 5 MB clip) with no reuse to justify
+    it — the opposite trade from image_phash, whose staged arrays are
+    re-read 64x. The feature->fingerprint barrier stays (the 63 bit
+    terms re-reference the window array; collapsed, they would re-fold
+    it per bit). Per-row work is linear in payload size; the bucket
     join streams band collision lists (2^16 buckets per band at the
     defaults), never the corpus square."""
     n_bits = 4 * windows - 1
@@ -1113,45 +1118,44 @@ def audio_fingerprint_pairs(
         hx.alias("hx"),
         (le_at(40, 4) / 2).cast("int").alias("n"),
     )
-    # stage 1: signed 16-bit LE sample array, parsed ONCE (let-bound hex)
-    signed = "(u - if(u >= 32768, 65536, 0))"
-    ss_df = eager_checkpoint(
+    # stage 1: per-window integer band features folded DIRECTLY from the
+    # hex — no decoded-sample array is ever materialized. The windows
+    # partition the sample range, so each sample is parsed exactly once
+    # (the accumulator carries the previous signed sample for zc/fx);
+    # a decoded-array staging here would checkpoint ~4x the payload
+    # bytes per row (20 MB/row for a 5 MB clip) for no reuse — the
+    # opposite trade from image_phash, whose staged arrays ARE re-read
+    # 64x. Let-bindings: hv = hex(payload) once per row; u = the parsed
+    # unsigned sample once per iteration; s = signed once per iteration.
+    zeros = "named_struct('en', 0L, 'sa', 0L, 'zc', 0L, 'fx', 0L)"
+    zeros_p = zeros[:-1] + ", 'prev', 0L)"
+    u_j = (
+        "cast(conv(concat(substring(hv, 91 + 4 * (j - 1), 2),"
+        " substring(hv, 89 + 4 * (j - 1), 2)), 16, 10) as bigint)"
+    )
+    window_fold = (
+        f"aggregate(sequence(w * n div {windows} + 1,"
+        f" (w + 1) * n div {windows}), {zeros_p}, (acc, j) ->"
+        f" element_at(transform(array({u_j}), u ->"
+        " element_at(transform(array(u - if(u >= 32768, 65536, 0)), s ->"
+        " named_struct("
+        "  'en', acc.en + s * s,"
+        "  'sa', acc.sa + abs(s),"
+        f"  'zc', acc.zc + if(j > w * n div {windows} + 1 and"
+        "   ((acc.prev >= 0) != (s >= 0)), 1L, 0L),"
+        f"  'fx', acc.fx + if(j > w * n div {windows} + 1,"
+        "   abs(s - acc.prev), 0L),"
+        "  'prev', s)), 1)), 1),"
+        " a -> named_struct('en', a.en, 'sa', a.sa, 'zc', a.zc, 'fx', a.fx))"
+    )
+    wf_df = eager_checkpoint(
         base.select(
             "doc_id",
-            "n",
             F.expr(
-                "if(n < 1, array(),"
-                " element_at(transform(array(hx), hv ->"
-                " transform(sequence(0, n - 1), i ->"
-                " element_at(transform(array(cast(conv(concat("
-                "  substring(hv, 91 + 4 * i, 2), substring(hv, 89 + 4 * i, 2)"
-                f" ), 16, 10) as bigint)), u -> {signed}), 1))), 1))"
-            ).alias("ss"),
-        ),
-        "audio_fp_samples",
-    )
-    # stage 2: per-window integer band features over the STORED samples
-    zeros = (
-        "named_struct('en', 0L, 'sa', 0L, 'zc', 0L, 'fx', 0L)"
-    )
-    el = "element_at(ss, cast({j} as int))"
-    e_j, e_p = el.format(j="j"), el.format(j="j - 1")
-    wf_df = eager_checkpoint(
-        ss_df.select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, {windows - 1}), w ->"
+                "element_at(transform(array(hx), hv ->"
+                f" transform(sequence(0, {windows - 1}), w ->"
                 f" if((w + 1) * n div {windows} <= w * n div {windows},"
-                f" {zeros},"
-                f" aggregate(sequence(w * n div {windows} + 1,"
-                f" (w + 1) * n div {windows}), {zeros}, (acc, j) ->"
-                " named_struct("
-                f"  'en', acc.en + {e_j} * {e_j},"
-                f"  'sa', acc.sa + abs({e_j}),"
-                f"  'zc', acc.zc + if(j > w * n div {windows} + 1 and"
-                f"   (({e_p} >= 0) != ({e_j} >= 0)), 1L, 0L),"
-                f"  'fx', acc.fx + if(j > w * n div {windows} + 1,"
-                f"   abs({e_j} - {e_p}), 0L)))))"
+                f" {zeros}, {window_fold}))), 1)"
             ).alias("wf"),
         ),
         "audio_fp_window_features",
@@ -1243,7 +1247,11 @@ def video_phash_pairs(
     Scale: fingerprints are three materialized stages (luma grid cells
     -> row DCT -> frame fp), each a flat literal-weight projection over
     the previous stage's stored array (the image_phash CollapseProject
-    discipline); the bucket join keys on (frame_idx, fp) — 2^15 buckets
+    discipline); all frames' cells are projected in ONE nested transform
+    over the let-bound hex BEFORE the frame fan-out, so the payload
+    never copies into per-frame rows (a 300-frame real video would
+    otherwise memcpy ~300x its payload at the scan); the bucket join
+    keys on (frame_idx, fp) — 2^15 buckets
     per frame slot at grid=4, suiting the corpus's 4x2..4 frames; a
     real-resolution corpus would pass grid=8 (63-bit frames, 2^63 key
     space) and band each frame fp exactly as image_phash_pairs does.
@@ -1262,25 +1270,24 @@ def video_phash_pairs(
     frame_hex = width * height * 6
     stride_hex = F.lit(12) + frame_hex
     n_frames = ((F.length(hx) - hdr_hex) / stride_hex).cast("int")
-    base = (
-        enc.select(
-            "doc_id",
-            hx.alias("hx"),
-            width.alias("w"),
-            height.alias("h"),
-            n_frames.alias("nf"),
-            hdr_hex.alias("hh"),
-            stride_hex.alias("sh"),
-        )
-        .filter(F.col("w").isNotNull() & (F.col("nf") >= 1))
-        .select(
-            "*",
-            F.explode(F.expr("sequence(0, nf - 1)")).alias("fi"),
-        )
-    )
-    # stage 1: per-frame luma resampled to the grid (nearest neighbor;
-    # luma = first w*h bytes after the 6-byte FRAME marker). The hex is
-    # let-bound so the payload is hexed once per frame row.
+    base = enc.select(
+        "doc_id",
+        hx.alias("hx"),
+        width.alias("w"),
+        height.alias("h"),
+        n_frames.alias("nf"),
+        hdr_hex.alias("hh"),
+        stride_hex.alias("sh"),
+    ).filter(F.col("w").isNotNull() & (F.col("nf") >= 1))
+    # stage 1: EVERY frame's luma grid cells in one nested transform over
+    # the let-bound hex, THEN a posexplode of the tiny per-frame arrays
+    # (grid^2 bigints each). Exploding the frame index FIRST would copy
+    # the whole payload hex into every frame row before the cells project
+    # it away — transient, but a 300-frame real video would memcpy ~300x
+    # its payload per scan; here the payload leaves the row before any
+    # fan-out. Nearest-neighbor resample reads only grid^2 of the w*h
+    # luma bytes per frame (luma = first w*h bytes after the 6-byte
+    # FRAME marker).
     cell = (
         "cast(conv(substring(hv, hh + fi * sh + 12"
         f" + 2 * (((c div {grid}) * h div {grid}) * w"
@@ -1290,11 +1297,14 @@ def video_phash_pairs(
         base.select(
             "doc_id",
             "nf",
-            "fi",
-            F.expr(
-                "element_at(transform(array(hx), hv ->"
-                f" transform(sequence(0, {grid * grid - 1}), c -> {cell})), 1)"
-            ).alias("gs"),
+            F.posexplode(
+                F.expr(
+                    "element_at(transform(array(hx), hv ->"
+                    " transform(sequence(0, nf - 1), fi ->"
+                    f" transform(sequence(0, {grid * grid - 1}),"
+                    f" c -> {cell}))), 1)"
+                )
+            ).alias("fi", "gs"),
         ),
         "video_phash_gray",
     )
