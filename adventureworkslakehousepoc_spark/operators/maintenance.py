@@ -17,7 +17,15 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_parquet", "with_z_value", "cluster_zorder"]
+__all__ = [
+    "compact_parquet",
+    "with_z_value",
+    "cluster_zorder",
+    "file_skipping_audit",
+    "compaction_bin_plan",
+    "dataset_fingerprints",
+    "snapshot_reconcile",
+]
 
 
 def compact_parquet(
@@ -111,3 +119,260 @@ def cluster_zorder(
     back = spark.read.parquet(tmp)
     assert back.count() == df.count()
     _swap_dirs(tmp, path)
+
+
+def file_skipping_audit(
+    df: DataFrame,
+    date_col: str,
+    key_col: str,
+    n_files: int = 32,
+    lo_pct: int = 45,
+    hi_pct: int = 55,
+) -> DataFrame:
+    """Quantify how much a date-clustered file layout lets footer min/max
+    stats skip, versus the same rows hash-scattered — the audit a 100 TB
+    table owner runs before paying for a clustering rewrite.
+
+    Two simulated layouts over the same scan:
+
+    * ``clustered``  — file = range bucket of the epoch day (what
+      ``cluster_zorder``/date-partitioned ingestion produces). Pure
+      scan-side arithmetic (no global sort / ntile — a real range
+      partitioner is how this ships at scale).
+    * ``scattered``  — file = md5 bucket of the key (what an unclustered
+      upsert-heavy table degrades to).
+
+    The probe predicate is the central ``[lo_pct, hi_pct]`` percent slice
+    of the date span (integer day arithmetic — exact in any engine). A
+    file is skippable when its [min, max] day range misses the predicate
+    interval entirely, which is precisely the parquet footer test.
+
+    Returns one row per layout: ``(layout, n_files, n_files_skipped,
+    rows_in_skipped_files, rows_total, rows_matching)``. Invariant (tested):
+    skipped files contain zero matching rows, whatever the layout.
+
+    Scale posture: ONE scan (each row explodes into its two (layout, file)
+    assignments) into one ≤2·``n_files``-key groupBy, plus a 1-row
+    broadcast of the global date bounds; output is 2 rows.
+    """
+    day = F.datediff(F.col(date_col), F.lit("1970-01-01").cast("date"))
+    bounds = df.agg(
+        F.min(day).alias("_dmin"), F.max(day).alias("_dmax")
+    )
+    base = (
+        df.select(
+            day.alias("_d"),
+            F.col(key_col).cast("string").alias("_k"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_d",
+            (
+                F.col("_dmin")
+                + F.floor(
+                    (F.col("_dmax") - F.col("_dmin")) * F.lit(lo_pct) / 100
+                )
+            ).alias("_lo"),
+            (
+                F.col("_dmin")
+                + F.floor(
+                    (F.col("_dmax") - F.col("_dmin")) * F.lit(hi_pct) / 100
+                )
+            ).alias("_hi"),
+            F.least(
+                F.lit(n_files - 1),
+                F.floor(
+                    (F.col("_d") - F.col("_dmin"))
+                    * n_files
+                    / (F.col("_dmax") - F.col("_dmin") + 1)
+                ),
+            )
+            .cast("int")
+            .alias("_f_clustered"),
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("file:"), F.col("_k"))), 1, 2), 16, 10)
+                .cast("int")
+                % n_files
+            ).alias("_f_scattered"),
+        )
+    )
+
+    # one scan: each row contributes a (layout, file) pair per layout, so
+    # both layouts aggregate from a single pass + a single ≤2·n_files-key
+    # shuffle instead of scanning the table once per layout
+    tagged = base.select(
+        "_d",
+        "_lo",
+        "_hi",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.col("_f_clustered").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    F.col("_f_scattered").alias("file_id"),
+                ),
+            )
+        ).alias("_lf"),
+    ).select("_d", "_lo", "_hi", "_lf.layout", "_lf.file_id")
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.min("_d").alias("_fmin"),
+        F.max("_d").alias("_fmax"),
+        F.count(F.lit(1)).cast("bigint").alias("_rows"),
+        F.sum(
+            F.when(
+                (F.col("_d") >= F.col("_lo")) & (F.col("_d") <= F.col("_hi")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_match"),
+        F.max("_lo").alias("_lo"),
+        F.max("_hi").alias("_hi"),
+    )
+    skipped = (F.col("_fmax") < F.col("_lo")) | (F.col("_fmin") > F.col("_hi"))
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(skipped.cast("bigint")).cast("bigint").alias("n_files_skipped"),
+        F.sum(F.when(skipped, F.col("_rows")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_in_skipped_files"),
+        F.sum("_rows").cast("bigint").alias("rows_total"),
+        F.sum("_match").cast("bigint").alias("rows_matching"),
+    )
+
+
+def compaction_bin_plan(
+    files: DataFrame,
+    partition_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Plan small-file compaction: assign each file to an output bin of
+    ~``target_bytes`` using LINEAR packing — bin = floor(cumulative-start /
+    target) in the partition's stable file order. First-fit-decreasing packs
+    marginally tighter but is inherently sequential; linear packing is a
+    window cumsum, shuffles once on the table partition key, and at 100 TB
+    that is the difference between a plan job measured in seconds and one
+    driver-bound loop over millions of file entries. Delta's OPTIMIZE file
+    binning works the same way per partition.
+
+    Returns one row per (partition, bin): ``(part_key, bin_id, n_files,
+    bin_bytes, fill_ppm)`` where ``fill_ppm`` = bin_bytes·10⁶/target as an
+    exact integer. Every bin except a partition's last holds ≥ target/2
+    by construction when no single file exceeds the target.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        F.col(partition_col).alias("part_key"),
+        F.col(order_col).alias("_ord"),
+        F.col(size_col).cast("bigint").alias("_bytes"),
+    ).withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("_bytes").over(w), F.lit(0)) / target_bytes).cast(
+            "int"
+        ),
+    )
+    return planned.groupBy("part_key", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("_bytes").cast("bigint").alias("bin_bytes"),
+        F.floor(F.sum("_bytes") * 1000000 / target_bytes)
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
+
+
+def dataset_fingerprints(
+    df: DataFrame, group_col: str, key_col: str, payload_col: str
+) -> DataFrame:
+    """Orderless content fingerprint per group: XOR of a 60-bit digest of
+    every (key, payload-digest) row. XOR is associative and commutative, so
+    the fingerprint is one partial-aggregated groupBy, independent of row
+    order, partitioning, and file layout — two copies of a 100 TB table
+    (pre/post migration, primary/replica) compare by exchanging |groups|
+    rows, and a mismatch localizes to the group. The same shape at weaker
+    guarantees is what Iceberg manifests store per data file.
+
+    Returns ``(group, n_rows, total_payload_chars, content_fingerprint)``.
+    """
+    row_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col(payload_col).cast("string")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length(F.col(payload_col))).cast("bigint").alias("total_payload_chars"),
+        F.bit_xor(row_digest).alias("content_fingerprint"),
+    )
+
+
+def snapshot_reconcile(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Classify every key across two table snapshots via ONE full-outer
+    join: ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    any compare column differs, null-safe), ``unchanged``. The standard
+    migration / backfill acceptance gate: at 100 TB it is one co-partitioned
+    shuffle on the key — never a driver-side diff — and its output is four
+    counter rows, so the expensive part is exactly one join.
+
+    Returns ``(change_class, n_rows)`` with all four classes present
+    (zero-filled) for a stable schema.
+    """
+    o = old.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    classified = o.join(n, "_k", "full_outer").select(
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_class")
+    )
+    counted = classified.groupBy("change_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    spark = old.sparkSession
+    all_classes = spark.createDataFrame(
+        [("added",), ("removed",), ("changed",), ("unchanged",)],
+        "change_class string",
+    )
+    return (
+        all_classes.join(counted, "change_class", "left")
+        .select(
+            "change_class",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+    )

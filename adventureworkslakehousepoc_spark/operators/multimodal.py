@@ -38,7 +38,9 @@ __all__ = [
     "image_ahash_pairs",
     "image_phash_pairs",
     "audio_fingerprint_pairs",
+    "video_frame_fingerprints",
     "video_phash_pairs",
+    "video_shot_boundaries",
     "crossmodal_pair_audit",
     "DCT_COS_MICROS",
     "DCT16_COS_MICROS",
@@ -1219,44 +1221,24 @@ def audio_fingerprint_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def video_phash_pairs(
+def video_frame_fingerprints(
     docs: DataFrame,
     grid: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Video near-dup via per-frame perceptual fingerprints — the video
-    member of the modality near-dup family: every y4m frame's LUMA plane
-    is decoded from the real payload bytes, resampled to a fixed
-    ``grid`` x ``grid``, signed through the same separable integer
-    DCT-II as ``image_phash_pairs`` (shared ``dct_sign_fp_terms``
-    weight code, embedded micro-cosine literals), giving a
-    (grid^2 - 1)-bit fingerprint PER FRAME; the per-video fingerprint
-    SEQUENCE is then joined by a banded sequence-similarity rule:
+    """Per-frame perceptual fingerprints from REAL y4m payloads: every
+    frame's luma plane decoded from the payload bytes, nearest-neighbor
+    resampled to ``grid``x``grid``, signed through the shared separable
+    integer DCT-II (``dct_sign_fp_terms`` — the same weight code as image
+    pHash). Returns ``(doc_id, nf, fi, fp)`` — one (grid^2 - 1)-bit bigint
+    per frame. Shared producer for ``video_phash_pairs`` (near-dup) and
+    ``video_shot_boundaries`` (temporal segmentation).
 
-      * candidates — videos sharing an IDENTICAL frame fingerprint at
-        the same frame index (each (frame_idx, fp) is a bucket);
-      * verify — majority vote over the aligned frame prefix
-        (min(n_a, n_b) frames): kept iff more than half the aligned
-        frames have identical fingerprints.
-
-    Pigeonhole recall is EXACT for the majority rule: a qualifying pair
-    has >= 1 identical aligned frame, hence shares >= 1 bucket. Returns
-    (doc_a, doc_b, frames_compared, matching_frames), doc_a < doc_b.
-
-    Scale: fingerprints are three materialized stages (luma grid cells
-    -> row DCT -> frame fp), each a flat literal-weight projection over
-    the previous stage's stored array (the image_phash CollapseProject
-    discipline); all frames' cells are projected in ONE nested transform
-    over the let-bound hex BEFORE the frame fan-out, so the payload
-    never copies into per-frame rows (a 300-frame real video would
-    otherwise memcpy ~300x its payload at the scan); the bucket join
-    keys on (frame_idx, fp) — 2^15 buckets
-    per frame slot at grid=4, suiting the corpus's 4x2..4 frames; a
-    real-resolution corpus would pass grid=8 (63-bit frames, 2^63 key
-    space) and band each frame fp exactly as image_phash_pairs does.
-    The sequence verify moves only fingerprint arrays (<= 8 bytes per
-    frame), never pixel data."""
+    Scale: three materialized stages (cells -> row DCT -> fp) per the
+    CollapseProject discipline; ALL frames' cells project in one nested
+    transform over the let-bound hex BEFORE the frame fan-out, so payload
+    bytes never copy into per-frame rows."""
     from ..plans.audit import eager_checkpoint
 
     enc = y4m_encode(docs, text_col=text_col, id_col=id_col)
@@ -1328,6 +1310,50 @@ def video_phash_pairs(
         rd_df.select("doc_id", "nf", "fi", F.expr(fp_expr).alias("fp")),
         "video_phash_frame_fps",
     )
+    return fp
+
+
+def video_phash_pairs(
+    docs: DataFrame,
+    grid: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video near-dup via per-frame perceptual fingerprints — the video
+    member of the modality near-dup family: every y4m frame's LUMA plane
+    is decoded from the real payload bytes, resampled to a fixed
+    ``grid`` x ``grid``, signed through the same separable integer
+    DCT-II as ``image_phash_pairs`` (shared ``dct_sign_fp_terms``
+    weight code, embedded micro-cosine literals), giving a
+    (grid^2 - 1)-bit fingerprint PER FRAME; the per-video fingerprint
+    SEQUENCE is then joined by a banded sequence-similarity rule:
+
+      * candidates — videos sharing an IDENTICAL frame fingerprint at
+        the same frame index (each (frame_idx, fp) is a bucket);
+      * verify — majority vote over the aligned frame prefix
+        (min(n_a, n_b) frames): kept iff more than half the aligned
+        frames have identical fingerprints.
+
+    Pigeonhole recall is EXACT for the majority rule: a qualifying pair
+    has >= 1 identical aligned frame, hence shares >= 1 bucket. Returns
+    (doc_a, doc_b, frames_compared, matching_frames), doc_a < doc_b.
+
+    Scale: fingerprints are three materialized stages (luma grid cells
+    -> row DCT -> frame fp), each a flat literal-weight projection over
+    the previous stage's stored array (the image_phash CollapseProject
+    discipline); all frames' cells are projected in ONE nested transform
+    over the let-bound hex BEFORE the frame fan-out, so the payload
+    never copies into per-frame rows (a 300-frame real video would
+    otherwise memcpy ~300x its payload at the scan); the bucket join
+    keys on (frame_idx, fp) — 2^15 buckets
+    per frame slot at grid=4, suiting the corpus's 4x2..4 frames; a
+    real-resolution corpus would pass grid=8 (63-bit frames, 2^63 key
+    space) and band each frame fp exactly as image_phash_pairs does.
+    The sequence verify moves only fingerprint arrays (<= 8 bytes per
+    frame), never pixel data."""
+    fp = video_frame_fingerprints(
+        docs, grid=grid, text_col=text_col, id_col=id_col
+    )
     seqs = fp.groupBy("doc_id", "nf").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(fi, fp))), s -> s.fp)"
@@ -1378,4 +1404,63 @@ def video_phash_pairs(
     )
     return verified.select(
         "doc_a", "doc_b", "frames_compared", F.col("matching_frames").cast("int").alias("matching_frames")
+    )
+
+
+def video_shot_boundaries(
+    docs: DataFrame,
+    grid: int = 4,
+    hamming_threshold: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shot-boundary (cut) detection over REAL y4m payloads: consecutive
+    frames' perceptual fingerprints (shared ``video_frame_fingerprints``
+    producer — the same DCT-II sign hash the near-dup join buckets on)
+    compare by Hamming distance; a jump > ``hamming_threshold`` bits marks
+    a cut, the temporal segmentation primitive a video training pipeline
+    runs before per-shot sampling/dedup (a shot is the natural dedup unit:
+    near-identical frames WITHIN a shot carry no new signal).
+
+    Returns one row per video: ``(doc_id, n_frames, n_shots,
+    max_cut_hamming, mean_cut_hamming_ppm)`` where n_shots = 1 + #cuts
+    (a 1-frame video is one shot) and the mean is over the n_frames - 1
+    consecutive-frame comparisons, micro-quantized exact.
+
+    Scale posture: the window is per-video (partitioned lag over frame
+    index — no global ordering), moving only ≤8-byte fingerprints; the
+    payload never leaves the fingerprint producer's scan stage.
+    """
+    from pyspark.sql import Window
+
+    fp = video_frame_fingerprints(docs, grid=grid, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("doc_id").orderBy("fi")
+    stepped = fp.withColumn(
+        "_ham",
+        F.bit_count(
+            F.col("fp").bitwiseXOR(F.lag("fp").over(w))
+        ).cast("int"),
+    )
+    return (
+        stepped.groupBy("doc_id")
+        .agg(
+            F.max("nf").cast("int").alias("n_frames"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.col("_ham") > hamming_threshold, 1).otherwise(0)
+                )
+            )
+            .cast("int")
+            .alias("n_shots"),
+            F.coalesce(F.max("_ham"), F.lit(0)).cast("int").alias("max_cut_hamming"),
+            F.coalesce(
+                F.floor(
+                    F.sum("_ham") * 1000000 / F.count("_ham")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mean_cut_hamming_ppm"),
+        )
     )

@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_audit"]
+__all__ = ["k_anonymity_audit", "dp_noisy_group_counts"]
 
 
 def k_anonymity_audit(
@@ -46,3 +46,49 @@ def k_anonymity_audit(
     out = df.groupBy(*keys).agg(*aggs)
     out = out.withColumn("at_risk", F.col("group_size") < k)
     return out
+
+
+def dp_noisy_group_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp42",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism,
+    with DETERMINISTIC noise so the operator is replayable and
+    oracle-testable: the Laplace draw is inverse-CDF over an md5-derived
+    uniform of the GROUP KEY (53-bit mantissa), not an RNG. A count query
+    has L1 sensitivity 1, so the noise scale is 1/ε.
+
+    noise = -(1/ε)·sign(u)·ln(1 − 2|u|),  u = H(seed, key) − ½ ∈ [−½, ½)
+
+    The ln term is micro-quantized (⌊x·10⁶ + ½⌋) before re-scaling so the
+    result is bit-identical across engines regardless of libm ulp drift.
+    Returns ``(group cols…, n_true, n_noisy, epsilon)``; a production
+    release drops ``n_true`` — it is kept here because this operator's
+    job in the suite is to make the mechanism auditable.
+
+    Scale posture: one partial-aggregated groupBy; the noise is a scalar
+    expression over the |groups|-row result. Nothing else moves.
+    """
+    keys = [F.col(c) for c in group_cols]
+    counted = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), key_str)), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 52))
+    u = h - F.lit(0.5)
+    raw = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(u)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - 2.0 * F.abs(u)))
+    )
+    noise_micro = F.floor(raw * 1e6 + F.lit(0.5)).cast("bigint")
+    return counted.select(
+        *group_cols,
+        "n_true",
+        (F.col("n_true") + noise_micro / F.lit(1e6)).alias("n_noisy"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

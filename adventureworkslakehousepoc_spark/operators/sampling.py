@@ -26,6 +26,7 @@ __all__ = [
     "mixture_resample_summary",
     "shuffle_assignment",
     "weighted_systematic_sample",
+    "weighted_reservoir_sample",
     "doremi_domain_weights",
 ]
 
@@ -587,3 +588,55 @@ def doremi_domain_weights(
             " div cast(1000000 as bigint)"
         ).alias("weight_micros"),
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    seed: str = "ares42",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the A-Res
+    reservoir key (Efraimidis–Spirakis): every row draws a deterministic
+    md5 uniform u and the k largest u^(1/w) win — one pass, no total-weight
+    pre-aggregation, which is the property that matters on an unbounded
+    stream or a 100 TB scan (``weighted_systematic_sample`` needs the
+    global prefix sum; this needs only a per-group top-k).
+
+    Keys compare in log space (ln u / w, monotone in u^(1/w)) and are
+    micro-quantized to 10⁻⁶ before ranking with an ``id`` tiebreak, so the
+    ordering is reproducible across engines regardless of libm ulp drift.
+
+    Returns ``(group, id, weight, key_micro, rank)``, rank 1..k by
+    descending key. Scale posture: per-group top-k through the two-phase
+    ``grouped_topk`` idiom — a pre-rank within (group, input-partition)
+    bounds every group's shuffle contribution to k rows per partition, so
+    one hot group cannot funnel the scan into one task.
+    """
+    from .similarity import grouped_topk
+
+    base = df.select(
+        F.col(group_col).alias("group_key"),
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("bigint").alias("weight"),
+    ).filter(F.col("weight") > 0)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col("id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(1 << 52))
+    # u in [0, 1): guard the measure-zero u=0 edge before ln
+    key = F.log(F.greatest(u, F.lit(1e-18))) / F.col("weight")
+    scored = base.withColumn(
+        "key_micro", F.floor(key * F.lit(1e6)).cast("bigint")
+    )
+    return grouped_topk(
+        scored,
+        group_cols=["group_key"],
+        k=k,
+        order=[F.desc("key_micro"), F.asc("id")],
+    ).select("group_key", "id", "weight", "key_micro", F.col("rank").cast("int").alias("rank"))

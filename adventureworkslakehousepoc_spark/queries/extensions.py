@@ -7225,14 +7225,12 @@ def audio_fingerprint_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_pairs(_docs(spark, sf_dir), **_AUDIO_FP_PARAMS)
 
 
-def _video_phash_oracle_sql(grid: int = 4) -> str:
-    """DuckDB replay of video_phash_pairs, GENERATED from the same grid
-    parameter (and the SAME dct_sign_fp_terms weight code the Spark side
-    uses): rebuild the deterministic y4m luma stream from the encode
-    spec, per-frame grid resample -> separable integer DCT-II sign
-    fingerprint, (frame_idx, fp) bucket join, majority vote over the
-    aligned frame prefix. The Spark side must EARN the same frame
-    fingerprints by walking the real payload bytes."""
+def _video_frame_fp_ctes(grid: int = 4) -> str:
+    """Shared DuckDB CTE prefix rebuilding the per-frame DCT-sign
+    fingerprints from the y4m encode spec (GENERATED from the same
+    dct_sign_fp_terms weight code the Spark side uses) — ends with CTE
+    ``f(doc_id, nf, fi, fp)``. Shared by the video near-dup and
+    shot-boundary oracles."""
     from ..operators.multimodal import dct_sign_fp_terms
 
     rowdct, coefs = dct_sign_fp_terms(grid, lambda n, i: f"{n}[{i}]")
@@ -7265,7 +7263,19 @@ def _video_phash_oracle_sql(grid: int = 4) -> str:
       FROM fr
     ),
     rdt AS (SELECT doc_id, nf, fi, {rd_list} AS rd FROM g4t),
-    f AS (SELECT doc_id, nf, fi, CAST({fp_sum} AS BIGINT) AS fp FROM rdt),
+    f AS (SELECT doc_id, nf, fi, CAST({fp_sum} AS BIGINT) AS fp FROM rdt)
+    """
+
+
+def _video_phash_oracle_sql(grid: int = 4) -> str:
+    """DuckDB replay of video_phash_pairs, GENERATED from the same grid
+    parameter (and the SAME dct_sign_fp_terms weight code the Spark side
+    uses): shared frame-fingerprint CTEs (_video_frame_fp_ctes), then the
+    (frame_idx, fp) bucket join and majority vote over the aligned frame
+    prefix. The Spark side must EARN the same frame fingerprints by
+    walking the real payload bytes."""
+    return f"""
+    {_video_frame_fp_ctes(grid)},
     grp AS (
       SELECT doc_id, nf, list(fp ORDER BY fi) AS fps FROM f GROUP BY 1, 2
     ),
@@ -7290,6 +7300,8 @@ def _video_phash_oracle_sql(grid: int = 4) -> str:
     """
 
 
+
+
 _VIDEO_PHASH_PARAMS = dict(grid=4)
 
 
@@ -7307,3 +7319,521 @@ def video_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_phash_pairs
 
     return video_phash_pairs(_docs(spark, sf_dir), **_VIDEO_PHASH_PARAMS)
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance / migration operators (round 12): data-skipping audit,
+# compaction planning, content fingerprints, snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+
+_FILE_SKIP_PARAMS = dict(n_files=32, lo_pct=45, hi_pct=55)
+
+
+def _file_skip_oracle_sql(n_files: int, lo_pct: int, hi_pct: int) -> str:
+    """DuckDB replay of maintenance.file_skipping_audit over orders —
+    generated from the SAME layout parameters the Spark wrapper passes."""
+    per_layout = lambda name, fcol: f"""
+      SELECT '{name}' AS layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN fmax < lo OR fmin > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files_skipped,
+             CAST(SUM(CASE WHEN fmax < lo OR fmin > hi THEN nrows ELSE 0 END) AS BIGINT)
+               AS rows_in_skipped_files,
+             CAST(SUM(nrows) AS BIGINT) AS rows_total,
+             CAST(SUM(nmatch) AS BIGINT) AS rows_matching
+      FROM (
+        SELECT {fcol} AS f, MIN(d) AS fmin, MAX(d) AS fmax,
+               COUNT(*) AS nrows,
+               SUM(CASE WHEN d BETWEEN lo AND hi THEN 1 ELSE 0 END) AS nmatch,
+               MAX(lo) AS lo, MAX(hi) AS hi
+        FROM base GROUP BY 1
+      )"""
+    return f"""
+    WITH b AS (
+      SELECT MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmin,
+             MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmax
+      FROM orders
+    ),
+    base AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             b.dmin + CAST(FLOOR((b.dmax - b.dmin) * {lo_pct} / 100) AS BIGINT) AS lo,
+             b.dmin + CAST(FLOOR((b.dmax - b.dmin) * {hi_pct} / 100) AS BIGINT) AS hi,
+             CAST(LEAST({n_files - 1},
+                  FLOOR((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - b.dmin)
+                        * {n_files} / (b.dmax - b.dmin + 1))) AS INTEGER) AS f_clustered,
+             CAST(('0x' || substr(md5('file:' || CAST(o_orderkey AS VARCHAR)), 1, 2))
+                  AS INTEGER) % {n_files} AS f_scattered
+      FROM orders, b
+    )
+    {per_layout("clustered", "f_clustered")}
+    UNION ALL
+    {per_layout("scattered", "f_scattered")}
+    """
+
+
+@query("file_skipping_audit", _file_skip_oracle_sql(**_FILE_SKIP_PARAMS))
+def file_skipping_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit
+    (operators/maintenance.py::file_skipping_audit): the same orders scan
+    bucketed into a date-clustered layout vs an md5-scattered one, each
+    file's [min, max] day range tested against a central-decile predicate
+    exactly as a parquet footer would be. At 100 TB this 2-row report is
+    the evidence for (or against) paying for a clustering rewrite —
+    clustered layouts skip ~90 % of files here, scattered ones skip none."""
+    from ..operators.maintenance import file_skipping_audit
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return file_skipping_audit(
+        orders, "o_orderdate", "o_orderkey", **_FILE_SKIP_PARAMS
+    )
+
+
+_COMPACTION_PARAMS = dict(file_mod=37, target_bytes=1200)
+
+
+def _compaction_oracle_sql(file_mod: int, target_bytes: int) -> str:
+    return f"""
+    WITH f AS (
+      SELECT source AS part_key, doc_id % {file_mod} AS ord,
+             CAST(SUM(length(text)) AS BIGINT) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT part_key, ord, bytes,
+             COALESCE(SUM(bytes) OVER (PARTITION BY part_key ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM f
+    )
+    SELECT part_key,
+           CAST(FLOOR(cumb / {target_bytes}) AS INTEGER) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(FLOOR(SUM(bytes) * 1000000 / {target_bytes}) AS BIGINT) AS fill_ppm
+    FROM c GROUP BY 1, 2
+    """
+
+
+@query("compaction_bin_plan", _compaction_oracle_sql(**_COMPACTION_PARAMS))
+def compaction_bin_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner
+    (operators/maintenance.py::compaction_bin_plan): a simulated file
+    inventory (one entry per (source, doc_id mod 37) group, sized by text
+    bytes) linearly packed into ~target-byte output bins with one window
+    cumsum per table partition — the distributed shape of Delta OPTIMIZE's
+    per-partition file binning, with no driver-side loop over file lists."""
+    from ..operators.maintenance import compaction_bin_plan
+
+    docs = _docs(spark, sf_dir)
+    files = docs.groupBy(
+        F.col("source"),
+        (F.col("doc_id") % _COMPACTION_PARAMS["file_mod"]).alias("file_idx"),
+    ).agg(F.sum(F.length("text")).cast("bigint").alias("bytes"))
+    return compaction_bin_plan(
+        files,
+        partition_col="source",
+        order_col="file_idx",
+        size_col="bytes",
+        target_bytes=_COMPACTION_PARAMS["target_bytes"],
+    )
+
+
+@query(
+    "dataset_fingerprint_manifest",
+    """
+    SELECT source AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS total_payload_chars,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15))
+                        AS BIGINT)) AS content_fingerprint
+    FROM documents GROUP BY 1
+    """,
+)
+def dataset_fingerprint_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless per-source content fingerprint
+    (operators/maintenance.py::dataset_fingerprints): XOR-fold of a 60-bit
+    digest of every (doc_id, text-digest) row. Associative + commutative ⇒
+    one partial-aggregated groupBy whose result is independent of row
+    order, partitioning, and file layout — two copies of a 100 TB corpus
+    compare by exchanging |sources| rows, and a mismatch localizes to the
+    source."""
+    from ..operators.maintenance import dataset_fingerprints
+
+    return dataset_fingerprints(
+        _docs(spark, sf_dir), group_col="source", key_col="doc_id", payload_col="text"
+    )
+
+
+@query(
+    "snapshot_full_outer_reconcile",
+    """
+    WITH oldsnap AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS p,
+             o_orderstatus AS s
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    newsnap AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT CASE WHEN oldsnap.k IS NULL THEN 'added'
+                  WHEN newsnap.k IS NULL THEN 'removed'
+                  WHEN oldsnap.p IS DISTINCT FROM newsnap.p
+                       OR oldsnap.s IS DISTINCT FROM newsnap.s THEN 'changed'
+                  ELSE 'unchanged' END AS change_class
+      FROM oldsnap FULL OUTER JOIN newsnap ON oldsnap.k = newsnap.k
+    ),
+    classes AS (
+      SELECT unnest(['added', 'removed', 'changed', 'unchanged']) AS change_class
+    )
+    SELECT c.change_class, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_rows
+    FROM classes c
+    LEFT JOIN (SELECT change_class, COUNT(*) AS cnt FROM j GROUP BY 1) g
+      USING (change_class)
+    """,
+)
+def snapshot_full_outer_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via one full-outer join
+    (operators/maintenance.py::snapshot_reconcile) — the migration /
+    backfill acceptance gate. Old snapshot = orders minus every 11th key
+    with a +1.0 price perturbation on every 7th key; new snapshot = orders
+    minus every 13th key; every key classifies as added / removed /
+    changed / unchanged (null-safe compare), aggregated to four counter
+    rows. One co-partitioned shuffle on the key — never a driver diff."""
+    from ..operators.maintenance import snapshot_reconcile
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    oldsnap = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    newsnap = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return snapshot_reconcile(
+        oldsnap, newsnap, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 batch 2: DP release, reservoir sampling, survival analysis,
+# experimentation, embedding ablation, video temporal segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_group_counts",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT *,
+             CAST(('0x' || substr(md5('dp42:' || source || '|' || lang), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS h
+      FROM c
+    )
+    SELECT source, lang, n_true,
+           n_true + CAST(FLOOR(
+               -1.0 * sign(h - 0.5)
+               * ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(h - 0.5)))
+               * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS n_noisy,
+           1.0 AS epsilon
+    FROM n
+    """,
+)
+def dp_noisy_group_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP Laplace-mechanism group counts
+    (operators/privacy.py::dp_noisy_group_counts) — the privacy-preserving
+    RELEASE side of the privacy family (k_anonymity_audit is the screen):
+    sensitivity-1 count query, deterministic inverse-CDF Laplace noise
+    from an md5 uniform of the group key, micro-quantized for engine-exact
+    replay. n_true stays in the output because this row's job is to make
+    the mechanism auditable."""
+    from ..operators.privacy import dp_noisy_group_counts
+
+    return dp_noisy_group_counts(
+        _docs(spark, sf_dir), ["source", "lang"], epsilon=1.0
+    )
+
+
+@query(
+    "weighted_reservoir_sample",
+    """
+    WITH s AS (
+      SELECT source AS group_key, doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(FLOOR(
+               ln(GREATEST(
+                 CAST(('0x' || substr(md5('ares42:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) / 4503599627370496.0,
+                 1e-18)) / n_chars * 1000000.0) AS BIGINT) AS key_micro
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY group_key ORDER BY key_micro DESC, id) AS rank
+      FROM s
+    )
+    SELECT group_key, id, weight, key_micro, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def weighted_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted reservoir sampling, k=10 per source
+    (operators/sampling.py::weighted_reservoir_sample) — weighted
+    WITHOUT-replacement sampling in one pass with no total-weight
+    pre-aggregation (the streaming/100 TB counterpart to
+    weighted_systematic_sample's exact global prefix sum); per-group
+    top-k by the log-space Efraimidis–Spirakis key, micro-quantized."""
+    from ..operators.sampling import weighted_reservoir_sample
+
+    return weighted_reservoir_sample(
+        _docs(spark, sf_dir), group_col="source", weight_col="n_chars", k=10
+    )
+
+
+@query(
+    "kaplan_meier_churn",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS lt,
+             CAST(MAX(ts) AS DATE) AS last_day
+      FROM events GROUP BY 1
+    ),
+    hz AS (SELECT MAX(last_day) - 7 AS cutoff FROM pu),
+    mk AS (
+      SELECT lt, CASE WHEN last_day <= cutoff THEN 1 ELSE 0 END AS churned
+      FROM pu, hz
+    ),
+    lt AS (
+      SELECT lt AS t, CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(SUM(1 - churned) AS BIGINT) AS c
+      FROM mk GROUP BY 1
+    ),
+    tot AS (SELECT SUM(d + c) AS n_total FROM lt),
+    risk AS (
+      SELECT t, d, c,
+             CAST(n_total - COALESCE(SUM(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_at_risk
+      FROM lt, tot
+    ),
+    terms AS (
+      SELECT *,
+             CAST(FLOOR(ln(GREATEST(1e-12, 1.0 - d / n_at_risk))
+                  * 1000000000.0) AS BIGINT) AS term_ppb
+      FROM risk
+    ),
+    surv AS (
+      SELECT t, n_at_risk, d, c,
+             CAST(SUM(term_ppb) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS log_survival_ppb
+      FROM terms
+    )
+    SELECT CAST(t AS INTEGER) AS lifetime_days, n_at_risk,
+           d AS n_churned, c AS n_censored, log_survival_ppb,
+           FLOOR(EXP(log_survival_ppb / 1000000000.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS survival_ppm
+    FROM surv
+    """,
+)
+def kaplan_meier_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over per-user activity lifetimes
+    (operators/temporal.py::kaplan_meier_lifetimes) — churn curve with
+    right-censoring (users active within 7 days of the corpus edge are
+    censored, not churned); the survival product is carried as an exact
+    integer log-space sum, with the prefix sums as broadcast non-equi
+    self-joins on the tiny lifetime table (no global window)."""
+    from ..operators.temporal import kaplan_meier_lifetimes
+
+    return kaplan_meier_lifetimes(_events(spark, sf_dir))
+
+
+@query(
+    "cuped_adjusted_lift",
+    """
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS dmin,
+             MAX(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS dmax
+      FROM events
+    ),
+    cut AS (
+      SELECT dmin + CAST(FLOOR((dmax - dmin) / 2) AS BIGINT) AS cut_day FROM b
+    ),
+    pu AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN d < cut_day THEN vm ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN d >= cut_day THEN vm ELSE 0 END) AS BIGINT) AS y
+      FROM (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM events
+      ), cut
+      GROUP BY 1
+    ),
+    armd AS (
+      SELECT *,
+             CASE WHEN CAST(('0x' || substr(md5('exp42:' || CAST(user_id AS VARCHAR)), 1, 1))
+                       AS INTEGER) < 8
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM pu
+    ),
+    m AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+      FROM armd GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS pn, CAST(SUM(sx) AS DOUBLE) AS psx,
+             CAST(SUM(sy) AS DOUBLE) AS psy, CAST(SUM(sxy) AS DOUBLE) AS psxy,
+             CAST(SUM(sxx) AS DOUBLE) AS psxx, CAST(SUM(syy) AS DOUBLE) AS psyy
+      FROM m
+    ),
+    arms AS (
+      SELECT MAX(CASE WHEN arm = 'treatment' THEN CAST(n AS DOUBLE) END) AS tn,
+             MAX(CASE WHEN arm = 'treatment' THEN CAST(sx AS DOUBLE) END) AS tsx,
+             MAX(CASE WHEN arm = 'treatment' THEN CAST(sy AS DOUBLE) END) AS tsy,
+             MAX(CASE WHEN arm = 'control' THEN CAST(n AS DOUBLE) END) AS cn,
+             MAX(CASE WHEN arm = 'control' THEN CAST(sx AS DOUBLE) END) AS csx,
+             MAX(CASE WHEN arm = 'control' THEN CAST(sy AS DOUBLE) END) AS csy
+      FROM m
+    )
+    SELECT CAST(tn AS BIGINT) AS n_treatment,
+           CAST(cn AS BIGINT) AS n_control,
+           (pn * psxy - psx * psy) / (pn * psxx - psx * psx) AS theta,
+           (tsy / tn - csy / cn) / 1000000.0 AS lift_raw,
+           (tsy / tn - csy / cn
+            - ((pn * psxy - psx * psy) / (pn * psxx - psx * psx))
+              * (tsx / tn - csx / cn)) / 1000000.0 AS lift_cuped,
+           CAST(FLOOR((pn * psxy - psx * psy) * (pn * psxy - psx * psy)
+                / (pn * psxx - psx * psx) / (pn * psyy - psy * psy)
+                * 1000000.0 + 0.5) AS BIGINT) AS var_reduction_ppm
+    FROM arms, pooled
+    """,
+)
+def cuped_adjusted_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift over the event log
+    (operators/experiments.py::cuped_adjusted_lift): deterministic
+    hash-bucketed 50/50 assignment, pre/post split at the observed day-span
+    midpoint, θ from pooled exact DECIMAL(38,0) moments, raw vs adjusted
+    lift plus the achieved variance-reduction (ρ², ppm) in one row."""
+    from ..operators.experiments import cuped_adjusted_lift
+
+    return cuped_adjusted_lift(_events(spark, sf_dir))
+
+
+_DIM_ABLATION_PARAMS = dict(dims=(4, 8, 16), full_dim=64, k=5, query_mod=10)
+
+
+def _dim_ablation_oracle_sql(dims, full_dim, k, query_mod) -> str:
+    all_dims = ", ".join(str(d) for d in list(dims) + [full_dim])
+
+    def dot(x, y):
+        return (
+            f"list_dot_product(CAST(list_slice({x}, 1, t.d) AS DOUBLE[]),"
+            f" CAST(list_slice({y}, 1, t.d) AS DOUBLE[]))"
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % {query_mod} = 0
+    ),
+    p AS (
+      SELECT e.vec_id, e.embedding AS em, q.qid, q.qe
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    sc AS (
+      SELECT t.d AS dim, qid, vec_id,
+             FLOOR({dot("em", "qe")}
+               / GREATEST(sqrt({dot("em", "em")}) * sqrt({dot("qe", "qe")}),
+                          CAST(1e-18 AS DOUBLE))
+               * 1000000 + 0.5) / 1000000.0 AS score
+      FROM p, (SELECT unnest([{all_dims}]) AS d) t
+    ),
+    tk AS (
+      SELECT dim, qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY dim, qid ORDER BY score DESC, vec_id) AS rn
+        FROM sc
+      ) WHERE rn <= {k}
+    ),
+    tr AS (SELECT qid, vec_id FROM tk WHERE dim = {full_dim}),
+    h AS (
+      SELECT tk.dim, COUNT(DISTINCT tk.qid) AS nq,
+             SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS m
+      FROM tk LEFT JOIN tr ON tk.qid = tr.qid AND tk.vec_id = tr.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, CAST(nq AS BIGINT) AS n_queries,
+           CAST(FLOOR(m * 1000000 / ({k} * nq)) AS BIGINT) AS avg_recall_ppm
+    FROM h
+    """
+
+
+@query("embedding_dim_ablation", _dim_ablation_oracle_sql(**_DIM_ABLATION_PARAMS))
+def embedding_dim_ablation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall ablation
+    (operators/similarity.py::dim_ablation_recall): exact-cosine recall@5
+    of 4/8/16-dim prefixes against the 64-dim truth over a hash-picked
+    query set — the measurement that prices a truncated (4× cheaper)
+    index before shipping it. Full-dim row reads 1.0 by construction."""
+    from ..operators.similarity import dim_ablation_recall
+
+    return dim_ablation_recall(_emb(spark, sf_dir), **_DIM_ABLATION_PARAMS)
+
+
+_SHOT_PARAMS = dict(grid=4, hamming_threshold=4)
+
+
+def _shot_oracle_sql(grid: int, hamming_threshold: int) -> str:
+    return f"""
+    {_video_frame_fp_ctes(grid)},
+    lagd AS (
+      SELECT doc_id, nf, fi, fp,
+             lag(fp) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+      FROM f
+    ),
+    h AS (
+      SELECT doc_id, nf,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE bit_count(xor(fp, prev)) END AS ham
+      FROM lagd
+    )
+    SELECT doc_id, CAST(MAX(nf) AS INTEGER) AS n_frames,
+           CAST(1 + SUM(CASE WHEN ham > {hamming_threshold} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_shots,
+           CAST(COALESCE(MAX(ham), 0) AS INTEGER) AS max_cut_hamming,
+           CAST(COALESCE(FLOOR(SUM(ham) * 1000000 / COUNT(ham)), 0)
+                AS BIGINT) AS mean_cut_hamming_ppm
+    FROM h GROUP BY 1
+    """
+
+
+@query("video_shot_boundaries", _shot_oracle_sql(**_SHOT_PARAMS))
+def video_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL y4m payloads
+    (operators/multimodal.py::video_shot_boundaries): consecutive-frame
+    Hamming jumps of the shared DCT-sign frame fingerprints
+    (video_frame_fingerprints — same producer as the near-dup join) mark
+    cuts; per-video shot counts are the temporal segmentation a video
+    pipeline runs before per-shot sampling/dedup."""
+    from ..operators.multimodal import video_shot_boundaries
+
+    return video_shot_boundaries(_docs(spark, sf_dir), **_SHOT_PARAMS)

@@ -230,6 +230,16 @@ EXTRA_QUERIES = [
     # round-12 operators
     "audio_fingerprint_dedup",
     "video_phash_dedup",
+    "file_skipping_audit",
+    "compaction_bin_plan",
+    "dataset_fingerprint_manifest",
+    "snapshot_full_outer_reconcile",
+    "dp_noisy_group_counts",
+    "weighted_reservoir_sample",
+    "kaplan_meier_churn",
+    "cuped_adjusted_lift",
+    "embedding_dim_ablation",
+    "video_shot_boundaries",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

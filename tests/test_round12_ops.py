@@ -143,3 +143,290 @@ def test_video_prefix_alignment_pairs_different_lengths(spark):
         for r in video_phash_pairs(_docs(spark, rows)).collect()
     }
     assert out.get((4, 13)) == (2, 2), out
+
+
+# --------------------------------------------------------------------------
+# maintenance: file_skipping_audit / compaction_bin_plan /
+# dataset_fingerprints / snapshot_reconcile
+# --------------------------------------------------------------------------
+
+
+def test_file_skipping_clustered_beats_scattered(spark):
+    """Date-clustered files MUST skip under a central date predicate while
+    the match count is layout-invariant (the predicate never changes —
+    only which files the footer test can prove empty of it)."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        file_skipping_audit,
+    )
+
+    rows = [
+        (k, dt.datetime(2023, 1, 1) + dt.timedelta(days=k % 365))
+        for k in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d timestamp")
+    out = {
+        r.layout: r
+        for r in file_skipping_audit(df, "d", "k", n_files=16).collect()
+    }
+    c, s = out["clustered"], out["scattered"]
+    assert c.rows_total == s.rows_total == 2000
+    assert c.rows_matching == s.rows_matching > 0
+    assert c.n_files_skipped > s.n_files_skipped
+    assert c.n_files_skipped >= 12  # ~10% predicate over 16 range files
+    # footer-test soundness: a skipped file can hold no matching rows, so
+    # the matches must all fit inside the NON-skipped files' rows
+    assert c.rows_matching <= c.rows_total - c.rows_in_skipped_files
+
+
+def test_file_skipping_degenerate_single_day(spark):
+    """All rows on one date: span 0, every file's range equals the
+    predicate point, nothing skips, everything matches (no div-by-zero)."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        file_skipping_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2023, 6, 1)) for k in range(64)], "k bigint, d timestamp"
+    )
+    for r in file_skipping_audit(df, "d", "k", n_files=8).collect():
+        assert r.n_files_skipped == 0
+        assert r.rows_matching == 64
+
+
+def test_compaction_bin_plan_matches_sequential_referee(spark):
+    """The distributed window plan must equal the sequential definition:
+    bin = floor(cumulative-start / target) in file order, per partition."""
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        compaction_bin_plan,
+    )
+
+    files = [("a", i, 100 + (i * 37) % 250) for i in range(20)] + [
+        ("b", i, 400 + (i * 91) % 300) for i in range(7)
+    ]
+    df = spark.createDataFrame(files, "p string, i int, b bigint")
+    got = {
+        (r.part_key, r.bin_id): (r.n_files, r.bin_bytes)
+        for r in compaction_bin_plan(df, "p", "i", "b", target_bytes=500).collect()
+    }
+    want: dict = {}
+    for p in ("a", "b"):
+        cum = 0
+        for _, i, b in sorted(f for f in files if f[0] == p):
+            key = (p, cum // 500)
+            n, tot = want.get(key, (0, 0))
+            want[key] = (n + 1, tot + b)
+            cum += b
+    assert got == want
+    # conservation: every byte lands in exactly one bin
+    assert sum(v[1] for v in got.values()) == sum(f[2] for f in files)
+
+
+def test_dataset_fingerprints_order_and_partition_invariant(spark):
+    """XOR fold => identical fingerprint under any row order / partition
+    count; flipping one payload character changes it."""
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        dataset_fingerprints,
+    )
+
+    rows = [(i, f"s{i % 3}", f"payload {i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id bigint, g string, t string")
+
+    def fp(frame):
+        return {
+            r.group_key: (r.n_rows, r.content_fingerprint)
+            for r in dataset_fingerprints(frame, "g", "id", "t").collect()
+        }
+
+    base = fp(df)
+    assert fp(df.orderBy(F.desc("t")).repartition(13)) == base
+    flipped = spark.createDataFrame(
+        [(i, g, t.upper() if i == 41 else t) for i, g, t in rows],
+        "id bigint, g string, t string",
+    )
+    changed = fp(flipped)
+    assert changed["s2"] != base["s2"]          # 41 % 3 == 2
+    assert changed["s0"] == base["s0"]          # other groups untouched
+    assert all(v[0] == 30 for v in base.values())
+
+
+def test_snapshot_reconcile_classes_and_conservation(spark):
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        snapshot_reconcile,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (5, 50.0, None)],
+        "k bigint, p double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 21.0, "B"), (4, 40.0, "D"), (5, 50.0, None)],
+        "k bigint, p double, s string",
+    )
+    out = {
+        r.change_class: r.n_rows
+        for r in snapshot_reconcile(old, new, "k", ["p", "s"]).collect()
+    }
+    # key 5 has a NULL compare column on both sides -> unchanged (null-safe)
+    assert out == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+    assert out["added"] + out["changed"] + out["unchanged"] == 4      # |new|
+    assert out["removed"] + out["changed"] + out["unchanged"] == 4    # |old|
+
+
+# --------------------------------------------------------------------------
+# batch 2: dp noise / reservoir / kaplan-meier / cuped / dim ablation /
+# shot boundaries
+# --------------------------------------------------------------------------
+
+
+def test_dp_noise_is_centered_and_bounded(spark):
+    """Per-group noise must be deterministic, mean-centered-ish, and the
+    true count must be recoverable only to within the Laplace scale: with
+    eps=1 the |noise| median is ~ln(2); assert every |noise| is finite and
+    the empirical mean |noise| is within a loose [0.1, 10] envelope."""
+    from adventureworkslakehousepoc_spark.operators.privacy import (
+        dp_noisy_group_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 40}") for i in range(4000)], "id bigint, g string"
+    )
+    out = dp_noisy_group_counts(df, ["g"], epsilon=1.0).collect()
+    assert len(out) == 40
+    noises = [abs(r.n_noisy - r.n_true) for r in out]
+    assert all(n < 40 for n in noises), "eps=1 noise should be O(1), not O(n)"
+    assert 0.1 < sum(noises) / len(noises) < 10
+    # determinism: same keys -> same noise
+    again = dp_noisy_group_counts(df, ["g"], epsilon=1.0).collect()
+    assert {(r.g, r.n_noisy) for r in again} == {(r.g, r.n_noisy) for r in out}
+    # scale: eps=0.1 noise is 10x eps=1 noise exactly (same uniform draw),
+    # modulo the 1e-6 quantization of each
+    wide = dp_noisy_group_counts(df, ["g"], epsilon=0.1).collect()
+    wn = {r.g: abs(r.n_noisy - r.n_true) for r in wide}
+    nn = {r.g: abs(r.n_noisy - r.n_true) for r in out}
+    for g in wn:
+        assert abs(wn[g] - 10 * nn[g]) < 1e-4, (g, wn[g], nn[g])
+
+
+def test_weighted_reservoir_favors_heavy_rows(spark):
+    """With weights 1000:1, the k winners should be overwhelmingly heavy
+    rows; exact k per group; ranks 1..k; deterministic."""
+    from adventureworkslakehousepoc_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, "g", 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, w bigint")
+    out = weighted_reservoir_sample(
+        df, group_col="src", weight_col="w", id_col="doc_id", k=10
+    ).collect()
+    assert len(out) == 10
+    assert sorted(r.rank for r in out) == list(range(1, 11))
+    heavy = sum(1 for r in out if r.id < 50)
+    assert heavy >= 8, f"only {heavy}/10 heavy picks despite 1000x weight"
+
+
+def test_kaplan_meier_structure(spark):
+    """S must be monotone nonincreasing; n_at_risk telescopes exactly;
+    a censored user never decrements survival at their lifetime."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.temporal import (
+        kaplan_meier_lifetimes,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 0..49: churn at lifetime (i % 20) days, last event well before horizon
+    for i in range(50):
+        rows += [(i, base), (i, base + dt.timedelta(days=i % 20))]
+    # users 100..109: censored (active at the very end)
+    for i in range(100, 110):
+        rows += [(i, base), (i, base + dt.timedelta(days=40))]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = sorted(
+        kaplan_meier_lifetimes(df).collect(), key=lambda r: r.lifetime_days
+    )
+    total = 60
+    gone = 0
+    prev_log = 0
+    for r in out:
+        assert r.n_at_risk == total - gone, r
+        gone += r.n_churned + r.n_censored
+        assert r.log_survival_ppb <= prev_log, "survival must not increase"
+        prev_log = r.log_survival_ppb
+    # the censored-only lifetime (40 days) must not drop survival
+    last = out[-1]
+    assert last.lifetime_days == 40 and last.n_churned == 0
+    assert last.log_survival_ppb == out[-2].log_survival_ppb
+
+
+def test_cuped_reduces_variance_on_correlated_metric(spark):
+    """Plant a strong pre/post correlation with a true zero treatment
+    effect: theta must be ~1, the CUPED lift must shrink toward 0 versus
+    the raw lift, and the variance-reduction must be large."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.experiments import (
+        cuped_adjusted_lift,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(400):
+        persistent = (u * 37) % 100  # stable per-user level
+        rows.append((u, base + dt.timedelta(days=1), float(persistent)))
+        rows.append((u, base + dt.timedelta(days=20), float(persistent)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    r = cuped_adjusted_lift(df).collect()[0]
+    assert r.n_treatment + r.n_control == 400
+    assert abs(r.theta - 1.0) < 0.05, r.theta
+    assert abs(r.lift_cuped) < abs(r.lift_raw) / 10 or abs(r.lift_raw) < 1e-9
+    assert r.var_reduction_ppm > 900000  # rho^2 ~ 1
+
+
+def test_dim_ablation_full_dim_is_perfect_and_monotonicish(spark):
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        dim_ablation_recall,
+    )
+
+    import math
+
+    rows = [
+        (
+            i,
+            [math.sin(0.1 * i * (j + 1)) for j in range(16)],
+            i % 3,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {
+        r.dim: r.avg_recall_ppm
+        for r in dim_ablation_recall(
+            df, dims=(2, 8), full_dim=16, k=3, query_mod=10
+        ).collect()
+    }
+    assert out[16] == 1000000, "full dim must recall itself perfectly"
+    assert 0 <= out[2] <= out[8] <= 1000000, out
+
+
+def test_shot_boundaries_per_video_invariants(spark):
+    """1 <= n_shots <= n_frames; single-shot iff no hamming jump above the
+    threshold; values reproducible."""
+    from adventureworkslakehousepoc_spark.operators.multimodal import (
+        video_shot_boundaries,
+    )
+
+    rows = [(i, f"video content body {i} with words") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = video_shot_boundaries(df).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 1 <= r.n_shots <= r.n_frames, r
+        assert 0 <= r.max_cut_hamming <= 15
+        if r.n_shots == 1:
+            assert r.max_cut_hamming <= 4
