@@ -42,6 +42,7 @@ __all__ = [
     "benchmark_overlap",
     "span_duplicate_stats",
     "span_dedup_rewrite",
+    "sentence_dedup_stats",
 ]
 
 
@@ -1536,4 +1537,70 @@ def soft_dedup_weights(
                 "(raw_tokens * 1000000) div greatest(eff_tokens_micros div 1000000, 1)"
             ).alias("dedup_pressure_micros"),
         )
+    )
+
+
+def sentence_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 5,
+) -> DataFrame:
+    """CCNet-style SENTENCE-granularity dedup stats — the granularity the
+    suite's dedup family was missing between whole-document hashes
+    (``exact_duplicate_groups``) and position-level token spans
+    (``span_dedup_rewrite``): web corpora repeat boilerplate sentences
+    across otherwise-distinct pages, and CCNet's first pass drops every
+    sentence already seen elsewhere in the shard.
+
+    Sentences split on the literal ". " boundary (kept deliberately dumb
+    and engine-replayable; a production segmenter slots into the same
+    shape), short fragments below ``min_chars`` ignored. A sentence
+    instance is KEPT iff it is the globally first occurrence — ownership
+    by min(doc_id·10⁶ + position), exact integer, so a sentence repeated
+    WITHIN a document also keeps only its first copy.
+
+    Returns per doc: ``(doc_id, n_sentences, n_dup_sentences, dup_ratio_
+    ppm, chars_kept)`` where n_dup counts instances whose sentence occurs
+    >1 time corpus-wide and chars_kept sums the lengths of owned
+    instances (what a rewrite pass would retain).
+
+    Scale posture: one explode to sentence instances, ONE groupBy on the
+    16-byte sentence digest (count + owner in the same aggregate), one
+    broadcast-safe join back, one per-doc aggregate — the identical
+    shuffle budget as exact dedup, at sentence cardinality.
+    """
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "sent"),
+    ).filter(F.length("sent") >= min_chars)
+    inst = sents.select(
+        "doc_id",
+        "pos",
+        F.md5(F.col("sent")).alias("h"),
+        F.length("sent").alias("slen"),
+        (F.col("doc_id") * 1000000 + F.col("pos")).alias("inst_key"),
+    )
+    global_stats = inst.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min("inst_key").alias("owner_key"),
+    )
+    joined = inst.join(global_stats, "h")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        F.sum((F.col("cnt") > 1).cast("bigint")).cast("bigint").alias(
+            "n_dup_sentences"
+        ),
+        F.floor(
+            F.sum((F.col("cnt") > 1).cast("bigint")) * 1000000 / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dup_ratio_ppm"),
+        F.sum(
+            F.when(F.col("inst_key") == F.col("owner_key"), F.col("slen")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("chars_kept"),
     )

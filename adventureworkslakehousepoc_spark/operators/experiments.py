@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cuped_adjusted_lift"]
+__all__ = ["cuped_adjusted_lift", "srm_assignment_check"]
 
 
 def cuped_adjusted_lift(
@@ -159,3 +159,77 @@ def cuped_adjusted_lift(
         .alias("var_reduction_ppm"),
     )
     return out
+
+
+def srm_assignment_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    segment_col: str = "event_type",
+    seed: str = "exp42",
+    critical_millis: int = 3841,
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the assignment-integrity gate
+    every experiment readout must pass BEFORE lifts mean anything: under
+    a 50/50 split the per-arm exposed-user counts follow a 1-df
+    chi-square, and for two equal-expectation cells the statistic
+    collapses to the exact integer form
+
+        chi2 = (n_t − n_c)² / (n_t + n_c)
+
+    (no 0.5-fractional expectations to float around). Computed per
+    segment (users exposed to each event type — segment-level SRM is
+    where bucketing bugs hide) plus an ``__overall__`` row, with the same
+    deterministic md5 arm assignment as ``cuped_adjusted_lift`` so the
+    two operators audit the same experiment.
+
+    Returns ``(segment, n_treatment, n_control, chi2, srm_flag)``;
+    ``srm_flag`` fires above ``critical_millis``/1000 (default 3.841 =
+    95th percentile of chi-square(1)).
+
+    Scale posture: one distinct over (segment, user) — the only real
+    shuffle — then a |segments|-key aggregate; the overall row reuses the
+    per-user distinct. No windows, no joins.
+    """
+    arm_is_t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("uid").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    seg_users = (
+        events.select(
+            F.col(segment_col).cast("string").alias("segment"),
+            F.col(user_col).alias("uid"),
+        )
+        .distinct()
+        .withColumn("is_t", arm_is_t.cast("int"))
+    )
+    all_users = (
+        events.select(F.col(user_col).alias("uid"))
+        .distinct()
+        .select(F.lit("__overall__").alias("segment"), "uid")
+        .withColumn("is_t", arm_is_t.cast("int"))
+    )
+    counted = (
+        seg_users.unionByName(all_users)
+        .groupBy("segment")
+        .agg(
+            F.sum("is_t").cast("bigint").alias("n_treatment"),
+            F.sum(F.lit(1) - F.col("is_t")).cast("bigint").alias("n_control"),
+        )
+    )
+    diff = F.col("n_treatment") - F.col("n_control")
+    chi2 = (diff * diff) / (F.col("n_treatment") + F.col("n_control"))
+    return counted.select(
+        "segment",
+        "n_treatment",
+        "n_control",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(critical_millis) / F.lit(1000.0)).alias("srm_flag"),
+    )

@@ -7837,3 +7837,85 @@ def video_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_shot_boundaries
 
     return video_shot_boundaries(_docs(spark, sf_dir), **_SHOT_PARAMS)
+
+
+@query(
+    "srm_assignment_check",
+    """
+    WITH su AS (
+      SELECT DISTINCT event_type AS segment, user_id AS uid FROM events
+      UNION ALL
+      SELECT DISTINCT '__overall__' AS segment, user_id AS uid FROM events
+    ),
+    a AS (
+      SELECT segment,
+             CASE WHEN CAST(('0x' || substr(md5('exp42:' || CAST(uid AS VARCHAR)), 1, 1))
+                       AS INTEGER) < 8
+                  THEN 1 ELSE 0 END AS is_t
+      FROM su
+    ),
+    c AS (
+      SELECT segment, CAST(SUM(is_t) AS BIGINT) AS n_treatment,
+             CAST(SUM(1 - is_t) AS BIGINT) AS n_control
+      FROM a GROUP BY 1
+    )
+    SELECT segment, n_treatment, n_control,
+           (n_treatment - n_control) * (n_treatment - n_control)
+             / (n_treatment + n_control) AS chi2,
+           (n_treatment - n_control) * (n_treatment - n_control)
+             / (n_treatment + n_control) > 3841 / 1000.0 AS srm_flag
+    FROM c
+    """,
+)
+def srm_assignment_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate
+    (operators/experiments.py::srm_assignment_check): per-segment and
+    overall chi-square on exposed-user arm counts under the SAME md5
+    assignment as cuped_adjusted_lift — the integrity check that must
+    pass before any lift readout means anything. Exact integer form
+    (n_t−n_c)²/(n_t+n_c) — no fractional expectations."""
+    from ..operators.experiments import srm_assignment_check
+
+    return srm_assignment_check(_events(spark, sf_dir))
+
+
+@query(
+    "sentence_dedup_ccnet",
+    """
+    WITH s AS (
+      SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS sent
+      FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) d,
+           unnest(generate_series(1, len(d.parts))) AS g(i)
+      WHERE length(parts[g.i]) >= 5
+    ),
+    inst AS (
+      SELECT doc_id, md5(sent) AS h, CAST(length(sent) AS BIGINT) AS slen,
+             doc_id * 1000000 + pos AS inst_key
+      FROM s
+    ),
+    gs AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt, MIN(inst_key) AS owner_key
+      FROM inst GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_sentences,
+           CAST(FLOOR(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000
+                / COUNT(*)) AS BIGINT) AS dup_ratio_ppm,
+           CAST(SUM(CASE WHEN inst_key = owner_key THEN slen ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM inst JOIN gs USING (h)
+    GROUP BY 1
+    """,
+)
+def sentence_dedup_ccnet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity dedup stats
+    (operators/dedup.py::sentence_dedup_stats) — the CCNet first-pass
+    granularity between whole-document hashing and position-level token
+    spans: per-doc duplicated-sentence instance counts and the chars a
+    keep-first-occurrence rewrite would retain (global ownership by exact
+    integer min(doc_id·10⁶ + position))."""
+    from ..operators.dedup import sentence_dedup_stats
+
+    return sentence_dedup_stats(_docs(spark, sf_dir))

@@ -971,3 +971,100 @@ def st_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         drift_threshold_micros=20000,
         app_sketch=(app_cd, app_n),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming manifest-fingerprint maintenance (round 12): XOR content
+# fingerprints kept current under at-least-once file ingestion
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE_SQL = """
+    SELECT source AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15))
+                        AS BIGINT)) AS content_fingerprint
+    FROM documents GROUP BY 1
+    """
+
+
+@query("st_fingerprint_maintenance", _FINGERPRINT_ORACLE_SQL)
+def st_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest fingerprints maintained under streaming ingestion — the
+    incremental twin of ``dataset_fingerprint_manifest``, with a twist the
+    HLL/Bloom maintenance rows don't have: XOR is associative and
+    commutative but NOT idempotent, so a re-delivered file (the standard
+    at-least-once failure mode this suite stages deliberately via
+    copies=2) would CANCEL its own rows out of the fingerprint. The
+    maintenance loop therefore stores one partial-fingerprint row per
+    (micro-batch × group) and the readout folds DISTINCT partials — a
+    replayed file reduces to a byte-identical partial row and collapses
+    in the distinct, so the streamed manifest equals the single-copy
+    batch fingerprint exactly, which is what the batch SQL oracle gates.
+
+    Scale posture: per micro-batch one partial-aggregated groupBy down to
+    |groups| rows appended to the store (constant bytes per batch); the
+    readout is a distinct + groupBy over |batches|·|groups| tiny rows.
+    See operators/maintenance.py::dataset_fingerprints for the batch form.
+    """
+    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    docs = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
+    )
+    row_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    store = scratch_dir("fp-store")
+    ckpt = scratch_dir("fp-ckpt")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # within-batch replay guard: with a batched trigger both copies of
+        # a re-delivered file land in ONE micro-batch, where XOR would
+        # self-cancel before the partial is even written — primary-key
+        # dedup inside the batch (standard ingest-side dedup) collapses
+        # them; ACROSS batches the byte-identical partial rows collapse in
+        # the readout's distinct instead. Both trigger shapes therefore
+        # reduce to the single-copy batch fingerprint.
+        (
+            batch_df.dropDuplicates(["doc_id"])
+            .groupBy(F.col("source").alias("group_key"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.bit_xor(row_digest).alias("fp_partial"),
+            )
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("fingerprint maintenance stream did not terminate")
+
+    # replay-safe fold: a re-delivered file's partial row is byte-identical
+    # (same group, same count, same xor) and collapses in the distinct
+    return (
+        spark.read.parquet(store)
+        .distinct()
+        .groupBy("group_key")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.bit_xor("fp_partial").alias("content_fingerprint"),
+        )
+    )

@@ -240,6 +240,9 @@ EXTRA_QUERIES = [
     "cuped_adjusted_lift",
     "embedding_dim_ablation",
     "video_shot_boundaries",
+    "srm_assignment_check",
+    "sentence_dedup_ccnet",
+    "st_fingerprint_maintenance",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -430,3 +430,79 @@ def test_shot_boundaries_per_video_invariants(spark):
         assert 0 <= r.max_cut_hamming <= 15
         if r.n_shots == 1:
             assert r.max_cut_hamming <= 4
+
+
+# --------------------------------------------------------------------------
+# batch 3: srm / sentence dedup / streaming fingerprint maintenance
+# --------------------------------------------------------------------------
+
+
+def test_srm_flags_planted_imbalance(spark):
+    """A deliberately skewed assignment must flag; the md5 50/50 split on
+    uniform ids must not; overall row present; chi2 matches the exact
+    integer form."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.operators.experiments import (
+        srm_assignment_check,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base, "view", 1.0) for u in range(800)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string, value double")
+    out = {r.segment: r for r in srm_assignment_check(df).collect()}
+    r = out["__overall__"]
+    assert r.n_treatment + r.n_control == 800
+    assert abs(r.chi2 - (r.n_treatment - r.n_control) ** 2 / 800) < 1e-12
+    assert not r.srm_flag, f"uniform ids must not SRM-flag: {r}"
+    # planted imbalance: only users whose md5 nibble says 'treatment'
+    from pyspark.sql import functions as SF
+
+    arm = (
+        SF.conv(SF.substring(SF.md5(SF.concat(SF.lit("exp42:"), SF.col("user_id").cast("string"))), 1, 1), 16, 10)
+        .cast("int") < 8
+    )
+    skewed = df.filter(arm | (SF.col("user_id") % 20 == 0))
+    bad = {r.segment: r for r in srm_assignment_check(skewed).collect()}["__overall__"]
+    assert bad.srm_flag, f"90/10 exposure must SRM-flag: {bad}"
+
+
+def test_sentence_dedup_ownership_and_ratios(spark):
+    """Planted shared sentence across docs: every doc counts it duplicated,
+    only the first (doc, pos) owns its chars; short fragments ignored."""
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        sentence_dedup_stats,
+    )
+
+    shared = "this exact sentence appears everywhere"
+    rows = [
+        (1, f"unique one alpha. {shared}. tail one beta"),
+        (2, f"{shared}. unique two gamma"),
+        (3, "totally unique document three. ok"),  # 'ok' < 5 chars -> ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in sentence_dedup_stats(df).collect()}
+    assert out[1].n_sentences == 3 and out[1].n_dup_sentences == 1
+    assert out[2].n_sentences == 2 and out[2].n_dup_sentences == 1
+    assert out[3].n_sentences == 1 and out[3].n_dup_sentences == 0
+    # doc 1 owns the shared sentence (lowest doc_id), so doc 2's kept chars
+    # exclude it exactly
+    assert out[1].chars_kept == sum(
+        len(s) for s in rows[0][1].split(". ")
+    )
+    assert out[2].chars_kept == len("unique two gamma")
+    assert out[2].dup_ratio_ppm == 500000
+
+
+def test_sentence_dedup_within_doc_repeat_keeps_first(spark):
+    from adventureworkslakehousepoc_spark.operators.dedup import (
+        sentence_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "repeat me now. repeat me now. repeat me now")],
+        "doc_id bigint, text string",
+    )
+    r = sentence_dedup_stats(df).collect()[0]
+    assert r.n_sentences == 3 and r.n_dup_sentences == 3
+    assert r.chars_kept == len("repeat me now")
