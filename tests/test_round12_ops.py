@@ -506,3 +506,44 @@ def test_sentence_dedup_within_doc_repeat_keeps_first(spark):
     r = sentence_dedup_stats(df).collect()[0]
     assert r.n_sentences == 3 and r.n_dup_sentences == 3
     assert r.chars_kept == len("repeat me now")
+
+
+def test_st_fingerprint_replay_safe_under_both_trigger_shapes(spark, sf_dir):
+    """The two replay guards, exercised explicitly: with
+    maxFilesPerTrigger=1 the duplicate file is its own micro-batch
+    (cross-batch replay -> distinct-partials guard); with a batched
+    trigger both copies share one micro-batch (within-batch replay ->
+    primary-key dedup guard). BOTH shapes must equal the single-copy
+    batch fingerprint exactly."""
+    import os
+
+    import __spark_entry__ as em
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        dataset_fingerprints,
+    )
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+
+    batch = {
+        r.group_key: (r.n_rows, r.content_fingerprint)
+        for r in dataset_fingerprints(
+            load_tables(spark, sf_dir, ("documents",))["documents"],
+            "source",
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    q = em.queries()["st_fingerprint_maintenance"]
+    old = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES")
+    try:
+        for shape in ("1", "2"):
+            os.environ["SPARK_GRAFT_STREAM_TRIGGER_FILES"] = shape
+            streamed = {
+                r.group_key: (r.n_rows, r.content_fingerprint)
+                for r in q(spark, sf_dir).collect()
+            }
+            assert streamed == batch, f"trigger shape {shape} diverged"
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_TRIGGER_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_TRIGGER_FILES"] = old
