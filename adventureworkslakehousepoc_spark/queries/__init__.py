@@ -29,20 +29,81 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import _row_age
-from ._row_age import LAST_VERIFIED
 
 # Driver window size (prefix of the registry the driver's correctness pass
 # covers each round).
 DRIVER_WINDOW = 50
 
-# Queries whose OUTPUT changed after their last green driver row — derived
-# MECHANICALLY by scripts/row_age.py from per-query output fingerprints
-# (sha256 of oracle SQL + canonical sf0.001 DuckDB result): a drift against
-# the previous ledger's fingerprint flags the query until a fresh driver
-# row attests the new behavior. The former hand-maintained list silently
-# missed text_boilerplate_flags for two rounds; nothing is hand-edited now.
-# (getattr: tolerate a pre-fingerprint ledger during regeneration itself.)
-_CHANGED_OUTPUT = tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
+
+def _self_heal_ledger(repo: str | None = None) -> tuple[dict[str, int], tuple[str, ...], int]:
+    """Effective ledger = committed ``_row_age.py`` cache, healed at import
+    against any ``CORRECTNESS_r*.json`` NEWER than the cache's
+    ``GENERATED_AFTER_ROUND``.
+
+    Rounds 8-12 each opened with the designed ledger-freshness tripwire red
+    at HEAD: the driver drops a new CORRECTNESS file between rounds, so the
+    committed cache necessarily predates it until a human runs
+    ``scripts/row_age.py --write``. Healing here applies the same two rules
+    the regeneration script would:
+
+    1. a fully-green row (rows+schema, hash true-or-absent) in a newer file
+       advances that query's LAST_VERIFIED — so last round's freshly
+       verified queries stop hogging the next window;
+    2. a green row in the NEWEST round attests any carried changed-output
+       flag for that query (``derive_changed_output``'s first-regen rule),
+       so attested flags clear without a manual regen.
+
+    New fingerprint DRIFT cannot be detected here (that needs a DuckDB
+    replay of every oracle); the committed FINGERPRINT table plus the
+    ``test_registry.py`` fingerprint tripwire still cover mid-round edits.
+    ``scripts/row_age.py --write`` remains the once-per-round persistence
+    step — this just guarantees HEAD orders the window correctly (and
+    pytest opens green) before that happens.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    last = dict(_row_age.LAST_VERIFIED)
+    changed = tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
+    gen_after = int(getattr(_row_age, "GENERATED_AFTER_ROUND", 0))
+
+    if repo is None:
+        repo = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+    newer: dict[int, list[str]] = {}
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= gen_after:
+            continue
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue  # truncated/in-progress driver file: ignore, keep cache
+        greens = [
+            name
+            for name, r in rows.items()
+            if r.get("rows_match") is True
+            and r.get("schema_match") is True
+            and r.get("hash_match") in (True, None)
+        ]
+        newer[int(m.group(1))] = greens
+    if not newer:
+        return last, changed, gen_after
+
+    for rnd in sorted(newer):
+        for name in newer[rnd]:
+            last[name] = max(last.get(name, 0), rnd)
+    newest = max(newer)
+    attested = set(newer[newest])
+    changed = tuple(c for c in changed if c not in attested)
+    return last, changed, newest
+
+
+LAST_VERIFIED, _CHANGED_OUTPUT, EFFECTIVE_ROUND = _self_heal_ledger()
 
 
 def _round6_order(merged: dict) -> dict:

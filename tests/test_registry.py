@@ -283,7 +283,10 @@ def test_round6_driver_window_composition():
     query sits INSIDE the window, and the remainder of the registry is
     ordered stalest-first so refresh happens automatically."""
     from adventureworkslakehousepoc_spark import queries as q
-    from adventureworkslakehousepoc_spark.queries._row_age import LAST_VERIFIED
+
+    # the EFFECTIVE (self-healed) ledger — what the ordering actually uses;
+    # may be ahead of the committed _row_age.py right after a driver round
+    LAST_VERIFIED = q.LAST_VERIFIED
 
     ordered = list(q.all_queries())
     window = ordered[:q.DRIVER_WINDOW]
@@ -337,13 +340,18 @@ def test_driver_window_schemas_are_scalar_only(spark):
 
 def test_row_age_ledger_is_current():
     """The mechanical window ordering is only correct if the ledger reflects
-    the LATEST driver round: if a new CORRECTNESS_r*.json exists but
-    _row_age.py predates it, the previous round's freshly-verified queries
-    would stay fronted and the whole window would be wasted re-verifying
-    them. Regenerate with `python scripts/row_age.py --write` and commit."""
+    the LATEST driver round. Since round 13 the registry SELF-HEALS at
+    import (queries._self_heal_ledger applies newer CORRECTNESS files over
+    the committed cache), so a fresh driver file can no longer leave HEAD
+    red — the hard assert is on the EFFECTIVE ledger. A stale committed
+    cache is downgraded to a UserWarning prompting the once-per-round
+    `python scripts/row_age.py --write` persistence step (which also runs
+    the DuckDB fingerprint drift detection self-healing cannot)."""
     import glob
     import re
+    import warnings
 
+    from adventureworkslakehousepoc_spark import queries as q
     from adventureworkslakehousepoc_spark.queries import _row_age
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -353,11 +361,73 @@ def test_row_age_ledger_is_current():
         if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
     ]
     latest = max(rounds, default=0)
-    assert _row_age.GENERATED_AFTER_ROUND >= latest, (
-        f"_row_age.py generated after r{_row_age.GENERATED_AFTER_ROUND} but "
-        f"CORRECTNESS_r{latest:02d}.json exists — run "
-        "`python scripts/row_age.py --write` and commit the regenerated module"
+    assert q.EFFECTIVE_ROUND >= latest, (
+        f"self-healed ledger stuck at r{q.EFFECTIVE_ROUND} but "
+        f"CORRECTNESS_r{latest:02d}.json exists — _self_heal_ledger failed "
+        "to apply it"
     )
+    if _row_age.GENERATED_AFTER_ROUND < latest:
+        warnings.warn(
+            f"committed _row_age.py cache predates r{latest} (self-healed "
+            "in-memory; persist + run drift detection with "
+            "`python scripts/row_age.py --write` and commit)",
+            UserWarning,
+            stacklevel=1,
+        )
+
+
+def test_self_heal_ledger_applies_newer_driver_files(tmp_path):
+    """_self_heal_ledger must (1) advance LAST_VERIFIED from green rows in
+    CORRECTNESS files newer than the committed cache, (2) clear changed-
+    output flags attested by a green row in the NEWEST healed round only,
+    (3) ignore non-green rows and unreadable files, and (4) be a no-op when
+    no newer file exists."""
+    import json
+
+    from adventureworkslakehousepoc_spark import queries as q
+    from adventureworkslakehousepoc_spark.queries import _row_age
+
+    gen_after = _row_age.GENERATED_AFTER_ROUND
+    committed_changed = tuple(getattr(_row_age, "CHANGED_OUTPUT", ()))
+
+    # (4) empty repo dir → exactly the committed cache
+    last, changed, rnd = q._self_heal_ledger(str(tmp_path))
+    assert last == dict(_row_age.LAST_VERIFIED)
+    assert changed == committed_changed
+    assert rnd == gen_after
+
+    # stage two newer rounds: N+1 greens "alpha" (and a red "beta"),
+    # N+2 greens "beta" plus a rows-only (hash null) "gamma"
+    def write(rnd, rows):
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
+            json.dump(rows, f)
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    write(gen_after + 1, {"alpha": green,
+                          "beta": {**green, "rows_match": False}})
+    write(gen_after + 2, {"beta": green,
+                          "gamma": {**green, "hash_match": None}})
+    # an older file must be ignored even if present
+    write(gen_after, {"stale_row": green})
+    # a truncated file must not abort healing
+    (tmp_path / f"CORRECTNESS_r{gen_after + 3:02d}.json").write_text("{trunc")
+
+    last, changed, rnd = q._self_heal_ledger(str(tmp_path))
+    assert rnd == gen_after + 2
+    assert last["alpha"] == gen_after + 1
+    assert last["beta"] == gen_after + 2       # red in N+1, green in N+2
+    assert last["gamma"] == gen_after + 2      # rows-only counts as green
+    assert "stale_row" not in last or last.get("stale_row") != gen_after
+
+    # (2) attestation: flags clear only for queries green in the NEWEST round
+    orig = getattr(_row_age, "CHANGED_OUTPUT", ())
+    try:
+        _row_age.CHANGED_OUTPUT = ("alpha", "beta")
+        last, changed, rnd = q._self_heal_ledger(str(tmp_path))
+        assert "beta" not in changed, "green in newest round must attest"
+        assert "alpha" in changed, "green in an OLDER healed round must NOT attest"
+    finally:
+        _row_age.CHANGED_OUTPUT = orig
 
 
 def test_scratch_dirs_swept_at_interpreter_exit(tmp_path):
