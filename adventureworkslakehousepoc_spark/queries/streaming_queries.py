@@ -773,30 +773,42 @@ def scd2_point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming sketch maintenance: HLL registers merged across micro-batches
 # ---------------------------------------------------------------------------
 
+# Default trigger for the maintenance-class streams (HLL/Bloom/IVF/XOR
+# fingerprint): batched — one micro-batch absorbs up to 16 files, so the
+# fixed per-batch overhead (state-store open/commit, parquet append)
+# amortizes across files. Measured at the 30× probe: 31.2 s per-file vs
+# 15.6 s batched for st_fingerprint_maintenance (SCALE.md). Per-file
+# (SPARK_GRAFT_STREAM_TRIGGER_FILES=1) remains the stress shape the replay
+# tests pin explicitly; correctness is trigger-shape-independent by design
+# (idempotent merges, or per-file partials for XOR).
+_MAINT_TRIGGER_DEFAULT = "16"
+
 from .extensions import _HLL_SQL as _HLL_ORACLE_SQL  # noqa: E402
 
 
 @query("st_hll_sketch_maintenance", _HLL_ORACLE_SQL)
 def st_hll_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch maintenance under streaming ingestion: documents
-    arrive as a 2-file stream (maxFilesPerTrigger=1 forces >= 2
-    micro-batches); each micro-batch reduces to its OWN HyperLogLog
-    register table inside foreachBatch and APPENDS it to the sketch store
-    — constant bytes per batch regardless of batch size. The final
-    readout merges the store by cell-wise MAX. Because register merge is
-    associative/commutative/idempotent, the streamed sketch equals the
-    batch sketch EXACTLY (the staged duplicate file changes nothing) for
-    ANY trigger batching, so the batch SQL oracle gates the streaming
-    path bit-for-bit — the monitoring shape for vocabulary cardinality
-    over a 100 TB ingest firehose. The trigger is parameterized via
-    ``SPARK_GRAFT_STREAM_TRIGGER_FILES`` (default 1 — the per-micro-batch
-    fixed-overhead stress shape; the 30× probe also runs the
-    production-shaped batched trigger, where one micro-batch absorbs many
-    files and per-batch overhead amortizes away).
+    arrive as a 2-file stream; each micro-batch reduces to its OWN
+    HyperLogLog register table inside foreachBatch and APPENDS it to the
+    sketch store — constant bytes per batch regardless of batch size. The
+    final readout merges the store by cell-wise MAX. Because register
+    merge is associative/commutative/idempotent, the streamed sketch
+    equals the batch sketch EXACTLY (the staged duplicate file changes
+    nothing) for ANY trigger batching, so the batch SQL oracle gates the
+    streaming path bit-for-bit — the monitoring shape for vocabulary
+    cardinality over a 100 TB ingest firehose. The trigger is
+    parameterized via ``SPARK_GRAFT_STREAM_TRIGGER_FILES`` (default
+    ``_MAINT_TRIGGER_DEFAULT`` = 16, the production-shaped batched
+    trigger where per-batch fixed overhead amortizes across files;
+    setting 1 gives the per-micro-batch stress shape the streaming tests
+    pin explicitly).
     See operators/sketches.py::hll_registers/hll_summary."""
     from ..operators.sketches import hll_registers, hll_summary
 
-    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    trigger_files = int(
+        os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", _MAINT_TRIGGER_DEFAULT)
+    )
     docs = stream_table(
         spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
     )
@@ -846,8 +858,9 @@ from .extensions import _BLOOM_SQL as _BLOOM_ORACLE_SQL  # noqa: E402
 def st_bloom_filter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-bitmap maintenance under streaming ingestion — the membership
     twin of ``st_hll_sketch_maintenance``: documents arrive as a 2-file
-    stream (parameterized trigger, default maxFilesPerTrigger=1 forcing
-    >= 2 micro-batches); each micro-batch reduces its OWN test-split
+    stream (trigger parameterized via SPARK_GRAFT_STREAM_TRIGGER_FILES,
+    default the batched ``_MAINT_TRIGGER_DEFAULT``; =1 forces >= 2
+    micro-batches); each micro-batch reduces its OWN test-split
     5-gram set to a Bloom word table of ≤ _BLOOM_M/_BLOOM_WORD = 2048
     rows (65536 bits) inside foreachBatch and
     APPENDS it to the bitmap store (constant bytes per batch). The final
@@ -860,7 +873,9 @@ def st_bloom_filter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/sketches.py::bloom_words/bloom_decontaminate."""
     from ..operators.sketches import bloom_decontaminate, bloom_ngrams, bloom_words
 
-    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    trigger_files = int(
+        os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", _MAINT_TRIGGER_DEFAULT)
+    )
     docs = stream_table(
         spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
     )
@@ -931,7 +946,9 @@ def st_ivf_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     batch_emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     codebook = ivf_base_codebook(batch_emb, n_centroids=16, append_mod=5)
 
-    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    trigger_files = int(
+        os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", _MAINT_TRIGGER_DEFAULT)
+    )
     emb = stream_table(
         spark, sf_dir, "embeddings", max_files_per_trigger=trigger_files, copies=1
     )
@@ -996,19 +1013,39 @@ def st_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once failure mode this suite stages deliberately via
     copies=2) would CANCEL its own rows out of the fingerprint. The
     maintenance loop therefore stores one partial-fingerprint row per
-    (micro-batch × group) and the readout folds DISTINCT partials — a
-    replayed file reduces to a byte-identical partial row and collapses
-    in the distinct, so the streamed manifest equals the single-copy
-    batch fingerprint exactly, which is what the batch SQL oracle gates.
+    (group × UNDERLYING FILE) — ``stream_table(with_source_file=True)``
+    resolves each staged copy to the same file identity — and the readout
+    folds DISTINCT partials: a re-delivered file reduces to a
+    byte-identical (group, file, count, xor) row no matter which
+    micro-batch it lands in, and collapses in the distinct. Per-BATCH
+    partials (the round-12 form) were replay-safe only when micro-batch
+    boundaries aligned with the duplicated file sequence; with a
+    multi-part table and a batched trigger that doesn't divide the part
+    count, a batch straddling the copy boundary mixed a replayed file
+    with unrelated files, the partial was not byte-identical to any prior
+    partial, and the file XOR-cancelled out. Keying partials on file
+    identity removes the alignment assumption entirely. Within one batch,
+    the same hazard (both copies of a file in ONE batch) is collapsed by
+    primary-key dedup scoped per file. The streamed manifest therefore
+    equals the single-copy batch fingerprint exactly for ANY trigger
+    shape, which is what the batch SQL oracle gates.
 
     Scale posture: per micro-batch one partial-aggregated groupBy down to
-    |groups| rows appended to the store (constant bytes per batch); the
-    readout is a distinct + groupBy over |batches|·|groups| tiny rows.
-    See operators/maintenance.py::dataset_fingerprints for the batch form.
+    |groups|·|files-in-batch| rows appended to the store (constant bytes
+    per file); the readout is a distinct + groupBy over |files|·|groups|
+    tiny rows. See operators/maintenance.py::dataset_fingerprints for the
+    batch form.
     """
-    trigger_files = int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", "1"))
+    trigger_files = int(
+        os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES", _MAINT_TRIGGER_DEFAULT)
+    )
     docs = stream_table(
-        spark, sf_dir, "documents", max_files_per_trigger=trigger_files, copies=2
+        spark,
+        sf_dir,
+        "documents",
+        max_files_per_trigger=trigger_files,
+        copies=2,
+        with_source_file=True,
     )
     row_digest = F.conv(
         F.substring(
@@ -1029,16 +1066,17 @@ def st_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir("fp-ckpt")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # within-batch replay guard: with a batched trigger both copies of
-        # a re-delivered file land in ONE micro-batch, where XOR would
-        # self-cancel before the partial is even written — primary-key
-        # dedup inside the batch (standard ingest-side dedup) collapses
-        # them; ACROSS batches the byte-identical partial rows collapse in
-        # the readout's distinct instead. Both trigger shapes therefore
-        # reduce to the single-copy batch fingerprint.
+        # within-batch replay guard: when both copies of a re-delivered
+        # file land in ONE micro-batch, XOR would self-cancel before the
+        # partial is written — primary-key dedup scoped PER FILE collapses
+        # the copy while keeping identical doc_ids from different files
+        # (not a replay) intact; ACROSS batches the byte-identical
+        # per-file partial rows collapse in the readout's distinct.
         (
-            batch_df.dropDuplicates(["doc_id"])
-            .groupBy(F.col("source").alias("group_key"))
+            batch_df.dropDuplicates(["_src_file", "doc_id"])
+            .groupBy(
+                F.col("source").alias("group_key"), F.col("_src_file")
+            )
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 F.bit_xor(row_digest).alias("fp_partial"),
@@ -1058,7 +1096,8 @@ def st_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("fingerprint maintenance stream did not terminate")
 
     # replay-safe fold: a re-delivered file's partial row is byte-identical
-    # (same group, same count, same xor) and collapses in the distinct
+    # (same group, same FILE identity, same count, same xor) and collapses
+    # in the distinct regardless of micro-batch composition
     return (
         spark.read.parquet(store)
         .distinct()

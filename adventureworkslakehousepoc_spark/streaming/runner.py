@@ -151,13 +151,23 @@ def stream_table(
     name: str,
     max_files_per_trigger: int | None = None,
     copies: int = 1,
+    with_source_file: bool = False,
 ) -> DataFrame:
     """Unbounded stream over a testdata table (S1 streaming table scan).
     Schema comes from a batch read (explicit — no streaming inference);
     nanosecond timestamp columns get the same long→micros conversion as the
     batch loader so stream and batch plans are column-compatible.
     ``copies`` stages the same file N times — a deterministic duplicate
-    generator for dedup operators (each staged file replays every row)."""
+    generator for dedup operators (each staged file replays every row).
+
+    ``with_source_file`` adds a ``_src_file`` column carrying the UNDERLYING
+    file identity (the staged symlink's resolved target), not the staged
+    name: every staged copy of the same part file maps to the same value.
+    Consumers whose merge function is not idempotent (XOR fingerprints) key
+    their partials on this so a re-delivered file always reduces to a
+    byte-identical partial row regardless of which micro-batch it lands in
+    — ``input_file_name()`` alone would give each staged copy a distinct
+    name and defeat that collapse."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -165,7 +175,24 @@ def stream_table(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(stage_stream_dir(*([path] * copies)))
+    staged = stage_stream_dir(*([path] * copies))
+    df = reader.parquet(staged)
+    if with_source_file:
+        # staged basenames are globally unique (monotonic counter), so a
+        # basename → realpath literal map resolves identity executor-side
+        # with no Python UDF; the map is |parts|·|copies| entries (tens).
+        pairs: list = []
+        for root, _dirs, files in os.walk(staged):
+            for fn in sorted(files):
+                pairs.append(F.lit(fn))
+                pairs.append(F.lit(os.path.realpath(os.path.join(root, fn))))
+        df = df.withColumn(
+            "_src_file",
+            F.element_at(
+                F.create_map(*pairs),
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            ),
+        )
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))

@@ -547,3 +547,66 @@ def test_st_fingerprint_replay_safe_under_both_trigger_shapes(spark, sf_dir):
             os.environ.pop("SPARK_GRAFT_STREAM_TRIGGER_FILES", None)
         else:
             os.environ["SPARK_GRAFT_STREAM_TRIGGER_FILES"] = old
+
+
+def test_st_fingerprint_replay_safe_multipart_unaligned_trigger(
+    spark, sf_dir, tmp_path
+):
+    """The round-12 per-BATCH partials were replay-safe only when batch
+    boundaries aligned with the duplicated file sequence. The unsafe shape:
+    a MULTI-part table with a batched trigger that does not divide the part
+    count, so one micro-batch straddles the copy-1/copy-2 boundary — the
+    replayed file shares a batch with unrelated files, its per-batch
+    partial is not byte-identical to any prior partial, and its rows
+    XOR-cancel out of the fingerprint while n_rows double-counts. With
+    per-FILE partials (round 13) the partial row is keyed on underlying
+    file identity and collapses in the readout distinct regardless of
+    batch composition. 4 parts × copies=2 staged as 8 files; trigger=3
+    gives batches [p0 p1 p2][p3 p0' p1'][p2' p3'] — batch 2 mixes first
+    deliveries with replays."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+    from adventureworkslakehousepoc_spark.catalog import load_tables
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        dataset_fingerprints,
+    )
+
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    parts_dir = tmp_path / "documents.parquet"
+    parts_dir.mkdir()
+    n = src.num_rows
+    assert n >= 8, "need enough rows for 4 non-empty parts"
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        pq.write_table(
+            src.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            parts_dir / f"part-{i:02d}.parquet",
+        )
+
+    batch = {
+        r.group_key: (r.n_rows, r.content_fingerprint)
+        for r in dataset_fingerprints(
+            load_tables(spark, str(tmp_path), ("documents",))["documents"],
+            "source",
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    q = em.queries()["st_fingerprint_maintenance"]
+    old = os.environ.get("SPARK_GRAFT_STREAM_TRIGGER_FILES")
+    try:
+        os.environ["SPARK_GRAFT_STREAM_TRIGGER_FILES"] = "3"
+        streamed = {
+            r.group_key: (r.n_rows, r.content_fingerprint)
+            for r in q(spark, str(tmp_path)).collect()
+        }
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_STREAM_TRIGGER_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_STREAM_TRIGGER_FILES"] = old
+    assert streamed == batch, "unaligned batched trigger corrupted the manifest"
