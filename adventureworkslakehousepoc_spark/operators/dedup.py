@@ -1557,7 +1557,10 @@ def sentence_dedup_stats(
     and engine-replayable; a production segmenter slots into the same
     shape), short fragments below ``min_chars`` ignored. A sentence
     instance is KEPT iff it is the globally first occurrence — ownership
-    by min(doc_id·10⁶ + position), exact integer, so a sentence repeated
+    by min(struct(doc_id, position)), an exact lexicographic min with no
+    arithmetic packing (a doc_id·10⁶+pos key would collide across
+    documents once a document reaches 10⁶ sentences, or under negative
+    doc_ids, silently mis-assigning ownership), so a sentence repeated
     WITHIN a document also keeps only its first copy.
 
     Returns per doc: ``(doc_id, n_sentences, n_dup_sentences, dup_ratio_
@@ -1579,7 +1582,7 @@ def sentence_dedup_stats(
         "pos",
         F.md5(F.col("sent")).alias("h"),
         F.length("sent").alias("slen"),
-        (F.col("doc_id") * 1000000 + F.col("pos")).alias("inst_key"),
+        F.struct(F.col("doc_id"), F.col("pos")).alias("inst_key"),
     )
     global_stats = inst.groupBy("h").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),

@@ -123,18 +123,47 @@ def cuped_adjusted_lift(
         ]
     )
     MICRO = F.lit(1e6)
+    # overflow tripwire: the DECIMAL(38,0) cross-product SUMS can themselves
+    # overflow 38 digits at extreme scale, and non-ANSI Spark returns NULL
+    # SILENTLY (the decimal(19,0) cast above only fixes the per-row
+    # product). A NULL moment must abort the readout, not flow into NULL
+    # theta/lifts: every output derives through this guard, which
+    # raise_errors if any moment sum is NULL. Headroom for the record:
+    # sums of n·(per-user micro-sum)² stay under 10³⁸ for any corpus with
+    # n·max(|x_micro|, |y_micro|)² < 10³⁸ — e.g. 10¹² users at 10¹³ micros
+    # (10⁷ value units) each — so hitting this guard means the values need
+    # a documented downscale, not a bigger type.
+    _moment_cols = ["pn", "psx", "psy", "psxy", "psxx", "psyy",
+                    "tn", "tsx", "tsy", "cn", "csx", "csy"]
+
+    def _guarded(expr):
+        ok = None
+        for c in _moment_cols:
+            cond = F.col(c).isNotNull()
+            ok = cond if ok is None else (ok & cond)
+        return F.when(ok, expr).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cuped_adjusted_lift: a moment sum overflowed "
+                    "DECIMAL(38,0) and went NULL — downscale value_col "
+                    "(see docstring headroom bound) instead of trusting "
+                    "a silently-NULL theta"
+                )
+            )
+        )
+
     out = arms.crossJoin(F.broadcast(pooled)).select(
         F.col("tn").cast("bigint").alias("n_treatment"),
         F.col("cn").cast("bigint").alias("n_control"),
         # theta = pooled cov / pooled var (micro² cancels in the ratio)
-        (
+        _guarded(
             (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
             / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
         ).alias("theta"),
-        ((F.col("tsy") / F.col("tn") - F.col("csy") / F.col("cn")) / MICRO).alias(
-            "lift_raw"
-        ),
-        (
+        _guarded(
+            (F.col("tsy") / F.col("tn") - F.col("csy") / F.col("cn")) / MICRO
+        ).alias("lift_raw"),
+        _guarded(
             (
                 F.col("tsy") / F.col("tn")
                 - F.col("csy") / F.col("cn")
@@ -147,16 +176,16 @@ def cuped_adjusted_lift(
             / MICRO
         ).alias("lift_cuped"),
         # var reduction = rho^2 = cov^2 / (var_x var_y), pooled
-        F.floor(
-            (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
-            * (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
-            / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
-            / (F.col("pn") * F.col("psyy") - F.col("psy") * F.col("psy"))
-            * 1e6
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("var_reduction_ppm"),
+        _guarded(
+            F.floor(
+                (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+                * (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+                / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
+                / (F.col("pn") * F.col("psyy") - F.col("psy") * F.col("psy"))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("var_reduction_ppm"),
     )
     return out
 

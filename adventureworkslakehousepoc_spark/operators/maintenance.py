@@ -249,6 +249,7 @@ def compaction_bin_plan(
     order_col: str,
     size_col: str,
     target_bytes: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Plan small-file compaction: assign each file to an output bin of
     ~``target_bytes`` using LINEAR packing — bin = floor(cumulative-start /
@@ -263,19 +264,31 @@ def compaction_bin_plan(
     bin_bytes, fill_ppm)`` where ``fill_ppm`` = bin_bytes·10⁶/target as an
     exact integer. Every bin except a partition's last holds ≥ target/2
     by construction when no single file exceeds the target.
+
+    DETERMINISM CONTRACT: the cumsum window's order must be a TOTAL order
+    within each partition, or bin assignment varies across runs/engines
+    when ``order_col`` ties (Spark window output over a tied sort is
+    partition-layout-dependent). Either ``order_col`` is unique per
+    partition (a file name or monotonically assigned file index — true of
+    every caller in this suite), or pass ``tiebreak_col`` (e.g. the file
+    path) to break ties deterministically.
     """
     from pyspark.sql.window import Window
 
+    order = ["_ord", "_tie"] if tiebreak_col is not None else ["_ord"]
     w = (
         Window.partitionBy("part_key")
-        .orderBy("_ord")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    planned = files.select(
+    cols = [
         F.col(partition_col).alias("part_key"),
         F.col(order_col).alias("_ord"),
         F.col(size_col).cast("bigint").alias("_bytes"),
-    ).withColumn(
+    ]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("_tie"))
+    planned = files.select(*cols).withColumn(
         "bin_id",
         F.floor(F.coalesce(F.sum("_bytes").over(w), F.lit(0)) / target_bytes).cast(
             "int"

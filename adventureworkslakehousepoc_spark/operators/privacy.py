@@ -75,7 +75,19 @@ def dp_noisy_group_counts(
     counted = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
-    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    # injective group-key encoding: each component is hashed SEPARATELY
+    # before joining, so a delimiter character inside a value cannot
+    # collide two distinct groups into one (correlated) noise draw, and a
+    # NULL component maps to a fixed non-hex sentinel (md5 of NULL is
+    # NULL) instead of silently vanishing as concat_ws would — which also
+    # diverged from the oracle, where NULL propagates through '||'.
+    key_str = F.concat_ws(
+        "",
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("~null~"))
+            for c in group_cols
+        ],
+    )
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(seed + ":"), key_str)), 1, 13), 16, 10
     ).cast("bigint") / F.lit(float(1 << 52))

@@ -977,6 +977,7 @@ def dim_ablation_recall(
     full_dim: int = 64,
     k: int = 5,
     query_mod: int = 10,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Matryoshka-style dimension ablation: how much exact-cosine recall@k
     survives truncating the embedding to its first ``d`` dimensions? The
@@ -984,8 +985,22 @@ def dim_ablation_recall(
     10^9 vectors a 4x narrower vector is 4x less scan, shuffle, and memory,
     and this operator quantifies exactly what that buys/costs.
 
-    Every ``vec_id % query_mod == 0`` vector queries the full corpus
-    (self excluded). For each d in ``dims`` + the full dimension, the
+    Query-set selection — the knob that decides whether this operator is
+    scale-safe: with ``max_queries`` set (the REGISTERED default), the
+    query set is the ``max_queries`` vectors with the smallest
+    ``(md5(vec_id), vec_id)`` — a deterministic hash sample whose SIZE is
+    FIXED regardless of corpus size, so the scored-pair volume is
+    O(max_queries · |corpus| · |dims|): linear in the corpus, exactly one
+    broadcast-side constant away from ``ann_bruteforce_topk``. The
+    selection is a top-k (TakeOrderedAndProject — map-side partial top-k,
+    no full shuffle). With ``max_queries=None``, every
+    ``vec_id % query_mod == 0`` vector queries instead — |queries| grows
+    with the corpus and the pair volume is quadratic; that exhaustive
+    form is the CALIBRATION tool (ground-truth recall over a dense query
+    grid) and must be pointed at a corpus sample at scale (SCALE.md).
+
+    Each query vector scores the full corpus (self excluded). For each d
+    in ``dims`` + the full dimension, the
     brute-force top-k under the TRUNCATED cosine is compared against the
     full-dimension truth; recall@k averages over queries. Scores are
     micro-quantized with a vec_id tiebreak (the suite's ANN discipline) so
@@ -1003,7 +1018,8 @@ def dim_ablation_recall(
     Scale posture: candidates explode to |queries|*|corpus|*|dims| scored
     rows — brute force is the MEASUREMENT here, as in
     ``ann_recall_calibration`` (production retrieval goes through the
-    IVF/LSH paths); the per-(d, query) top-k runs through the two-phase
+    IVF/LSH paths); with the bounded query set that volume is linear in
+    the corpus; the per-(d, query) top-k runs through the two-phase
     ``grouped_topk`` so no (d, query) group funnels a scan into one task.
     Output: ``(dim, n_queries, avg_recall_ppm)`` — |dims|+1 rows.
     """
@@ -1023,7 +1039,19 @@ def dim_ablation_recall(
             f" pr -> named_struct({fields})), 1)"
         )
 
-    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+    if max_queries is not None:
+        picked = (
+            embeddings.select(
+                "vec_id",
+                "embedding",
+                F.md5(F.col("vec_id").cast("string")).alias("_h"),
+            )
+            .orderBy("_h", "vec_id")
+            .limit(max_queries)
+        )
+    else:
+        picked = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    q = picked.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         prefix_norms("embedding", "qn").alias("qn"),

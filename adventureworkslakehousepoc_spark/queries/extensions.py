@@ -7538,7 +7538,10 @@ def snapshot_full_outer_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     n AS (
       SELECT *,
-             CAST(('0x' || substr(md5('dp42:' || source || '|' || lang), 1, 13))
+             CAST(('0x' || substr(md5('dp42:'
+                      || COALESCE(md5(CAST(source AS VARCHAR)), '~null~')
+                      || COALESCE(md5(CAST(lang AS VARCHAR)), '~null~')
+                  ), 1, 13))
                   AS BIGINT) / 4503599627370496.0 AS h
       FROM c
     )
@@ -7738,10 +7741,15 @@ def cuped_adjusted_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_lift(_events(spark, sf_dir))
 
 
-_DIM_ABLATION_PARAMS = dict(dims=(4, 8, 16), full_dim=64, k=5, query_mod=10)
+# Bounded by default (round-13, clears the r12 scale weak flag): the query
+# set is a FIXED-size deterministic hash sample — at 100× data the scored
+# pair volume stays linear in the corpus instead of blowing up |corpus|².
+# The exhaustive query_mod form remains a dim_ablation_recall parameter for
+# calibration runs against a corpus sample (SCALE.md recipe).
+_DIM_ABLATION_PARAMS = dict(dims=(4, 8, 16), full_dim=64, k=5, max_queries=256)
 
 
-def _dim_ablation_oracle_sql(dims, full_dim, k, query_mod) -> str:
+def _dim_ablation_oracle_sql(dims, full_dim, k, max_queries) -> str:
     all_dims = ", ".join(str(d) for d in list(dims) + [full_dim])
 
     def dot(x, y):
@@ -7753,7 +7761,7 @@ def _dim_ablation_oracle_sql(dims, full_dim, k, query_mod) -> str:
     return f"""
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qe FROM embeddings
-      WHERE vec_id % {query_mod} = 0
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max_queries}
     ),
     p AS (
       SELECT e.vec_id, e.embedding AS em, q.qid, q.qe
@@ -7791,9 +7799,11 @@ def _dim_ablation_oracle_sql(dims, full_dim, k, query_mod) -> str:
 def embedding_dim_ablation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncation recall ablation
     (operators/similarity.py::dim_ablation_recall): exact-cosine recall@5
-    of 4/8/16-dim prefixes against the 64-dim truth over a hash-picked
-    query set — the measurement that prices a truncated (4× cheaper)
-    index before shipping it. Full-dim row reads 1.0 by construction."""
+    of 4/8/16-dim prefixes against the 64-dim truth over a BOUNDED
+    hash-sampled query set (256 smallest (md5(vec_id), vec_id) — fixed
+    size at any corpus scale, so the measurement stays linear in the
+    corpus) — the number that prices a truncated (4× cheaper) index
+    before shipping it. Full-dim row reads 1.0 by construction."""
     from ..operators.similarity import dim_ablation_recall
 
     return dim_ablation_recall(_emb(spark, sf_dir), **_DIM_ABLATION_PARAMS)
@@ -7890,7 +7900,7 @@ def srm_assignment_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     inst AS (
       SELECT doc_id, md5(sent) AS h, CAST(length(sent) AS BIGINT) AS slen,
-             doc_id * 1000000 + pos AS inst_key
+             ROW(doc_id, pos) AS inst_key
       FROM s
     ),
     gs AS (
@@ -7915,7 +7925,8 @@ def sentence_dedup_ccnet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity between whole-document hashing and position-level token
     spans: per-doc duplicated-sentence instance counts and the chars a
     keep-first-occurrence rewrite would retain (global ownership by exact
-    integer min(doc_id·10⁶ + position))."""
+    lexicographic min(struct(doc_id, position)) — no arithmetic packing,
+    so no collision at ≥10⁶ sentences/doc or negative doc_ids)."""
     from ..operators.dedup import sentence_dedup_stats
 
     return sentence_dedup_stats(_docs(spark, sf_dir))

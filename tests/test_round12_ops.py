@@ -311,6 +311,35 @@ def test_dp_noise_is_centered_and_bounded(spark):
         assert abs(wn[g] - 10 * nn[g]) < 1e-4, (g, wn[g], nn[g])
 
 
+def test_dp_noise_key_is_injective_over_nulls_and_delimiters(spark):
+    """Round-13 advice fix: the noise key hashes each group component
+    SEPARATELY, so (1) a NULL component yields a non-null, well-defined
+    noise draw (concat_ws used to silently skip NULLs, making ('a', NULL)
+    and (NULL, 'a') share a draw — and diverge from the NULL-propagating
+    oracle), and (2) a delimiter character inside a value cannot collide
+    two distinct groups into one correlated draw ('a|b','c' vs 'a','b|c')."""
+    from adventureworkslakehousepoc_spark.operators.privacy import (
+        dp_noisy_group_counts,
+    )
+
+    rows = [
+        (1, "a|b", "c"),
+        (2, "a", "b|c"),
+        (3, "a", None),
+        (4, None, "a"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g1 string, g2 string")
+    out = dp_noisy_group_counts(df, ["g1", "g2"], epsilon=1.0).collect()
+    assert len(out) == 5
+    noises = {(r.g1, r.g2): r.n_noisy - r.n_true for r in out}
+    assert all(n is not None for n in noises.values()), noises
+    # the old concat_ws('|') key collided BOTH hazards below:
+    assert noises[("a|b", "c")] != noises[("a", "b|c")], "delimiter collision"
+    assert noises[("a", None)] != noises[(None, "a")], "null-skip collision"
+    assert len(set(noises.values())) == 5, f"correlated draws: {noises}"
+
+
 def test_weighted_reservoir_favors_heavy_rows(spark):
     """With weights 1000:1, the k winners should be overwhelmingly heavy
     rows; exact k per group; ranks 1..k; deterministic."""
@@ -388,6 +417,41 @@ def test_cuped_reduces_variance_on_correlated_metric(spark):
     assert r.var_reduction_ppm > 900000  # rho^2 ~ 1
 
 
+def test_cuped_moment_overflow_raises_instead_of_null(spark):
+    """Round-13 advice fix: non-ANSI Spark returns NULL silently when a
+    DECIMAL(38,0) moment SUM overflows (the decimal cast only protects the
+    per-row product). Stage values big enough that sum(x²_micro) > 10³⁸
+    and assert the readout raises rather than emitting NULL theta/lifts."""
+    import pytest
+
+    from adventureworkslakehousepoc_spark.operators.experiments import (
+        cuped_adjusted_lift,
+    )
+
+    # 400 users x value 1e12 -> per-user micro sum 1e18, square 1e36,
+    # sum ~4e38 > DECIMAL(38,0) max
+    rows = [
+        (i, f"2024-01-{1 + (i % 10):02d}", 1.0e12) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    # ANSI on (Spark 4 default): Spark itself raises ARITHMETIC_OVERFLOW at
+    # the sum — acceptable. ANSI off (the silent-NULL hazard the guard is
+    # for): the sum yields NULL and OUR raise_error must fire.
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        with pytest.raises(
+            Exception, match="moment sum overflowed|ARITHMETIC_OVERFLOW"
+        ):
+            cuped_adjusted_lift(df).collect()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="moment sum overflowed"):
+            cuped_adjusted_lift(df).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_dim_ablation_full_dim_is_perfect_and_monotonicish(spark):
     from adventureworkslakehousepoc_spark.operators.similarity import (
         dim_ablation_recall,
@@ -412,6 +476,51 @@ def test_dim_ablation_full_dim_is_perfect_and_monotonicish(spark):
     }
     assert out[16] == 1000000, "full dim must recall itself perfectly"
     assert 0 <= out[2] <= out[8] <= 1000000, out
+
+
+def test_dim_ablation_bounded_query_set_is_fixed_size_and_deterministic(spark):
+    """The registered (scale-safe) form: max_queries hash-samples a FIXED
+    number of query vectors — n_queries must equal the bound regardless of
+    corpus size, the sample must be the smallest (md5(vec_id), vec_id)
+    keys (deterministic, partitioning-invariant), and a corpus 2x larger
+    must still score exactly the bound (linear, not quadratic, growth)."""
+    import hashlib
+    import math
+
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        dim_ablation_recall,
+    )
+
+    def mk(n):
+        rows = [
+            (i, [math.sin(0.1 * i * (j + 1)) for j in range(8)], 0)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+
+    for n in (60, 120):
+        out = dim_ablation_recall(
+            mk(n), dims=(2,), full_dim=8, k=3, max_queries=10
+        ).collect()
+        assert {r.n_queries for r in out} == {10}, (n, out)
+        assert {r.dim for r in out} == {2, 8}
+        full = {r.dim: r.avg_recall_ppm for r in out}
+        assert full[8] == 1000000
+
+    # the sample is exactly the 10 smallest (md5(str(vec_id)), vec_id)
+    expect = sorted(range(120), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+    from pyspark.sql import functions as F
+
+    picked = (
+        mk(120)
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [r.vec_id for r in picked] == expect
 
 
 def test_shot_boundaries_per_video_invariants(spark):
