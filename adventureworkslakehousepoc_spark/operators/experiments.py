@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cuped_adjusted_lift", "srm_assignment_check"]
+__all__ = [
+    "cuped_adjusted_lift",
+    "srm_assignment_check",
+    "msprt_sequential_ab",
+]
 
 
 def cuped_adjusted_lift(
@@ -261,4 +265,172 @@ def srm_assignment_check(
         "n_control",
         chi2.alias("chi2"),
         (chi2 > F.lit(critical_millis) / F.lit(1000.0)).alias("srm_flag"),
+    )
+
+
+def msprt_sequential_ab(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seed: str = "exp42",
+    tau: float = 0.5,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Always-valid sequential A/B readout via the mixture SPRT (mSPRT,
+    Johari-Koomen-Pekelis-Walsh, "Peeking at A/B tests", KDD 2017) — the
+    third leg of the experimentation family: SRM gates assignment
+    integrity, CUPED sharpens the point estimate, and this answers the
+    question every experimenter actually asks ("can I stop LOOKING yet?")
+    with a boundary that holds at level α no matter how often it is
+    peeked at.
+
+    One LOOK per observed day: at look d the cumulative per-arm event
+    moments (n, Σv, Σv²) through day d give the mean difference
+    δ̂ = ȳ_t − ȳ_c, its sampling variance via the pooled empirical
+    variance over the effective sample size n_eff = n_t·n_c/(n_t+n_c),
+    and the normal-mixture likelihood ratio (variance ρ = σ²/n_eff,
+    mixture width τ²):
+
+        ln Λ = ½·ln(ρ/(ρ+τ²)) + δ̂²·τ² / (2·ρ·(ρ+τ²))
+
+    The test CROSSES at the first look with Λ ≥ 1/α — mixture martingale
+    + Ville's inequality give the anytime-valid α guarantee. Assignment
+    is the family's deterministic md5 50/50 bucketing.
+
+    Exactness: per-event values micro-quantize before summation; the
+    cumulative moments are exact integers/decimals (prefix sums over the
+    tiny per-day aggregate via a broadcast non-equi self-join — no global
+    window, no SinglePartition exchange); δ̂, ρ, and ln Λ then derive
+    through ONE fixed IEEE chain mirrored textually in the oracle, with
+    one final micro-quantization of ln Λ. The boundary constant
+    ln(1/α)·10⁶ is precomputed in Python and inlined as an integer
+    literal so both engines compare against the identical number.
+
+    Returns one row per look: ``(day, n_treatment, n_control,
+    delta_micros, log_lambda_micros, crossed)`` — ``crossed`` is the
+    anytime-valid rejection state AT that look (monotone in practice but
+    reported per look; the first true row is the stopping day).
+
+    Scale posture: one (day, arm)-keyed aggregate over the event log is
+    the only real shuffle; the look table is |days| rows, cumulated and
+    scored with broadcast joins and scalar math. 100 TB of events, ~365
+    looks.
+    """
+    import math
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    v_micro = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    arm_is_t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(user_col).cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < 8
+    )
+    d19 = "decimal(19,0)"
+    daily = (
+        events.select(
+            day,
+            F.when(arm_is_t, F.lit("t")).otherwise(F.lit("c")).alias("arm"),
+            v_micro.alias("v"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast(d19).alias("sv"),
+            F.sum(F.col("v").cast(d19) * F.col("v").cast(d19)).alias("svv"),
+        )
+    )
+    looks = daily.select("day").distinct()
+    # prefix sums over the |days|-row aggregate: broadcast non-equi self-join
+    # (the engine's global-window-free pattern), then pivot the two arms
+    cum = (
+        looks.alias("l")
+        .join(F.broadcast(daily.alias("d")), F.col("d.day") <= F.col("l.day"))
+        .groupBy(F.col("l.day").alias("day"))
+        .agg(
+            *[
+                agg.alias(f"{a}{suffix}")
+                for a in ("t", "c")
+                for suffix, agg in (
+                    (
+                        "n",
+                        F.sum(
+                            F.when(F.col("d.arm") == a, F.col("d.n")).otherwise(
+                                F.lit(0)
+                            )
+                        ).cast("bigint"),
+                    ),
+                    (
+                        "sv",
+                        F.sum(
+                            F.when(
+                                F.col("d.arm") == a, F.col("d.sv")
+                            ).otherwise(F.lit(0).cast(d19))
+                        ),
+                    ),
+                    (
+                        "svv",
+                        F.sum(
+                            F.when(
+                                F.col("d.arm") == a, F.col("d.svv")
+                            ).otherwise(F.lit(0).cast(d19))
+                        ),
+                    ),
+                )
+            ]
+        )
+    )
+    MICRO = F.lit(1e6)
+    # looks where either arm is empty are reported with NULL statistics: no
+    # difference is estimable yet (and the oracle mirrors the same guard)
+    both = (F.col("tn") > 0) & (F.col("cn") > 0)
+    n_all = F.col("tn") + F.col("cn")
+    mean_t = F.col("tsv").cast("double") / F.col("tn") / MICRO
+    mean_c = F.col("csv").cast("double") / F.col("cn") / MICRO
+    delta = mean_t - mean_c
+    # pooled empirical variance of v (value units) over both arms
+    sv_all = (F.col("tsv") + F.col("csv")).cast("double")
+    svv_all = (F.col("tsvv") + F.col("csvv")).cast("double")
+    var_pooled = (
+        svv_all / n_all.cast("double") / MICRO / MICRO
+        - (sv_all / n_all.cast("double") / MICRO)
+        * (sv_all / n_all.cast("double") / MICRO)
+    )
+    n_eff = (
+        F.col("tn").cast("double")
+        * F.col("cn").cast("double")
+        / n_all.cast("double")
+    )
+    # rho = sampling variance of delta-hat; floored away from 0 so a
+    # zero-variance look (constant values) cannot divide by zero
+    rho = F.greatest(var_pooled / n_eff, F.lit(1e-12))
+    tau2 = F.lit(float(tau) * float(tau))
+    log_lambda = F.lit(0.5) * F.log(rho / (rho + tau2)) + (
+        delta * delta * tau2 / (F.lit(2.0) * rho * (rho + tau2))
+    )
+    boundary_micros = math.floor(math.log(1.0 / alpha) * 1e6 + 0.5)
+    return cum.select(
+        "day",
+        F.col("tn").alias("n_treatment"),
+        F.col("cn").alias("n_control"),
+        F.when(both, F.floor(delta * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+            "delta_micros"
+        ),
+        F.when(
+            both, F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint")
+        ).alias("log_lambda_micros"),
+        F.when(
+            both,
+            (
+                F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint")
+                >= F.lit(boundary_micros)
+            ),
+        ).otherwise(F.lit(False)).alias("crossed"),
     )

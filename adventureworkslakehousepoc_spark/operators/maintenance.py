@@ -25,6 +25,7 @@ __all__ = [
     "compaction_bin_plan",
     "dataset_fingerprints",
     "snapshot_reconcile",
+    "vacuum_plan",
 ]
 
 
@@ -388,4 +389,79 @@ def snapshot_reconcile(
             "change_class",
             F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
         )
+    )
+
+
+def vacuum_plan(
+    log_df: DataFrame,
+    key_cols: list[str],
+    horizon_version: int,
+    file_cols: list,
+    row_bytes: "F.Column | None" = None,
+) -> DataFrame:
+    """Retention/VACUUM planner over the change-feed emulation
+    (streaming/cdf.py): given the append log and a retention HORIZON
+    version ("we never time-travel before version H"), compute per
+    simulated file what a vacuum pass reclaims and what it must rewrite —
+    the planning half of Delta VACUUM, over the suite's parquet log.
+
+    A log row is RECLAIMABLE exactly when no snapshot at or after the
+    horizon can need it:
+
+    - any row with ``_commit_version > H`` is live (inside retention);
+    - an ``update_preimage`` at version ≤ H is reclaimable (preimages
+      only serve diffs, and diffs inside retention only read versions
+      > H);
+    - a state row (insert/update_postimage/delete) at version ≤ H is
+      live iff it is its key's LATEST state row ≤ H **and** is a live
+      type — that row IS the key's horizon-snapshot state; superseded
+      state rows, and a delete marker that is the latest (the key is
+      simply absent at the horizon), are reclaimable.
+
+    Returns one row per file (``file_cols`` defines file identity — the
+    emulation groups by (commit version, key bucket); a real table maps
+    rows to physical files): ``(file cols…, n_rows, n_reclaimable,
+    bytes_total, bytes_reclaimable, action)`` with ``action`` ∈
+    ``delete`` (every row reclaimable — drop the file), ``rewrite``
+    (mixed — rewrite the live remainder to reclaim), ``keep``.
+
+    Scale posture: one key-keyed aggregate for the per-key horizon owner
+    (|keys| rows), one key-keyed join back, one file-keyed aggregate —
+    the same shuffle budget as CDC compaction; no windows over the full
+    log, nothing driver-side.
+    """
+    if row_bytes is None:
+        row_bytes = F.lit(1)
+    ver = F.col("_commit_version")
+    ct = F.col("_change_type")
+    owner = (
+        log_df.filter((ver <= horizon_version) & (ct != "update_preimage"))
+        .groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max(ver).alias("_keep_ver"))
+    )
+    classified = (
+        log_df.join(owner, key_cols, "left")
+        .withColumn(
+            "_reclaimable",
+            F.when(ver > horizon_version, F.lit(False))
+            .when(ct == "update_preimage", F.lit(True))
+            .otherwise((ver != F.col("_keep_ver")) | (ct == "delete")),
+        )
+        .withColumn("_bytes", row_bytes.cast("bigint"))
+    )
+    agg = classified.groupBy(*file_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_reclaimable").cast("bigint")).cast("bigint").alias(
+            "n_reclaimable"
+        ),
+        F.sum("_bytes").cast("bigint").alias("bytes_total"),
+        F.sum(F.when(F.col("_reclaimable"), F.col("_bytes")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("bytes_reclaimable"),
+    )
+    return agg.withColumn(
+        "action",
+        F.when(F.col("n_reclaimable") == F.col("n_rows"), F.lit("delete"))
+        .when(F.col("n_reclaimable") == 0, F.lit("keep"))
+        .otherwise(F.lit("rewrite")),
     )

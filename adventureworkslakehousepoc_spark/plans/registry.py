@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .expectations import apply_expectations, expectations_of
+
 __all__ = ["DatasetRegistry", "PipelineContext"]
 
 
@@ -81,6 +83,7 @@ class PipelineContext:
         catalog_reader: Callable[[str], DataFrame] | None = None,
         static_reader: Callable[[str], DataFrame] | None = None,
         static_first: bool = False,
+        observe_expectations: bool = False,
     ) -> None:
         self.registry = registry
         self.spark = spark
@@ -90,8 +93,17 @@ class PipelineContext:
         # registered dataset names — a streaming context uses this so dimension
         # lookups stay batch while the same datasets stream on the driving path
         self._static_first = static_first
+        # observe_expectations: attach a CollectMetrics (DataFrame.observe)
+        # node counting each expectation's violations on the PRE-enforcement
+        # rows, harvested during the first action (zero extra passes — the
+        # DLT event-log analog). OPT-IN because the metrics node must see
+        # every incoming row, which pins the scan: enforcement filters
+        # cannot push below it, so a metrics-free consumer would lose
+        # predicate pushdown for nothing.
+        self._observe_expectations = observe_expectations
         self._cache: dict[str, DataFrame] = {}
         self._building: set[str] = set()
+        self._observations: dict[str, tuple] = {}
 
     # the reference's `dp.read(...)` (silver_layer_person.py:18-19)
     def read(self, name: str) -> DataFrame:
@@ -126,8 +138,38 @@ class PipelineContext:
             df = defn.fn(self)
         finally:
             self._building.discard(name)
+        exps = expectations_of(defn.fn)
+        if exps:
+            # observe BEFORE enforcement so drop/fail violations are counted
+            # during whatever job first acts on this dataset — the zero-
+            # extra-pass DLT-event-log analog. (Streaming plans skip the
+            # observation node: batch Observation does not apply there;
+            # enforcement itself is plan-shaped and applies to both.)
+            if self._observe_expectations and not df.isStreaming:
+                from pyspark.sql import functions as F
+                from pyspark.sql.observation import Observation
+
+                obs = Observation(f"expectations:{name}")
+                df = df.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_rows"),
+                    *[
+                        F.sum((~e.passes()).cast("bigint")).alias(e.name)
+                        for e in exps
+                    ],
+                )
+                self._observations[name] = (obs, exps)
+            df = apply_expectations(df, exps, dataset=name)
         self._cache[name] = df
         return df
+
+    def expectation_metrics(self, name: str) -> dict:
+        """Observed expectation metrics for a materialized dataset:
+        ``{"n_rows": N, <expectation name>: violation count, ...}``.
+        Available after an action (e.g. ``run()``) executed the dataset's
+        plan; raises if the dataset declared no expectations."""
+        obs, _exps = self._observations[name]
+        return dict(obs.get)
 
     def run(
         self,

@@ -7930,3 +7930,246 @@ def sentence_dedup_ccnet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import sentence_dedup_stats
 
     return sentence_dedup_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-13: DLT-style expectations (data-quality constraints on registry
+# datasets) — the reference platform's @dp.expect/expect_or_drop/
+# expect_or_fail contract (SURVEY.md §3), plans/expectations.py
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expectations_gate_drop",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE COALESCE(lang IS NOT NULL, FALSE)
+      AND COALESCE(n_chars >= 100, FALSE)
+      AND COALESCE(doc_id >= 0, FALSE)
+    GROUP BY 1
+    """,
+)
+def expectations_gate_drop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style expectation enforcement through the REAL registry path
+    (plans/expectations.py + plans/registry.py): a dataset generator
+    decorated with two ``expect_or_drop`` constraints (lang present,
+    n_chars >= 100) and one ``expect_or_fail`` (doc_id >= 0 — satisfied,
+    so the update survives), materialized via PipelineContext and
+    aggregated per source. Enforcement is plan-shaped: drops are plain
+    filters (pushdown-eligible — the n_chars predicate reaches the
+    parquet scan), fail is a raise_error-else filter that aborts on the
+    first violating row executor-side. Oracle replays the surviving-row
+    aggregate with identical NULL-is-violation semantics."""
+    from ..plans.expectations import expect_or_drop, expect_or_fail
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reg = DatasetRegistry()
+
+    @reg.table("clean_documents", comment="quality-gated documents")
+    @expect_or_drop("lang_present", "lang IS NOT NULL")
+    @expect_or_drop("min_length", "n_chars >= 100")
+    @expect_or_fail("nonnegative_id", "doc_id >= 0")
+    def clean_documents(ctx):
+        return ctx.read("documents")
+
+    ctx = PipelineContext(
+        reg, spark, catalog_reader=lambda name: _docs(spark, sf_dir)
+    )
+    return (
+        ctx.dataframe("clean_documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "expectations_violation_counters",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN COALESCE(n_chars >= 200, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_len,
+             CAST(SUM(CASE WHEN COALESCE(lang <> 'zh', FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN COALESCE(doc_id >= 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_id
+      FROM documents
+    )
+    SELECT 'documents' AS dataset, e.expectation, e.policy, m.n_rows,
+           CASE e.expectation
+             WHEN 'long_enough' THEN m.v_len
+             WHEN 'lang_not_zh' THEN m.v_lang
+             ELSE m.v_id END AS n_violations,
+           CAST(FLOOR(CASE e.expectation
+             WHEN 'long_enough' THEN m.v_len
+             WHEN 'lang_not_zh' THEN m.v_lang
+             ELSE m.v_id END * 1000000 / m.n_rows) AS BIGINT)
+             AS violation_ppm
+    FROM m, (VALUES ('long_enough', 'keep'),
+                    ('lang_not_zh', 'drop'),
+                    ('nonnegative_id', 'fail')) e(expectation, policy)
+    """,
+)
+def expectations_violation_counters_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expectation violation counters as ONE aggregate pass
+    (plans/expectations.py::expectation_counters): every declared
+    constraint's violation count over the PRE-enforcement dataset reduces
+    in the same map-side-combined aggregate (one row per expectation via
+    explode-from-aggregate — no per-expectation scans, no driver loop).
+    The DataFrame form of what ``PipelineContext.run()`` records as
+    zero-extra-pass ``observe`` metrics during the write job — the DLT
+    event-log expectation readout."""
+    from ..plans.expectations import Expectation, expectation_counters
+
+    exps = [
+        Expectation("long_enough", "n_chars >= 200", "keep"),
+        Expectation("lang_not_zh", "lang <> 'zh'", "drop"),
+        Expectation("nonnegative_id", "doc_id >= 0", "fail"),
+    ]
+    return expectation_counters(_docs(spark, sf_dir), exps, dataset="documents")
+
+
+@query(
+    "sequential_ab_msprt",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN CAST(('0x' || substr(md5('exp42:' || CAST(user_id AS VARCHAR)), 1, 1))
+                       AS INTEGER) < 8 THEN 't' ELSE 'c' END AS arm,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    daily AS (
+      SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(19,0))) AS sv,
+             SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS svv
+      FROM ev GROUP BY 1, 2
+    ),
+    looks AS (SELECT DISTINCT day FROM daily),
+    cum AS (
+      SELECT l.day,
+             CAST(SUM(CASE WHEN d.arm = 't' THEN d.n ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN d.arm = 'c' THEN d.n ELSE 0 END) AS BIGINT) AS cn,
+             SUM(CASE WHEN d.arm = 't' THEN d.sv ELSE CAST(0 AS DECIMAL(19,0)) END) AS tsv,
+             SUM(CASE WHEN d.arm = 'c' THEN d.sv ELSE CAST(0 AS DECIMAL(19,0)) END) AS csv,
+             SUM(CASE WHEN d.arm = 't' THEN d.svv ELSE CAST(0 AS DECIMAL(19,0)) END) AS tsvv,
+             SUM(CASE WHEN d.arm = 'c' THEN d.svv ELSE CAST(0 AS DECIMAL(19,0)) END) AS csvv
+      FROM looks l JOIN daily d ON d.day <= l.day
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, tn, cn,
+             CAST(tsv AS DOUBLE) / tn / 1000000.0
+               - CAST(csv AS DOUBLE) / cn / 1000000.0 AS delta,
+             GREATEST(
+               (CAST(tsvv + csvv AS DOUBLE) / CAST(tn + cn AS DOUBLE) / 1000000.0 / 1000000.0
+                - (CAST(tsv + csv AS DOUBLE) / CAST(tn + cn AS DOUBLE) / 1000000.0)
+                  * (CAST(tsv + csv AS DOUBLE) / CAST(tn + cn AS DOUBLE) / 1000000.0))
+               / (CAST(tn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(tn + cn AS DOUBLE)),
+               1e-12) AS rho
+      FROM cum
+    ),
+    ll AS (
+      SELECT day, tn, cn, delta,
+             0.5 * ln(rho / (rho + 0.25))
+               + delta * delta * 0.25 / (2.0 * rho * (rho + 0.25)) AS log_lambda,
+             tn > 0 AND cn > 0 AS has_both
+      FROM scored
+    )
+    SELECT day, tn AS n_treatment, cn AS n_control,
+           CASE WHEN has_both THEN CAST(FLOOR(delta * 1000000.0 + 0.5) AS BIGINT) END
+             AS delta_micros,
+           CASE WHEN has_both THEN CAST(FLOOR(log_lambda * 1000000.0 + 0.5) AS BIGINT) END
+             AS log_lambda_micros,
+           CASE WHEN has_both
+                THEN CAST(FLOOR(log_lambda * 1000000.0 + 0.5) AS BIGINT) >= 2995732
+                ELSE FALSE END AS crossed
+    FROM ll
+    """,
+)
+def sequential_ab_msprt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout
+    (operators/experiments.py::msprt_sequential_ab): one look per observed
+    day, mixture-SPRT log likelihood ratio from exact cumulative per-arm
+    moments (prefix sums over the tiny per-day aggregate via a broadcast
+    non-equi self-join — no global window), anytime-valid crossing against
+    the inlined integer boundary ln(1/0.05)·10⁶ = 2995732. Completes the
+    experimentation family: SRM gates assignment, CUPED sharpens the
+    estimate, mSPRT says when peeking may stop."""
+    from ..operators.experiments import msprt_sequential_ab
+
+    return msprt_sequential_ab(_events(spark, sf_dir), tau=0.5, alpha=0.05)
+
+
+@query(
+    "vacuum_retention_plan",
+    """
+    WITH log AS (
+      SELECT c_custkey, c_name, 'insert' AS ct, CAST(1 AS BIGINT) AS ver FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, 'update_preimage', CAST(2 AS BIGINT)
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, upper(c_name), 'update_postimage', CAST(2 AS BIGINT)
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, 'delete', CAST(3 AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    owner AS (
+      SELECT c_custkey, MAX(ver) AS keep_ver
+      FROM log WHERE ver <= 2 AND ct <> 'update_preimage'
+      GROUP BY 1
+    ),
+    cls AS (
+      SELECT l.ver AS file_version, l.c_custkey % 8 AS bucket,
+             CAST(length(l.c_name) AS BIGINT) AS bytes,
+             CASE WHEN l.ver > 2 THEN FALSE
+                  WHEN l.ct = 'update_preimage' THEN TRUE
+                  ELSE (l.ver <> o.keep_ver OR l.ct = 'delete') END AS rec
+      FROM log l LEFT JOIN owner o USING (c_custkey)
+    )
+    SELECT file_version, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT) AS n_reclaimable,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM(CASE WHEN rec THEN bytes ELSE 0 END) AS BIGINT)
+             AS bytes_reclaimable,
+           CASE WHEN SUM(CASE WHEN rec THEN 1 ELSE 0 END) = COUNT(*) THEN 'delete'
+                WHEN SUM(CASE WHEN rec THEN 1 ELSE 0 END) = 0 THEN 'keep'
+                ELSE 'rewrite' END AS action
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def vacuum_retention_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/VACUUM planner over the change-feed emulation
+    (operators/maintenance.py::vacuum_plan): at horizon version 2 over the
+    suite's deterministic 3-version customer log, classify every log row
+    live-vs-reclaimable (preimages ≤ horizon reclaimable; superseded state
+    rows reclaimable; a key's latest ≤-horizon live state row is its
+    horizon-snapshot state and must stay) and report per simulated file
+    (commit version × key bucket) the reclaimable rows/bytes and the
+    action — delete (all reclaimable), rewrite (mixed), keep. Rounds out
+    the table-ops suite next to compaction_bin_plan/cluster_zorder."""
+    from ..operators.maintenance import vacuum_plan
+    from .streaming_queries import _build_change_log
+
+    log = _build_change_log(spark, sf_dir).read_batch(spark)
+    return vacuum_plan(
+        log,
+        key_cols=["c_custkey"],
+        horizon_version=2,
+        file_cols=[
+            F.col("_commit_version").alias("file_version"),
+            (F.col("c_custkey") % 8).alias("bucket"),
+        ],
+        row_bytes=F.length("c_name"),
+    )

@@ -243,6 +243,11 @@ EXTRA_QUERIES = [
     "srm_assignment_check",
     "sentence_dedup_ccnet",
     "st_fingerprint_maintenance",
+    # round-13 additions
+    "expectations_gate_drop",
+    "expectations_violation_counters",
+    "sequential_ab_msprt",
+    "vacuum_retention_plan",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -539,3 +539,131 @@ def test_changed_output_derivation_rules():
     old = types.SimpleNamespace()
     old.GENERATED_AFTER_ROUND = 6
     assert derive(last, 7, new_fp, old) == []
+
+
+# ---------------------------------------------------------------------------
+# Round-13: DLT-style expectations (plans/expectations.py)
+# ---------------------------------------------------------------------------
+
+
+def _exp_registry():
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        expect,
+        expect_or_drop,
+        expect_or_fail,
+    )
+
+    reg = DatasetRegistry()
+
+    @reg.table("gated")
+    @expect("has_name", "name IS NOT NULL")
+    @expect_or_drop("positive", "v > 0")
+    def gated(ctx):
+        return ctx.read("raw")
+
+    @reg.table("strict")
+    @expect_or_fail("no_nulls", "v IS NOT NULL")
+    def strict(ctx):
+        return ctx.read("raw")
+
+    return reg
+
+
+def test_expectations_drop_and_keep_policies(spark):
+    """drop removes violating rows (NULL condition = violation, plain SQL
+    filter semantics); keep leaves rows untouched but is still counted."""
+    raw = spark.createDataFrame(
+        [(1, "a"), (-2, "b"), (None, None), (4, None)], "v int, name string"
+    )
+    ctx = PipelineContext(_exp_registry(), spark, catalog_reader=lambda n: raw)
+    got = sorted(r.v for r in ctx.dataframe("gated").collect())
+    assert got == [1, 4], got  # -2 and NULL dropped; NULL name kept
+
+
+def test_expectations_fail_policy_aborts_update(spark):
+    """expect_or_fail must abort the materialization on the first violating
+    row — executor-side raise, not a silent NULL or a dropped row."""
+    raw = spark.createDataFrame([(1, "a"), (None, "b")], "v int, name string")
+    ctx = PipelineContext(_exp_registry(), spark, catalog_reader=lambda n: raw)
+    with pytest.raises(Exception, match="no_nulls"):
+        ctx.dataframe("strict").collect()
+    # a clean table sails through the same gate
+    ok = spark.createDataFrame([(1, "a")], "v int, name string")
+    ctx2 = PipelineContext(_exp_registry(), spark, catalog_reader=lambda n: ok)
+    assert ctx2.dataframe("strict").count() == 1
+
+
+def test_expectations_observed_metrics_zero_extra_pass(spark, tmp_path):
+    """With observe_expectations=True, run() harvests per-expectation
+    violation counts from the SAME job that writes the table (CollectMetrics
+    node) — counts are over PRE-enforcement rows, so drop victims are
+    counted even though they never reach the sink."""
+    raw = spark.createDataFrame(
+        [(1, "a"), (-2, "b"), (None, None), (4, None)], "v int, name string"
+    )
+    ctx = PipelineContext(
+        _exp_registry(),
+        spark,
+        catalog_reader=lambda n: raw,
+        observe_expectations=True,
+    )
+    ctx.run(str(tmp_path), names=["gated"])
+    m = ctx.expectation_metrics("gated")
+    assert m["n_rows"] == 4
+    assert m["positive"] == 2  # -2 and NULL v
+    assert m["has_name"] == 2  # two NULL names (keep policy, still counted)
+    # the materialized table holds only the surviving rows
+    assert sorted(
+        r.v for r in spark.read.parquet(str(tmp_path / "gated")).collect()
+    ) == [1, 4]
+
+
+def test_expectations_drop_filter_reaches_parquet_scan(spark, sf_dir):
+    """Enforcement must stay plan-shaped: without the (opt-in) metrics node,
+    a drop constraint is an ordinary predicate and lands in the scan's
+    PushedFilters — the 100 TB posture the whole feature hangs on."""
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        expect_or_drop,
+    )
+
+    reg = DatasetRegistry()
+
+    @reg.table("clean_docs")
+    @expect_or_drop("min_len", "n_chars >= 100")
+    def clean_docs(ctx):
+        return ctx.read("documents")
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ctx = PipelineContext(reg, spark, catalog_reader=lambda n: docs)
+    plan = (
+        ctx.dataframe("clean_docs")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan[:2000]
+
+
+def test_expectations_duplicate_name_rejected_and_policy_validated():
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        Expectation,
+        expect,
+        expect_or_drop,
+    )
+
+    with pytest.raises(ValueError, match="policy"):
+        Expectation("x", "v > 0", "quarantine")
+
+    with pytest.raises(ValueError, match="declared twice"):
+
+        @expect("same", "v > 0")
+        @expect_or_drop("same", "v < 9")
+        def fn(ctx):  # pragma: no cover - never called
+            return None
+
+
+def test_expectation_counters_requires_expectations(spark):
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        expectation_counters,
+    )
+
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="no expectations"):
+        expectation_counters(df, [])
