@@ -49,14 +49,16 @@ __all__ = [
     "expect",
     "expect_or_drop",
     "expect_or_fail",
+    "expect_or_quarantine",
     "expectations_of",
     "apply_expectations",
+    "quarantine_rows",
     "expectation_counters",
 ]
 
 _ATTR = "_awlh_expectations"
 
-_POLICIES = ("keep", "drop", "fail")
+_POLICIES = ("keep", "drop", "fail", "quarantine")
 
 
 @dataclass(frozen=True)
@@ -116,6 +118,16 @@ def expect_or_fail(name: str, condition: str):
     return _decorate(name, condition, "fail")
 
 
+def expect_or_quarantine(name: str, condition: str):
+    """Routing constraint: violating rows leave the dataset (like ``drop``)
+    but stay ADDRESSABLE as a quarantine relation (``quarantine_rows`` /
+    ``PipelineContext.quarantine``) for triage — the expectations analog of
+    the suite's malformed-CSV quarantine (sources/files.py::
+    split_valid_corrupt). DLT core ships drop-or-fail only; quarantine is
+    the standard production pattern layered on top (route, don't lose)."""
+    return _decorate(name, condition, "quarantine")
+
+
 def expectations_of(fn: Callable) -> tuple[Expectation, ...]:
     return tuple(getattr(fn, _ATTR, ()))
 
@@ -125,13 +137,18 @@ def apply_expectations(
 ) -> DataFrame:
     """Enforce the declared policies inside the dataset's own plan.
 
-    ``drop`` → ``filter(passes)``; ``fail`` → a filter whose false branch
-    is ``raise_error`` (abort on first violation, no extra pass); ``keep``
-    → untouched. Order follows declaration order: a row dropped by an
-    earlier expectation is never seen by a later ``fail``.
+    ``drop``/``quarantine`` → ``filter(passes)`` (the quarantined
+    complement is materialized separately by ``quarantine_rows``);
+    ``fail`` → a filter whose false branch is ``raise_error`` (abort on
+    first violation, no extra pass); ``keep`` → untouched. Order follows
+    declaration order: a row dropped by an earlier expectation is never
+    seen by a later ``fail``.
     """
     out = df
     for exp in expectations:
+        if exp.policy == "quarantine":
+            out = out.filter(F.expr(exp.condition))
+            continue
         if exp.policy == "drop":
             # plain SQL ternary logic: a NULL condition already fails the
             # filter, so this IS NULL-is-violation — and unlike a
@@ -155,6 +172,46 @@ def apply_expectations(
                 )
             )
     return out
+
+
+def quarantine_rows(
+    df: DataFrame, expectations: Sequence[Expectation], dataset: str = "<dataset>"
+) -> DataFrame:
+    """The quarantine relation: every row a ``quarantine`` constraint routed
+    OUT of the dataset, tagged with the violated constraint's name in
+    ``_violated``. Replays the enforcement chain so ordering semantics
+    match ``apply_expectations`` exactly — a row removed by an EARLIER
+    drop/quarantine constraint is not re-quarantined by a later one, and
+    kept ∪ quarantined = post-drop input, disjointly (the complement of a
+    plain SQL filter is cond-false-or-NULL, which is ``~passes()``).
+
+    Plan shape: one extra filter branch per quarantine constraint over the
+    same scan — Spark shares the scan across branches when the consumer
+    materializes both (and at worst re-scans; never shuffles).
+    """
+    out = df
+    parts: list[DataFrame] = []
+    for exp in expectations:
+        if exp.policy == "drop":
+            out = out.filter(F.expr(exp.condition))
+        elif exp.policy == "quarantine":
+            parts.append(
+                out.filter(~exp.passes()).withColumn(
+                    "_violated", F.lit(exp.name)
+                )
+            )
+            out = out.filter(F.expr(exp.condition))
+        # keep: no effect on routing; fail: aborts the main relation, not a
+        # routing policy
+    if not parts:
+        raise ValueError(
+            f"quarantine_rows: dataset {dataset!r} declares no quarantine "
+            "expectations"
+        )
+    q = parts[0]
+    for p in parts[1:]:
+        q = q.unionByName(p)
+    return q
 
 
 def expectation_counters(

@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .expectations import apply_expectations, expectations_of
+from .expectations import apply_expectations, expectations_of, quarantine_rows
 
 __all__ = ["DatasetRegistry", "PipelineContext"]
 
@@ -162,6 +162,17 @@ class PipelineContext:
             df = apply_expectations(df, exps, dataset=name)
         self._cache[name] = df
         return df
+
+    def quarantine(self, name: str) -> DataFrame:
+        """The dataset's quarantine relation: rows routed out by its
+        ``expect_or_quarantine`` constraints, tagged with the violated
+        constraint name (``_violated``). Built from the same generator and
+        chain semantics as the kept relation — kept ∪ quarantined =
+        post-drop input, disjointly. Raises if the dataset declares no
+        quarantine expectations."""
+        defn = self.registry.get(name)
+        raw = defn.fn(self)
+        return quarantine_rows(raw, expectations_of(defn.fn), dataset=name)
 
     def expectation_metrics(self, name: str) -> dict:
         """Observed expectation metrics for a materialized dataset:

@@ -8173,3 +8173,55 @@ def vacuum_retention_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         row_bytes=F.length("c_name"),
     )
+
+
+@query(
+    "expectations_quarantine_split",
+    """
+    SELECT 'kept' AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IS NOT NULL AND COALESCE(n_chars >= 150, FALSE)
+    UNION ALL
+    SELECT 'quarantined',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    WHERE lang IS NOT NULL AND NOT COALESCE(n_chars >= 150, FALSE)
+    """,
+)
+def expectations_quarantine_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing policy (plans/expectations.py::
+    expect_or_quarantine + quarantine_rows): violating rows leave the
+    dataset like a drop but stay addressable as a side relation for
+    triage — the expectations analog of the S6 malformed-CSV quarantine.
+    The split is an exact disjoint partition of the post-drop input (a
+    plain SQL filter and its cond-false-or-NULL complement); this row
+    checks BOTH sides' aggregates against the oracle, so a row lost or
+    double-routed on either side breaks the hash."""
+    from ..plans.expectations import expect_or_drop, expect_or_quarantine
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reg = DatasetRegistry()
+
+    @reg.table("triaged_documents")
+    @expect_or_drop("lang_present", "lang IS NOT NULL")
+    @expect_or_quarantine("long_enough", "n_chars >= 150")
+    def triaged_documents(ctx):
+        return ctx.read("documents")
+
+    ctx = PipelineContext(
+        reg, spark, catalog_reader=lambda name: _docs(spark, sf_dir)
+    )
+
+    def agg(df, tag):
+        return df.groupBy().agg(
+            F.lit(tag).alias("split"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        ).select("split", "n_docs", "total_chars")
+
+    kept = agg(ctx.dataframe("triaged_documents"), "kept")
+    quarantined = agg(ctx.quarantine("triaged_documents"), "quarantined")
+    return kept.unionByName(quarantined)

@@ -248,6 +248,7 @@ EXTRA_QUERIES = [
     "expectations_violation_counters",
     "sequential_ab_msprt",
     "vacuum_retention_plan",
+    "expectations_quarantine_split",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

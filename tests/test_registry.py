@@ -667,3 +667,43 @@ def test_expectation_counters_requires_expectations(spark):
     df = spark.createDataFrame([(1,)], "v int")
     with pytest.raises(ValueError, match="no expectations"):
         expectation_counters(df, [])
+
+
+def test_expectations_quarantine_routes_disjointly(spark):
+    """expect_or_quarantine: kept ∪ quarantined = post-drop input with no
+    overlap; NULL conditions route to quarantine; rows removed by an
+    earlier drop never reach quarantine; the _violated tag names the
+    constraint; datasets without quarantine constraints raise."""
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        expect_or_drop,
+        expect_or_quarantine,
+    )
+
+    reg = DatasetRegistry()
+
+    @reg.table("triaged")
+    @expect_or_drop("id_present", "k IS NOT NULL")
+    @expect_or_quarantine("positive", "v > 0")
+    def triaged(ctx):
+        return ctx.read("raw")
+
+    raw = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, None), (None, -9)],
+        "k int, v int",
+    )
+    ctx = PipelineContext(reg, spark, catalog_reader=lambda n: raw)
+    kept = {r.k for r in ctx.dataframe("triaged").collect()}
+    q = ctx.quarantine("triaged").collect()
+    quarantined = {r.k for r in q}
+    assert kept == {1}
+    assert quarantined == {2, 3}, "NULL v routes to quarantine; NULL k was dropped first"
+    assert {r._violated for r in q} == {"positive"}
+    assert kept.isdisjoint(quarantined)
+
+    @reg.table("no_q")
+    @expect_or_drop("x", "v > 0")
+    def no_q(ctx):
+        return ctx.read("raw")
+
+    with pytest.raises(ValueError, match="no quarantine"):
+        ctx.quarantine("no_q")
