@@ -649,7 +649,7 @@ def test_expectations_duplicate_name_rejected_and_policy_validated():
     )
 
     with pytest.raises(ValueError, match="policy"):
-        Expectation("x", "v > 0", "quarantine")
+        Expectation("x", "v > 0", "warn_and_pray")
 
     with pytest.raises(ValueError, match="declared twice"):
 
