@@ -1107,3 +1107,56 @@ def st_fingerprint_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("fp_partial").alias("content_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13: expectations enforced INSIDE a Structured Streaming plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_expectations_gate",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE COALESCE(lang IS NOT NULL, FALSE)
+      AND COALESCE(n_chars >= 100, FALSE)
+      AND COALESCE(doc_id >= 0, FALSE)
+    GROUP BY 1
+    """,
+)
+def st_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation enforcement on a STREAMING dataset — the streaming twin
+    of ``expectations_gate_drop`` (plans/expectations.py): the same
+    drop/fail constraint chain applies unchanged to an unbounded
+    DataFrame, because enforcement is plan-shaped (drop = a filter inside
+    the streaming plan; fail = the raise_error-else filter, which aborts
+    the STREAM on the first violating row executor-side — the ingest-gate
+    behavior a quality-gated bronze layer wants). The gated stream
+    materializes via AvailableNow and the per-source aggregate of the
+    sink is gated by the identical batch SQL oracle, proving the
+    streamed enforcement admits exactly the rows the batch filter would.
+
+    Scale posture: the constraints ride each micro-batch's scan exactly
+    as in batch (same pushdown story); no state stores, no watermark —
+    enforcement is stateless.
+    """
+    from ..plans.expectations import Expectation, apply_expectations
+
+    docs = stream_table(spark, sf_dir, "documents")
+    gated = apply_expectations(
+        docs,
+        [
+            Expectation("lang_present", "lang IS NOT NULL", "drop"),
+            Expectation("min_length", "n_chars >= 100", "drop"),
+            Expectation("nonnegative_id", "doc_id >= 0", "fail"),
+        ],
+        dataset="documents_stream",
+    )
+    mat = run_available_now(gated, "expectations-gate")
+    return mat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -249,6 +249,7 @@ EXTRA_QUERIES = [
     "sequential_ab_msprt",
     "vacuum_retention_plan",
     "expectations_quarantine_split",
+    "st_expectations_gate",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

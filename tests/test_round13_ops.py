@@ -182,3 +182,54 @@ def test_vacuum_plan_bytes_and_action_consistency(spark):
             else ("keep" if r.n_reclaimable == 0 else "rewrite")
         )
         assert r.action == expect, r
+
+
+# ---------------------------------------------------------------------------
+# streaming expectations
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_expectations_fail_policy_aborts_stream(spark, tmp_path):
+    """expect_or_fail inside a streaming plan: a violating row must abort
+    the stream (ingest-gate behavior), not silently drop or pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, -3], type=pa.int64()),
+            "text": ["good doc here", "another fine doc", "bad id doc"],
+            "lang": ["en", "en", "en"],
+            "source": ["s1", "s1", "s2"],
+            "n_chars": pa.array([200, 300, 400], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    q = em.queries()["st_expectations_gate"]
+    with pytest.raises(Exception, match="nonnegative_id"):
+        q(spark, str(tmp_path)).collect()
+
+
+def test_streaming_expectations_gate_matches_batch_filter(spark, tmp_path):
+    """Drop constraints inside the stream admit exactly the rows the batch
+    filter would — NULL lang and short docs dropped, clean rows kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["keep me", "short", "no lang", "keep too"],
+            "lang": ["en", "en", None, "de"],
+            "source": ["s1", "s1", "s2", "s2"],
+            "n_chars": pa.array([150, 50, 500, 250], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    q = em.queries()["st_expectations_gate"]
+    out = {r.source: (r.n_docs, r.total_chars) for r in q(spark, str(tmp_path)).collect()}
+    assert out == {"s1": (1, 150), "s2": (1, 250)}, out
