@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_audit", "dp_noisy_group_counts"]
+__all__ = ["k_anonymity_audit", "dp_noisy_group_counts", "dp_clipped_noisy_sums"]
 
 
 def k_anonymity_audit(
@@ -102,5 +102,80 @@ def dp_noisy_group_counts(
         *group_cols,
         "n_true",
         (F.col("n_true") + noise_micro / F.lit(1e6)).alias("n_noisy"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )
+
+
+def dp_clipped_noisy_sums(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    user_col: str,
+    value_col: str,
+    clip_micros: int = 5_000_000,
+    epsilon: float = 1.0,
+    seed: str = "dpsum42",
+) -> DataFrame:
+    """ε-DP group SUMS via contribution clipping + the Laplace mechanism —
+    the release ``dp_noisy_group_counts`` cannot provide: a sum query has
+    UNBOUNDED sensitivity until each user's total contribution is clipped,
+    so the mechanism is (1) per-(group, user) exact micro-sums, (2) clamp
+    each user's contribution to ±``clip_micros`` (the L1 sensitivity
+    becomes exactly ``clip_micros``), (3) one Laplace draw per group at
+    scale ``clip_micros``/ε. Noise is the family's DETERMINISTIC
+    inverse-CDF draw (md5 uniform of the group key, each component hashed
+    separately — the round-13 injective construction), micro-quantized, so
+    the release is replayable and oracle-testable.
+
+    Returns ``(group cols…, n_users, sum_clipped, sum_noisy, epsilon)``
+    with sums in value units (micros / 10⁶). A production release drops
+    ``sum_clipped``; it stays here to make the mechanism auditable, and
+    the clip bound is part of the privacy contract (chosen a priori, NOT
+    from the data).
+
+    Scale posture: one (group, user)-keyed partial aggregate (the only
+    real shuffle), one group-keyed aggregate over |users| rows, then
+    scalar noise over the |groups|-row result.
+    """
+    keys = [F.col(c) for c in group_cols]
+    v_micro = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    per_user = (
+        events.select(*keys, F.col(user_col).alias("_uid"), v_micro.alias("_v"))
+        .groupBy(*group_cols, "_uid")
+        .agg(F.sum("_v").cast("bigint").alias("_uv"))
+        .select(
+            *group_cols,
+            "_uid",
+            F.greatest(
+                F.lit(-clip_micros), F.least(F.lit(clip_micros), F.col("_uv"))
+            ).alias("_clipped"),
+        )
+    )
+    grouped = per_user.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("_clipped").cast("bigint").alias("_sum_clipped"),
+    )
+    key_str = F.concat_ws(
+        "",
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("~null~"))
+            for c in group_cols
+        ],
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), key_str)), 1, 13), 16, 10
+    ).cast("bigint") / F.lit(float(1 << 52))
+    u = h - F.lit(0.5)
+    raw = (
+        F.lit(-float(clip_micros) / epsilon)
+        * F.signum(u)
+        * F.log(F.greatest(F.lit(1e-12), F.lit(1.0) - 2.0 * F.abs(u)))
+    )
+    noise_micro = F.floor(raw + F.lit(0.5)).cast("bigint")
+    MICRO = F.lit(1e6)
+    return grouped.select(
+        *group_cols,
+        "n_users",
+        (F.col("_sum_clipped") / MICRO).alias("sum_clipped"),
+        ((F.col("_sum_clipped") + noise_micro) / MICRO).alias("sum_noisy"),
         F.lit(float(epsilon)).alias("epsilon"),
     )

@@ -8225,3 +8225,58 @@ def expectations_quarantine_split_q(spark: SparkSession, sf_dir: str) -> DataFra
     kept = agg(ctx.dataframe("triaged_documents"), "kept")
     quarantined = agg(ctx.quarantine("triaged_documents"), "quarantined")
     return kept.unionByName(quarantined)
+
+
+@query(
+    "dp_clipped_noisy_sums",
+    """
+    WITH pu AS (
+      SELECT event_type, user_id,
+             GREATEST(CAST(-600000000 AS BIGINT), LEAST(CAST(600000000 AS BIGINT),
+               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)))
+               AS clipped
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(clipped) AS BIGINT) AS sc
+      FROM pu GROUP BY 1
+    ),
+    n AS (
+      SELECT *,
+             CAST(('0x' || substr(md5('dpsum42:'
+                      || COALESCE(md5(CAST(event_type AS VARCHAR)), '~null~')
+                  ), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS h
+      FROM g
+    )
+    SELECT event_type, n_users,
+           sc / 1000000.0 AS sum_clipped,
+           (sc + CAST(FLOOR(
+              -600000000.0 * sign(h - 0.5)
+              * ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(h - 0.5)))
+              + 0.5) AS BIGINT)) / 1000000.0 AS sum_noisy,
+           1.0 AS epsilon
+    FROM n
+    """,
+)
+def dp_clipped_noisy_sums_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP group SUMS with contribution clipping
+    (operators/privacy.py::dp_clipped_noisy_sums) — the sum release the
+    count mechanism cannot provide: per-user contributions clamp to ±600
+    value units (chosen a priori near the testdata's per-user median so
+    BOTH the clipped and unclipped paths are exercised) making the L1
+    sensitivity exactly the clip bound, then one
+    deterministic inverse-CDF Laplace draw per group at scale clip/ε
+    (injective per-component-hashed noise key). Per-event_type releases
+    over the event log."""
+    from ..operators.privacy import dp_clipped_noisy_sums
+
+    return dp_clipped_noisy_sums(
+        _events(spark, sf_dir),
+        ["event_type"],
+        user_col="user_id",
+        value_col="value",
+        clip_micros=600_000_000,
+        epsilon=1.0,
+    )

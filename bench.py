@@ -250,6 +250,7 @@ EXTRA_QUERIES = [
     "vacuum_retention_plan",
     "expectations_quarantine_split",
     "st_expectations_gate",
+    "dp_clipped_noisy_sums",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still

@@ -233,3 +233,48 @@ def test_streaming_expectations_gate_matches_batch_filter(spark, tmp_path):
     q = em.queries()["st_expectations_gate"]
     out = {r.source: (r.n_docs, r.total_chars) for r in q(spark, str(tmp_path)).collect()}
     assert out == {"s1": (1, 150), "s2": (1, 250)}, out
+
+
+# ---------------------------------------------------------------------------
+# dp_clipped_noisy_sums
+# ---------------------------------------------------------------------------
+
+
+def test_dp_clipped_sums_bound_single_user_influence(spark):
+    """The DP property the clip exists for: adding/removing ONE user moves
+    sum_clipped by at most the clip bound, no matter how extreme that
+    user's raw contribution is — and the noise draw is deterministic per
+    group key (independent of the data), so the release is replayable."""
+    from adventureworkslakehousepoc_spark.operators.privacy import (
+        dp_clipped_noisy_sums,
+    )
+
+    base_rows = [(u, "g", 1.0) for u in range(50)]
+    whale = [(999, "g", 1.0e6)]  # raw contribution 1e6, clip 2.0
+
+    def release(rows):
+        df = spark.createDataFrame(rows, "user_id bigint, event_type string, value double")
+        (r,) = dp_clipped_noisy_sums(
+            df, ["event_type"], "user_id", "value", clip_micros=2_000_000
+        ).collect()
+        return r
+
+    r_base = release(base_rows)
+    r_whale = release(base_rows + whale)
+    assert r_base.sum_clipped == 50.0
+    assert r_whale.sum_clipped == 52.0, "whale clamps to exactly the clip bound"
+    # deterministic noise: same group key -> identical noise offset
+    assert abs(
+        (r_whale.sum_noisy - r_whale.sum_clipped)
+        - (r_base.sum_noisy - r_base.sum_clipped)
+    ) < 1e-9
+    # noise scale is clip/eps: halving the clip halves the noise exactly
+    (r_half,) = (
+        dp_clipped_noisy_sums(
+            spark.createDataFrame(base_rows, "user_id bigint, event_type string, value double"),
+            ["event_type"], "user_id", "value", clip_micros=1_000_000,
+        ).collect()
+    )
+    n_full = r_base.sum_noisy - r_base.sum_clipped
+    n_half = r_half.sum_noisy - r_half.sum_clipped
+    assert abs(n_full - 2 * n_half) < 1e-5, (n_full, n_half)
