@@ -416,21 +416,52 @@ def msprt_sequential_ab(
         delta * delta * tau2 / (F.lit(2.0) * rho * (rho + tau2))
     )
     boundary_micros = math.floor(math.log(1.0 / alpha) * 1e6 + 0.5)
+
+    # overflow tripwire (same contract as cuped_adjusted_lift): the per-day
+    # Σv² is decimal(19,0)×decimal(19,0) → DECIMAL(38,0), and non-ANSI Spark
+    # returns NULL SILENTLY if that product sum (or its cumulative prefix
+    # sum) exceeds 38 digits — which would make log_lambda_micros NULL and
+    # crossed NULL-coerced-to-False, i.e. a test that silently never stops.
+    # The moments are never legitimately NULL (empty arms produce 0 via the
+    # pivot's otherwise(0)), so NULL ⇒ overflow ⇒ abort the readout.
+    # Headroom: Σn·(per-event micro value)² < 10³⁸ holds for 10¹² events of
+    # 10¹³ micros (10⁷ value units) each; hitting the guard means value_col
+    # needs a documented downscale, not a wider type.
+    _moments = ["tn", "cn", "tsv", "csv", "tsvv", "csvv"]
+
+    def _g(expr):
+        ok = None
+        for c in _moments:
+            cond = F.col(c).isNotNull()
+            ok = cond if ok is None else (ok & cond)
+        return F.when(ok, expr).otherwise(
+            F.raise_error(
+                F.lit(
+                    "msprt_sequential_ab: a cumulative moment overflowed "
+                    "DECIMAL(38,0) and went NULL — downscale value_col "
+                    "(see docstring headroom bound) instead of trusting "
+                    "a silently-NULL likelihood ratio"
+                )
+            )
+        )
+
     return cum.select(
         "day",
-        F.col("tn").alias("n_treatment"),
-        F.col("cn").alias("n_control"),
-        F.when(both, F.floor(delta * 1e6 + F.lit(0.5)).cast("bigint")).alias(
-            "delta_micros"
-        ),
-        F.when(
-            both, F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint")
+        _g(F.col("tn")).alias("n_treatment"),
+        _g(F.col("cn")).alias("n_control"),
+        _g(
+            F.when(both, F.floor(delta * 1e6 + F.lit(0.5)).cast("bigint"))
+        ).alias("delta_micros"),
+        _g(
+            F.when(both, F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint"))
         ).alias("log_lambda_micros"),
-        F.when(
-            both,
-            (
-                F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint")
-                >= F.lit(boundary_micros)
-            ),
-        ).otherwise(F.lit(False)).alias("crossed"),
+        _g(
+            F.when(
+                both,
+                (
+                    F.floor(log_lambda * 1e6 + F.lit(0.5)).cast("bigint")
+                    >= F.lit(boundary_micros)
+                ),
+            ).otherwise(F.lit(False))
+        ).alias("crossed"),
     )
