@@ -26,6 +26,7 @@ __all__ = [
     "dataset_fingerprints",
     "snapshot_reconcile",
     "vacuum_plan",
+    "vacuum_apply",
 ]
 
 
@@ -432,22 +433,8 @@ def vacuum_plan(
     """
     if row_bytes is None:
         row_bytes = F.lit(1)
-    ver = F.col("_commit_version")
-    ct = F.col("_change_type")
-    owner = (
-        log_df.filter((ver <= horizon_version) & (ct != "update_preimage"))
-        .groupBy(*[F.col(k) for k in key_cols])
-        .agg(F.max(ver).alias("_keep_ver"))
-    )
-    classified = (
-        log_df.join(owner, key_cols, "left")
-        .withColumn(
-            "_reclaimable",
-            F.when(ver > horizon_version, F.lit(False))
-            .when(ct == "update_preimage", F.lit(True))
-            .otherwise((ver != F.col("_keep_ver")) | (ct == "delete")),
-        )
-        .withColumn("_bytes", row_bytes.cast("bigint"))
+    classified = _classify_reclaimable(log_df, key_cols, horizon_version).withColumn(
+        "_bytes", row_bytes.cast("bigint")
     )
     agg = classified.groupBy(*file_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -465,3 +452,131 @@ def vacuum_plan(
         .when(F.col("n_reclaimable") == 0, F.lit("keep"))
         .otherwise(F.lit("rewrite")),
     )
+
+
+def _classify_reclaimable(
+    log_df: DataFrame, key_cols: list[str], horizon_version: int
+) -> DataFrame:
+    """Row-level VACUUM classification shared by the planner and the apply
+    step: the input log plus ``_reclaimable`` (and the per-key ``_keep_ver``
+    horizon owner). Semantics documented on ``vacuum_plan``; one key-keyed
+    aggregate + one key-keyed join."""
+    ver = F.col("_commit_version")
+    ct = F.col("_change_type")
+    owner = (
+        log_df.filter((ver <= horizon_version) & (ct != "update_preimage"))
+        .groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max(ver).alias("_keep_ver"))
+    )
+    return log_df.join(owner, key_cols, "left").withColumn(
+        "_reclaimable",
+        F.when(ver > horizon_version, F.lit(False))
+        .when(ct == "update_preimage", F.lit(True))
+        .otherwise((ver != F.col("_keep_ver")) | (ct == "delete")),
+    )
+
+
+def vacuum_apply(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    horizon_version: int,
+) -> dict:
+    """Execute a VACUUM at ``horizon_version`` against the parquet CDF log
+    at ``path`` — the apply half pairing ``vacuum_plan`` (the r13 planner):
+    every snapshot/time-travel read at or after the horizon is IDENTICAL
+    before and after, while reclaimable history (superseded state rows and
+    in-horizon preimages) physically leaves the log.
+
+    Per-file actions, exactly as the planner classifies them:
+
+    - ``keep``   — no reclaimable rows: the file is HARDLINKED into the
+      rewrite, byte-identical, zero data movement (the manifest-pointer
+      move a real table format does);
+    - ``delete`` — every row reclaimable: the file is simply not carried
+      over;
+    - ``rewrite``— mixed: ONE Spark job rewrites only these files' live
+      remainders (never the keep files — at 100 TB rewriting untouched
+      files is the cost that kills a naive vacuum).
+
+    The per-file action manifest is computed by one Spark aggregate and
+    written as parquet; the driver reads that tiny manifest (|files| rows —
+    the transaction-log read every lakehouse format does driver-side) with
+    pyarrow, never collecting row data. The swap is the same crash-safe
+    tmp-dir rename proven by ``compact_parquet``: at every instant a
+    complete log exists at ``path`` or ``path + '.old'``.
+
+    Returns ``{"kept_files": n, "rewritten_files": n, "deleted_files": n,
+    "rows_removed": n}`` (driver-side manifest arithmetic only).
+    """
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    log = spark.read.parquet(path)
+    # bind _file directly above the scan: input_file_name() is per-source,
+    # and the classification joins the log to its own owner aggregate
+    # (two scan branches) — computed here it is an ordinary column by the
+    # time the join sees it
+    with_file = log.withColumn("_file", F.input_file_name())
+    cls = _classify_reclaimable(with_file, key_cols, horizon_version)
+    manifest_dir = path.rstrip("/") + ".vacuum.manifest.tmp"
+    (
+        cls.groupBy("_file")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("_reclaimable").cast("bigint"))
+            .cast("bigint")
+            .alias("n_reclaimable"),
+        )
+        .write.mode("overwrite")
+        .parquet(manifest_dir)
+    )
+    manifest = pq.read_table(manifest_dir).to_pylist()
+
+    keep, rewrite, delete = [], [], []
+    rows_removed = 0
+    for entry in manifest:
+        rows_removed += int(entry["n_reclaimable"])
+        if entry["n_reclaimable"] == 0:
+            keep.append(entry["_file"])
+        elif entry["n_reclaimable"] == entry["n_rows"]:
+            delete.append(entry["_file"])
+        else:
+            rewrite.append(entry["_file"])
+
+    tmp = path.rstrip("/") + ".vacuum.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for uri in keep:
+        src = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+        dst = os.path.join(tmp, os.path.basename(src))
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device: fall back to a byte copy
+            shutil.copy2(src, dst)
+
+    rewrite_tmp = path.rstrip("/") + ".vacuum.rewrite.tmp"
+    if rewrite:
+        (
+            cls.filter(F.col("_file").isin(rewrite) & ~F.col("_reclaimable"))
+            .select(*log.columns)
+            .write.mode("overwrite")
+            .parquet(rewrite_tmp)
+        )
+        for name in os.listdir(rewrite_tmp):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(rewrite_tmp, name),
+                    os.path.join(tmp, "vacuumed-" + name),
+                )
+        shutil.rmtree(rewrite_tmp, ignore_errors=True)
+
+    _swap_dirs(tmp, path)
+    shutil.rmtree(manifest_dir, ignore_errors=True)
+    return {
+        "kept_files": len(keep),
+        "rewritten_files": len(rewrite),
+        "deleted_files": len(delete),
+        "rows_removed": rows_removed,
+    }

@@ -54,6 +54,18 @@ __all__ = [
     "apply_expectations",
     "quarantine_rows",
     "expectation_counters",
+    "AggregateExpectation",
+    "AggregateExpectationError",
+    "expect_unique",
+    "expect_referential",
+    "expect_fresh",
+    "agg_expectations_of",
+    "unique_violations",
+    "referential_violations",
+    "freshness_status",
+    "aggregate_expectation_counters",
+    "enforce_aggregate_drops",
+    "audit_aggregate_expectations",
 ]
 
 _ATTR = "_awlh_expectations"
@@ -254,4 +266,329 @@ def expectation_counters(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("violation_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level (aggregate) expectations — the quality gates a table author
+# declares BEFORE any row filter: key uniqueness, referential integrity,
+# freshness. DLT core ships row-level constraints only; these are the
+# aggregate-shaped checks every lakehouse pipeline layers on top (dbt tests,
+# Delta CHECK-constraint audits). Unlike row expectations they cannot ride
+# each row of the dataset's plan — each compiles to ONE key-partitioned
+# audit job over the dataset:
+#
+#   unique       -> groupBy(key).count() HAVING count > 1   (one shuffle on
+#                   the key, map-side combined; |dup keys| rows out)
+#   referential  -> left-anti join fk -> dim pk             (broadcast when
+#                   the dim is small; AQE otherwise; |orphans| rows out)
+#   fresh        -> scalar max(ts) vs an as-of horizon      (keyless partial
+#                   aggregate; one row out)
+#
+# Policies: `keep` exposes counters only; `fail` aborts the pipeline update
+# at materialization time (the audit runs BEFORE the write, like a dbt test
+# gating a model build); `drop` (referential only) rewrites the dataset as
+# a left-semi join against the dim — plan-shaped, rides every read.
+# ---------------------------------------------------------------------------
+
+_AGG_ATTR = "_awlh_agg_expectations"
+
+_AGG_POLICIES = {
+    "unique": ("keep", "fail"),
+    "referential": ("keep", "drop", "fail"),
+    "fresh": ("keep", "fail"),
+}
+
+
+class AggregateExpectationError(RuntimeError):
+    """A fail-policy aggregate expectation found violations at audit time."""
+
+
+@dataclass(frozen=True)
+class AggregateExpectation:
+    """One dataset-level constraint. ``kind`` selects the audit shape and
+    which of the optional fields apply (``cols`` for unique/referential fk,
+    ``ref``/``ref_cols`` for referential, ``ts_col``/``max_lag_seconds``/
+    ``as_of`` for fresh)."""
+
+    name: str
+    kind: str
+    policy: str = "fail"
+    cols: tuple = ()
+    ref: str = ""
+    ref_cols: tuple = ()
+    ts_col: str = ""
+    max_lag_seconds: int = 0
+    as_of: str | None = None
+
+    def __post_init__(self) -> None:
+        allowed = _AGG_POLICIES.get(self.kind)
+        if allowed is None:
+            raise ValueError(
+                f"aggregate expectation {self.name!r}: unknown kind "
+                f"{self.kind!r} (one of {tuple(_AGG_POLICIES)})"
+            )
+        if self.policy not in allowed:
+            raise ValueError(
+                f"aggregate expectation {self.name!r} ({self.kind}): policy "
+                f"must be one of {allowed}, got {self.policy!r}"
+            )
+
+
+def _agg_decorate(exp: AggregateExpectation):
+    def deco(fn: Callable) -> Callable:
+        existing = list(getattr(fn, _AGG_ATTR, ()))
+        if any(e.name == exp.name for e in existing):
+            raise ValueError(
+                f"aggregate expectation {exp.name!r} declared twice on {fn}"
+            )
+        setattr(fn, _AGG_ATTR, (exp, *existing))
+        return fn
+
+    return deco
+
+
+def expect_unique(name: str, cols: Sequence[str], policy: str = "fail"):
+    """Key-uniqueness constraint: no two rows may share ``cols``. The first
+    aggregate gate every lakehouse table declares (a dim's surrogate key, a
+    fact's grain). Audit = one groupBy(cols) HAVING count > 1."""
+    return _agg_decorate(
+        AggregateExpectation(name, "unique", policy, cols=tuple(cols))
+    )
+
+
+def expect_referential(
+    name: str,
+    fk_cols: Sequence[str],
+    ref: str,
+    ref_cols: Sequence[str],
+    policy: str = "fail",
+):
+    """Referential-integrity constraint: every non-NULL ``fk_cols`` tuple
+    must exist as a ``ref_cols`` tuple in dataset/table ``ref``. NULL
+    foreign keys are exempt (SQL MATCH SIMPLE semantics). Audit = left-anti
+    join; ``drop`` policy rewrites the dataset as a left-semi join (the
+    plan-shaped 'skip orphans' posture)."""
+    return _agg_decorate(
+        AggregateExpectation(
+            name,
+            "referential",
+            policy,
+            cols=tuple(fk_cols),
+            ref=ref,
+            ref_cols=tuple(ref_cols),
+        )
+    )
+
+
+def expect_fresh(
+    name: str,
+    ts_col: str,
+    max_lag_seconds: int,
+    as_of: str | None = None,
+    policy: str = "fail",
+):
+    """Freshness constraint: ``max(ts_col)`` must be within
+    ``max_lag_seconds`` of ``as_of`` (an ISO timestamp literal; None means
+    current_timestamp() — production mode, deliberately non-deterministic).
+    An EMPTY dataset is stale by definition (max is NULL)."""
+    return _agg_decorate(
+        AggregateExpectation(
+            name,
+            "fresh",
+            policy,
+            ts_col=ts_col,
+            max_lag_seconds=int(max_lag_seconds),
+            as_of=as_of,
+        )
+    )
+
+
+def agg_expectations_of(fn: Callable) -> tuple[AggregateExpectation, ...]:
+    return tuple(getattr(fn, _AGG_ATTR, ()))
+
+
+def unique_violations(df: DataFrame, exp: AggregateExpectation) -> DataFrame:
+    """Duplicate-key detail audit: one row per violated key tuple with its
+    multiplicity. One map-side-combined shuffle on the key columns —
+    the same plan a 100 TB dedup audit wants."""
+    return (
+        df.groupBy(*[F.col(c) for c in exp.cols])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def referential_violations(
+    df: DataFrame, ref_df: DataFrame, exp: AggregateExpectation
+) -> DataFrame:
+    """Orphan detail audit: one row per orphaned fk tuple with its row
+    count. NULL fks are exempt first (MATCH SIMPLE), then a left-anti join
+    against the distinct referenced keys — Catalyst broadcasts the dim when
+    small, AQE handles the rest."""
+    probe = df
+    for c in exp.cols:
+        probe = probe.filter(F.col(c).isNotNull())
+    keys = ref_df.select(
+        *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
+    ).dropDuplicates(list(exp.cols))
+    return (
+        probe.join(keys, on=list(exp.cols), how="left_anti")
+        .groupBy(*[F.col(c) for c in exp.cols])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+def freshness_status(df: DataFrame, exp: AggregateExpectation) -> DataFrame:
+    """One-row freshness audit: ``(max_ts, lag_seconds, fresh)``. A keyless
+    partial aggregate (map-side max per task, one-row reduce); NULL max
+    (empty dataset) reports fresh=false with NULL lag."""
+    as_of = (
+        F.to_timestamp(F.lit(exp.as_of))
+        if exp.as_of is not None
+        else F.current_timestamp()
+    )
+    agg = df.agg(F.max(F.col(exp.ts_col)).alias("max_ts"))
+    lag = as_of.cast("double") - F.col("max_ts").cast("double")
+    return agg.select(
+        "max_ts",
+        F.floor(lag).cast("bigint").alias("lag_seconds"),
+        F.coalesce(
+            lag <= F.lit(float(exp.max_lag_seconds)), F.lit(False)
+        ).alias("fresh"),
+    )
+
+
+def _agg_violation_count(
+    df: DataFrame,
+    exp: AggregateExpectation,
+    resolve: Callable[[str], DataFrame] | None,
+) -> DataFrame:
+    """One-row violation count for one aggregate expectation (unique =
+    duplicated key groups; referential = orphan rows; fresh = 1 if stale)."""
+    if exp.kind == "unique":
+        counted = unique_violations(df, exp).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations")
+        )
+    elif exp.kind == "referential":
+        if resolve is None:
+            raise ValueError(
+                f"aggregate expectation {exp.name!r}: referential audit "
+                f"needs a resolver for dataset {exp.ref!r}"
+            )
+        counted = referential_violations(df, resolve(exp.ref), exp).agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias(
+                "n_violations"
+            )
+        )
+    elif exp.kind == "fresh":
+        counted = freshness_status(df, exp).select(
+            F.when(F.col("fresh"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    else:  # pragma: no cover - guarded by __post_init__
+        raise ValueError(exp.kind)
+    return counted.select(
+        F.lit(exp.name).alias("expectation"),
+        F.lit(exp.kind).alias("kind"),
+        F.lit(exp.policy).alias("policy"),
+        "n_violations",
+    )
+
+
+def aggregate_expectation_counters(
+    df: DataFrame,
+    expectations: Sequence[AggregateExpectation],
+    resolve: Callable[[str], DataFrame] | None = None,
+    dataset: str = "<dataset>",
+) -> DataFrame:
+    """Violation counters for every declared aggregate expectation:
+    ``(dataset, expectation, kind, policy, n_violations)``, one row each.
+    Each expectation is one audit job over the dataset (shapes differ —
+    key groupBy / anti join / scalar max — so unlike row counters they
+    cannot share a single aggregate); the union is |expectations| one-row
+    relations."""
+    if not expectations:
+        raise ValueError(
+            "aggregate_expectation_counters: no aggregate expectations "
+            "declared"
+        )
+    out = None
+    for exp in expectations:
+        part = _agg_violation_count(df, exp, resolve).select(
+            F.lit(dataset).alias("dataset"),
+            "expectation",
+            "kind",
+            "policy",
+            "n_violations",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def enforce_aggregate_drops(
+    df: DataFrame,
+    expectations: Sequence[AggregateExpectation],
+    resolve: Callable[[str], DataFrame],
+    dataset: str = "<dataset>",
+) -> DataFrame:
+    """Apply drop-policy referential constraints INSIDE the dataset's plan:
+    rows whose non-NULL fk tuple is missing from the dim are removed via a
+    left-semi join (NULL fks are exempt and kept — MATCH SIMPLE). The only
+    aggregate policy that is plan-shaped; fail policies audit at
+    materialization time instead (``audit_aggregate_expectations``)."""
+    out = df
+    for exp in expectations:
+        if exp.kind != "referential" or exp.policy != "drop":
+            continue
+        keys = resolve(exp.ref).select(
+            *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
+        ).dropDuplicates(list(exp.cols))
+        null_fk = None
+        for c in exp.cols:
+            cond = F.col(c).isNull()
+            null_fk = cond if null_fk is None else (null_fk | cond)
+        matched = out.join(keys, on=list(exp.cols), how="left_semi")
+        exempt = out.filter(null_fk)
+        out = matched.unionByName(exempt)
+    return out
+
+
+def audit_aggregate_expectations(
+    df: DataFrame,
+    expectations: Sequence[AggregateExpectation],
+    resolve: Callable[[str], DataFrame] | None = None,
+    dataset: str = "<dataset>",
+) -> DataFrame:
+    """The counters relation with fail-policy enforcement compiled in: a
+    FAIL-policy row whose violation count is positive routes its
+    ``n_violations`` through ``raise_error``, so ANY action on the
+    returned relation aborts executor-side — no driver-side collect, same
+    posture as the row-level ``expect_or_fail`` filter. Keep-policy counts
+    flow through untouched (informational); drop-policy constraints were
+    already enforced in-plan and audit clean by construction.
+
+    ``PipelineContext.run()`` materializes this relation with a noop-format
+    write BEFORE writing the dataset — the dbt-test-gates-the-model-build
+    ordering — and rewraps the executor abort as
+    ``AggregateExpectationError``."""
+    counters = aggregate_expectation_counters(df, expectations, resolve, dataset)
+    fail_violation = (F.col("policy") == "fail") & (F.col("n_violations") > 0)
+    return counters.withColumn(
+        "n_violations",
+        F.when(
+            ~fail_violation, F.col("n_violations")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("aggregate expectation "),
+                    F.col("expectation"),
+                    F.lit(f" ({dataset}) failed: "),
+                    F.col("n_violations").cast("string"),
+                    F.lit(" violations"),
+                )
+            )
+        ),
     )

@@ -28,7 +28,15 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .expectations import apply_expectations, expectations_of, quarantine_rows
+from .expectations import (
+    AggregateExpectationError,
+    agg_expectations_of,
+    apply_expectations,
+    audit_aggregate_expectations,
+    enforce_aggregate_drops,
+    expectations_of,
+    quarantine_rows,
+)
 
 __all__ = ["DatasetRegistry", "PipelineContext"]
 
@@ -160,6 +168,14 @@ class PipelineContext:
                 )
                 self._observations[name] = (obs, exps)
             df = apply_expectations(df, exps, dataset=name)
+        agg_exps = agg_expectations_of(defn.fn)
+        if agg_exps:
+            # drop-policy referential constraints are plan-shaped (left-semi
+            # against the dim) and ride every read; fail-policy aggregate
+            # audits run at materialization time (run()/aggregate_audit)
+            df = enforce_aggregate_drops(
+                df, agg_exps, resolve=self.read_static, dataset=name
+            )
         self._cache[name] = df
         return df
 
@@ -179,8 +195,73 @@ class PipelineContext:
         ``{"n_rows": N, <expectation name>: violation count, ...}``.
         Available after an action (e.g. ``run()``) executed the dataset's
         plan; raises if the dataset declared no expectations."""
+        if name not in self._observations:
+            if not self._observe_expectations:
+                raise ValueError(
+                    f"expectation_metrics({name!r}): context was built "
+                    "without observe_expectations=True, so no metrics node "
+                    "was attached"
+                )
+            if name not in self._cache:
+                raise ValueError(
+                    f"expectation_metrics({name!r}): dataset has not been "
+                    "materialized yet — call dataframe()/run() first"
+                )
+            df = self._cache[name]
+            if df.isStreaming:
+                raise ValueError(
+                    f"expectation_metrics({name!r}): dataset is streaming; "
+                    "batch Observation does not apply — use the streaming "
+                    "expectation-counter listener instead"
+                )
+            raise ValueError(
+                f"expectation_metrics({name!r}): dataset declares no "
+                "expectations, so nothing was observed"
+            )
         obs, _exps = self._observations[name]
         return dict(obs.get)
+
+    def aggregate_audit(self, name: str) -> DataFrame:
+        """The dataset's aggregate-expectation counters relation
+        ``(dataset, expectation, kind, policy, n_violations)`` with
+        fail-policy enforcement compiled in (materializing it aborts
+        executor-side on a violated FAIL constraint — see
+        ``audit_aggregate_expectations``). The audited relation is the
+        ENFORCED dataset (row drops and referential drops applied), so a
+        drop-policy constraint always audits clean. Raises if the dataset
+        declares no aggregate expectations."""
+        defn = self.registry.get(name)
+        agg_exps = agg_expectations_of(defn.fn)
+        if not agg_exps:
+            raise ValueError(
+                f"aggregate_audit({name!r}): dataset declares no aggregate "
+                "expectations"
+            )
+        return audit_aggregate_expectations(
+            self.dataframe(name),
+            agg_exps,
+            resolve=self.read_static,
+            dataset=name,
+        )
+
+    def _gate_aggregates(self, name: str) -> None:
+        """Materialize the dataset's fail-enforced aggregate audit (noop
+        write — an action with no sink side-effects) BEFORE the dataset is
+        written; rewrap the executor-side abort as
+        ``AggregateExpectationError``."""
+        defn = self.registry.get(name)
+        if not agg_expectations_of(defn.fn):
+            return
+        audit = self.aggregate_audit(name)
+        try:
+            audit.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # Py4J wraps the executor raise_error
+            if "aggregate expectation" in str(e):
+                raise AggregateExpectationError(
+                    f"dataset {name!r} failed a fail-policy aggregate "
+                    f"expectation; audit job reported: {str(e).splitlines()[0]}"
+                ) from e
+            raise
 
     def run(
         self,
@@ -200,6 +281,7 @@ class PipelineContext:
             df = self.dataframe(name)
             if df.isStreaming:
                 raise ValueError(f"dataset {name!r} is streaming; use streaming.runner")
+            self._gate_aggregates(name)
             path = os.path.join(warehouse_dir, name)
             writer = df.write.mode(mode)
             cols = (partition_by or {}).get(name)

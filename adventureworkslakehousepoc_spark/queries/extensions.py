@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..plans.expectations import expect_fresh, expect_referential, expect_unique
 from ..operators.dedup import (
     exact_duplicate_groups,
     minhash_near_duplicates,
@@ -8279,4 +8280,279 @@ def dp_clipped_noisy_sums_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         clip_micros=600_000_000,
         epsilon=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: dataset-level (aggregate) expectations — uniqueness, referential
+# integrity, freshness as declarative registry constraints
+# (plans/expectations.py aggregate section; VERDICT r13 'What's missing' #2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expectations_unique_key",
+    """
+    SELECT o_custkey, o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 1
+    """,
+)
+def expectations_unique_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit through the registry's aggregate-expectation
+    contract (plans/expectations.py::expect_unique + unique_violations):
+    the orders dataset declares (o_custkey, o_orderdate) as its expected
+    grain; the audit is ONE map-side-combined groupBy on the key returning
+    each violated key tuple with its multiplicity — the duplicate-key
+    detail a 100 TB table's quality dashboard drills into. The same
+    declaration under policy='fail' aborts materialization
+    (tests/test_registry.py stages that duplicate)."""
+    from ..plans.expectations import agg_expectations_of, unique_violations
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reg = DatasetRegistry()
+
+    @reg.table("orders_graded")
+    @expect_unique(
+        "unique_customer_day", ["o_custkey", "o_orderdate"], policy="keep"
+    )
+    def orders_graded(ctx):
+        return ctx.read("orders")
+
+    ctx = PipelineContext(
+        reg,
+        spark,
+        catalog_reader=lambda name: load_tables(spark, sf_dir, (name,))[name],
+    )
+    exp = agg_expectations_of(orders_graded)[0]
+    return unique_violations(ctx.dataframe("orders_graded"), exp)
+
+
+@query(
+    "expectations_referential",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id IS NULL
+       OR user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+    GROUP BY 1
+    """,
+)
+def expectations_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity enforcement under the DROP policy
+    (plans/expectations.py::expect_referential + enforce_aggregate_drops,
+    wired through PipelineContext.dataframe): events whose user_id is
+    missing from the funded-customers dim (c_acctbal >= 0 — a deliberately
+    restricted dim so real orphans exist) are removed via a left-semi join
+    compiled INTO the dataset's plan; NULL fks are exempt and kept (SQL
+    MATCH SIMPLE). Catalyst broadcasts the dim side. The per-event_type
+    aggregate hashes both the kept and the dropped populations — a row
+    leaked or over-dropped on either side breaks the oracle match."""
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reg = DatasetRegistry()
+
+    @reg.table("funded_customers")
+    def funded_customers(ctx):
+        return ctx.read("customer").filter(F.col("c_acctbal") >= 0)
+
+    @reg.table("funded_user_events")
+    @expect_referential(
+        "user_in_funded_dim",
+        ["user_id"],
+        "funded_customers",
+        ["c_custkey"],
+        policy="drop",
+    )
+    def funded_user_events(ctx):
+        return ctx.read("events")
+
+    ctx = PipelineContext(
+        reg,
+        spark,
+        catalog_reader=lambda name: load_tables(spark, sf_dir, (name,))[name],
+    )
+    return (
+        ctx.dataframe("funded_user_events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "expectations_aggregate_counters",
+    """
+    WITH u AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 1 AS one FROM orders
+        GROUP BY o_custkey, o_orderdate HAVING COUNT(*) > 1
+      )
+    ),
+    r1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL)
+    ),
+    r2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal >= 0 AND c_custkey IS NOT NULL)
+    ),
+    f AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+    SELECT 'orders_quality' AS dataset, 'unique_order_day' AS expectation,
+           'unique' AS kind, 'keep' AS policy, u.n AS n_violations FROM u
+    UNION ALL
+    SELECT 'orders_quality', 'customer_exists', 'referential', 'keep', r1.n
+    FROM r1
+    UNION ALL
+    SELECT 'orders_quality', 'customer_funded', 'referential', 'keep', r2.n
+    FROM r2
+    UNION ALL
+    SELECT 'orders_quality', 'fresh_within_400d', 'fresh', 'keep',
+           CASE WHEN mx >= TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 400 DAY
+                THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+    FROM f
+    UNION ALL
+    SELECT 'orders_quality', 'fresh_within_10d', 'fresh', 'keep',
+           CASE WHEN mx >= TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 10 DAY
+                THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+    FROM f
+    """,
+)
+def expectations_aggregate_counters_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate-expectation violation counters via the registry surface
+    (PipelineContext.aggregate_audit): one dataset declares all three
+    constraint kinds — grain uniqueness, RI against the full and a
+    restricted customer dim, and two freshness horizons around a fixed
+    as-of (2001-09-01: 400 d passes, 10 d is stale) — and the audit
+    relation reports (dataset, expectation, kind, policy, n_violations),
+    one key-partitioned audit job per constraint. All keep-policy here so
+    the counters themselves are the output; the fail path (raise_error
+    compiled into the same relation) is exercised by
+    tests/test_registry.py on a staged duplicate."""
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reg = DatasetRegistry()
+
+    @reg.table("orders_quality")
+    @expect_unique(
+        "unique_order_day", ["o_custkey", "o_orderdate"], policy="keep"
+    )
+    @expect_referential(
+        "customer_exists", ["o_custkey"], "customer", ["c_custkey"],
+        policy="keep",
+    )
+    @expect_referential(
+        "customer_funded", ["o_custkey"], "funded_customers", ["c_custkey"],
+        policy="keep",
+    )
+    @expect_fresh(
+        "fresh_within_400d", "o_orderdate", 400 * 86400,
+        as_of="2001-09-01 00:00:00", policy="keep",
+    )
+    @expect_fresh(
+        "fresh_within_10d", "o_orderdate", 10 * 86400,
+        as_of="2001-09-01 00:00:00", policy="keep",
+    )
+    def orders_quality(ctx):
+        return ctx.read("orders")
+
+    @reg.table("funded_customers")
+    def funded_customers(ctx):
+        return ctx.read("customer").filter(F.col("c_acctbal") >= 0)
+
+    ctx = PipelineContext(
+        reg,
+        spark,
+        catalog_reader=lambda name: load_tables(spark, sf_dir, (name,))[name],
+    )
+    return ctx.aggregate_audit("orders_quality")
+
+
+@query(
+    "vacuum_apply_roundtrip",
+    """
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+    v2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(
+               (CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                     ELSE c_acctbal END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+      FROM c
+    ),
+    v3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(
+               (CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                     ELSE c_acctbal END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+      FROM c WHERE c_custkey % 7 <> 0
+    ),
+    lr AS (
+      SELECT CAST(COUNT(*) + SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rows
+      FROM c
+    )
+    SELECT 'snapshot_v2' AS metric, n_rows, acctbal_cents FROM v2
+    UNION ALL
+    SELECT 'snapshot_v3', n_rows, acctbal_cents FROM v3
+    UNION ALL
+    SELECT 'log_rows_post_vacuum', n_rows, CAST(NULL AS BIGINT) FROM lr
+    """,
+)
+def vacuum_apply_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM apply step paired with the r13 planner
+    (operators/maintenance.py::vacuum_apply): physically reclaim the
+    3-version customer change log at horizon version 2 — per-file actions
+    from the planner's classification (keep files HARDLINKED untouched,
+    all-reclaimable files dropped, mixed files' live remainders rewritten
+    in one job), crash-safe tmp-dir swap — then read the POST-VACUUM log
+    and return the v2 and v3 snapshot aggregates plus the surviving log
+    row count. The oracle derives all three from `customer` directly, so
+    a vacuum that corrupts any at-or-after-horizon snapshot (or reclaims
+    the wrong rows) breaks the hash. Byte-identical keep files and the
+    pre/post snapshot equivalence are additionally asserted in
+    tests/test_round14_ops.py."""
+    from ..operators.maintenance import vacuum_apply
+    from ..streaming.cdf import snapshot_as_of
+    from .streaming_queries import _build_change_log
+
+    cf = _build_change_log(spark, sf_dir)
+    vacuum_apply(spark, cf.path, ["c_custkey"], horizon_version=2)
+    log = cf.read_batch(spark)
+    cents = F.sum(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+
+    def snap_agg(version, tag):
+        return (
+            snapshot_as_of(log, ["c_custkey"], version)
+            .groupBy()
+            .agg(
+                F.lit(tag).alias("metric"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                cents.alias("acctbal_cents"),
+            )
+        )
+
+    log_rows = log.groupBy().agg(
+        F.lit("log_rows_post_vacuum").alias("metric"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("acctbal_cents"),
+    )
+    return (
+        snap_agg(2, "snapshot_v2")
+        .unionByName(snap_agg(3, "snapshot_v3"))
+        .unionByName(log_rows)
     )

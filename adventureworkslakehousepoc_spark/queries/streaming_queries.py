@@ -1160,3 +1160,68 @@ def st_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14: expectation violation COUNTERS for streamed tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_expectations_counters",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN COALESCE(lang IS NOT NULL, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN COALESCE(n_chars >= 100, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_len,
+             CAST(SUM(CASE WHEN COALESCE(doc_id >= 0, FALSE)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS v_id
+      FROM documents
+    )
+    SELECT 'documents_stream' AS dataset, e.expectation, e.policy, m.n_rows,
+           CASE e.expectation
+             WHEN 'lang_present' THEN m.v_lang
+             WHEN 'min_length' THEN m.v_len
+             ELSE m.v_id END AS n_violations,
+           CAST(FLOOR(CASE e.expectation
+             WHEN 'lang_present' THEN m.v_lang
+             WHEN 'min_length' THEN m.v_len
+             ELSE m.v_id END * 1000000 / m.n_rows) AS BIGINT)
+             AS violation_ppm
+    FROM m, (VALUES ('lang_present', 'drop'),
+                    ('min_length', 'drop'),
+                    ('nonnegative_id', 'fail')) e(expectation, policy)
+    """,
+)
+def st_expectations_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation violation counters for a STREAMED table
+    (streaming/quality.py): the same audit relation the batch path emits
+    from one observe pass, reconstructed for Structured Streaming from
+    Spark's own event bus — a named pre-enforcement ``observe`` node rides
+    each micro-batch's plan, a ``StreamingQueryListener`` accumulates the
+    per-batch partials (count/sum are associative over disjoint
+    micro-batches, so the totals are exact whatever the trigger shape),
+    and the readout derives ppm in exact integer arithmetic. Violations
+    are counted over the FULL input — rows a drop policy removes are
+    still counted, exactly like the batch ``expectation_counters`` and
+    DLT's event log. The oracle is the identical batch SQL over
+    `documents`, so a lost micro-batch partial or an enforcement-order
+    miscount breaks the hash."""
+    from ..plans.expectations import Expectation
+    from ..streaming.quality import run_gated_stream_with_counters
+
+    docs = stream_table(spark, sf_dir, "documents")
+    _mat, counters = run_gated_stream_with_counters(
+        spark,
+        docs,
+        [
+            Expectation("lang_present", "lang IS NOT NULL", "drop"),
+            Expectation("min_length", "n_chars >= 100", "drop"),
+            Expectation("nonnegative_id", "doc_id >= 0", "fail"),
+        ],
+        dataset="documents_stream",
+        run_name="st-exp-counters",
+    )
+    return counters

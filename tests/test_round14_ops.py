@@ -1,0 +1,216 @@
+"""Round-14 operator tests: VACUUM apply (snapshot equivalence, per-file
+actions) and streaming expectation counters."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from adventureworkslakehousepoc_spark.catalog import load_tables
+
+
+# ---------------------------------------------------------------------------
+# vacuum_apply
+# ---------------------------------------------------------------------------
+
+
+def _stage_log(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.queries.streaming_queries import (
+        _build_change_log,
+    )
+
+    return _build_change_log(spark, sf_dir)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_vacuum_apply_preserves_at_or_after_horizon_snapshots(spark, sf_dir):
+    """The apply contract: every snapshot_as_of(v) for v >= horizon (and
+    latest_snapshot) is IDENTICAL pre/post vacuum, while the log physically
+    shrinks by exactly the planner's reclaimable row count."""
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        vacuum_apply,
+        vacuum_plan,
+    )
+    from adventureworkslakehousepoc_spark.streaming.cdf import (
+        latest_snapshot,
+        snapshot_as_of,
+    )
+
+    cf = _stage_log(spark, sf_dir)
+    log_pre = cf.read_batch(spark)
+    pre_rows = log_pre.count()
+    pre = {v: _canon(snapshot_as_of(log_pre, ["c_custkey"], v)) for v in (2, 3)}
+    pre_latest = _canon(latest_snapshot(log_pre, ["c_custkey"]))
+    planned_reclaim = (
+        vacuum_plan(
+            log_pre,
+            ["c_custkey"],
+            2,
+            file_cols=[F.col("_commit_version").alias("v")],
+        )
+        .agg(F.sum("n_reclaimable"))
+        .collect()[0][0]
+    )
+
+    stats = vacuum_apply(spark, cf.path, ["c_custkey"], horizon_version=2)
+
+    log_post = cf.read_batch(spark)
+    assert log_post.count() == pre_rows - stats["rows_removed"]
+    assert stats["rows_removed"] == planned_reclaim
+    assert stats["rows_removed"] > 0
+    for v in (2, 3):
+        assert _canon(snapshot_as_of(log_post, ["c_custkey"], v)) == pre[v], v
+    assert _canon(latest_snapshot(log_post, ["c_custkey"])) == pre_latest
+    # idempotent: a second vacuum at the same horizon reclaims nothing
+    stats2 = vacuum_apply(spark, cf.path, ["c_custkey"], horizon_version=2)
+    assert stats2["rows_removed"] == 0
+    assert stats2["deleted_files"] == 0 and stats2["rewritten_files"] == 0
+
+
+def test_vacuum_apply_keep_files_untouched_and_crash_safe_swap(spark, sf_dir):
+    """keep-action files must survive byte-identical (hardlink, zero data
+    movement) and no .tmp/.old residue may remain after the swap."""
+    import hashlib
+
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        vacuum_apply,
+    )
+
+    cf = _stage_log(spark, sf_dir)
+    # every parquet file's pre-vacuum bytes, keyed by content digest
+    def digests(path):
+        out = {}
+        for name in os.listdir(path):
+            if name.endswith(".parquet"):
+                with open(os.path.join(path, name), "rb") as f:
+                    out[name] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    pre = digests(cf.path)
+    stats = vacuum_apply(spark, cf.path, ["c_custkey"], horizon_version=2)
+    post = digests(cf.path)
+    assert stats["kept_files"] > 0
+    # kept files: same name, same bytes
+    carried = {n: h for n, h in post.items() if n in pre}
+    assert len(carried) == stats["kept_files"]
+    assert all(pre[n] == h for n, h in carried.items())
+    # rewritten files are new names; deleted files are gone
+    new = [n for n in post if n not in pre]
+    assert len(new) == (len(post) - stats["kept_files"])
+    for leftover in (".vacuum.tmp", ".old", ".vacuum.manifest.tmp"):
+        assert not os.path.exists(cf.path.rstrip("/") + leftover)
+
+
+# ---------------------------------------------------------------------------
+# streaming expectation counters
+# ---------------------------------------------------------------------------
+
+
+def test_streamed_counters_equal_batch_counters(spark, sf_dir):
+    """The listener-accumulated streaming audit must equal the batch
+    one-pass counter query on the same data, row for row — per-batch
+    partials summing to the dataset totals is the whole contract."""
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        Expectation,
+        expectation_counters,
+    )
+    from adventureworkslakehousepoc_spark.streaming.quality import (
+        run_gated_stream_with_counters,
+    )
+    from adventureworkslakehousepoc_spark.streaming.runner import stream_table
+
+    exps = [
+        Expectation("lang_present", "lang IS NOT NULL", "drop"),
+        Expectation("min_length", "n_chars >= 100", "drop"),
+        Expectation("nonnegative_id", "doc_id >= 0", "fail"),
+    ]
+    docs_stream = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=1, copies=3
+    )
+    _mat, streamed = run_gated_stream_with_counters(
+        spark, docs_stream, exps, dataset="documents_stream"
+    )
+    # batch reference over the SAME (3x staged) input
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tripled = docs.unionByName(docs).unionByName(docs)
+    batch = expectation_counters(tripled, exps, dataset="documents_stream")
+    assert _canon(streamed) == _canon(batch)
+    # enforcement really dropped the violating rows from the sink
+    n_kept = _mat.count()
+    n_expected = (
+        tripled.filter(
+            F.expr("lang IS NOT NULL") & F.expr("n_chars >= 100")
+        ).count()
+    )
+    assert n_kept == n_expected
+
+
+def test_streamed_counters_multibatch_accumulation(spark, sf_dir):
+    """maxFilesPerTrigger=1 over 3 staged copies forces >=3 micro-batches;
+    the listener must have accumulated across all of them (batch count
+    recorded), not just the last progress event."""
+    from adventureworkslakehousepoc_spark.plans.expectations import Expectation
+    from adventureworkslakehousepoc_spark.streaming.quality import (
+        ExpectationMetricsListener,
+        observe_stream_expectations,
+    )
+    from adventureworkslakehousepoc_spark.streaming.runner import (
+        run_available_now,
+        stream_table,
+    )
+
+    exps = [Expectation("min_length", "n_chars >= 100", "keep")]
+    docs = stream_table(
+        spark, sf_dir, "documents", max_files_per_trigger=1, copies=3
+    )
+    listener = ExpectationMetricsListener("expectations:multibatch:test")
+    observed = observe_stream_expectations(
+        docs, exps, "expectations:multibatch:test"
+    )
+    spark.streams.addListener(listener)
+    try:
+        run_available_now(observed, "st-exp-multibatch")
+    finally:
+        listener.wait_terminated()
+        spark.streams.removeListener(listener)
+    assert listener.batches >= 3, listener.batches
+    base = load_tables(spark, sf_dir, ("documents",))["documents"].count()
+    assert listener.totals["n_rows"] == 3 * base
+
+
+# ---------------------------------------------------------------------------
+# dim-ablation arrow scorer
+# ---------------------------------------------------------------------------
+
+
+def test_dim_ablation_arrow_scorer_bit_identical(spark, sf_dir):
+    """The Arrow fast path must reproduce the SQL-HOF reference scorer
+    BIT-for-bit (np.cumsum = the same sequential left-fold as the SQL
+    aggregate), not merely approximately — same rows, same recall ppm."""
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        dim_ablation_recall,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    arrow = _canon(dim_ablation_recall(emb, max_queries=64, scorer="arrow"))
+    sql = _canon(dim_ablation_recall(emb, max_queries=64, scorer="sql"))
+    assert arrow == sql
+    full = [r for r in arrow if r[0] == 64]
+    assert full and all(r[2] == 1_000_000 for r in full)  # full dim: recall 1
+
+
+def test_dim_ablation_arrow_requires_bounded_queries(spark, sf_dir):
+    from adventureworkslakehousepoc_spark.operators.similarity import (
+        dim_ablation_recall,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    with pytest.raises(ValueError, match="BOUNDED"):
+        dim_ablation_recall(emb, max_queries=None, scorer="arrow")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        dim_ablation_recall(emb, scorer="gemm")
