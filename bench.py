@@ -251,6 +251,12 @@ EXTRA_QUERIES = [
     "expectations_quarantine_split",
     "st_expectations_gate",
     "dp_clipped_noisy_sums",
+    # round-14 additions
+    "expectations_unique_key",
+    "expectations_referential",
+    "expectations_aggregate_counters",
+    "vacuum_apply_roundtrip",
+    "st_expectations_counters",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
@@ -380,9 +386,22 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def timed_set(q_names: list[str], reps: int) -> dict[str, float]:
+    def _sentinel_once() -> float:
+        # one instantaneous light-sentinel run (warm — _time_sentinel's
+        # warm-up already ran); single runs are noisy alone but the inline
+        # MEAN over the headline window is the drift where it matters
+        t0 = time.perf_counter()
+        spark.sql(_SENTINEL_SQL).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def timed_set(
+        q_names: list[str],
+        reps: int,
+        inline_samples: list[float] | None = None,
+        inline_every: int = 5,
+    ) -> dict[str, float]:
         out: dict[str, float] = {}
-        for name in q_names:
+        for i, name in enumerate(q_names):
             n = max(reps, 3) if name in HEAVY_EXTRAS else reps
             if cold:
                 out[name] = round(execute(name), 4)
@@ -392,11 +411,17 @@ def main() -> None:
                 # dominated (±15-25% drift measured across rounds, SCALE.md)
                 out[name] = round(min(execute(name) for _ in range(n)), 4)
             spark._jvm.System.gc()
+            # r14: sample ambient drift INSIDE the headline window — the
+            # before/after pair missed mid-run contention changes entirely
+            # (r13: two normalizations of identical code read 40% apart)
+            if inline_samples is not None and (i + 1) % inline_every == 0:
+                inline_samples.append(round(_sentinel_once(), 4))
         return out
 
     sentinel_before = _time_sentinel(spark, sf_dir)
     sentinel2_before = _time_sentinel2(spark, sf_dir)
-    timings = timed_set(names, reps=3)
+    inline_samples: list[float] = []
+    timings = timed_set(names, reps=3, inline_samples=inline_samples)
     total = round(sum(timings.values()), 4)
     # round-2 additions timed SEPARATELY so `value` stays the fixed r01 list —
     # round-over-round totals remain apples-to-apples. min-of-2 (not 3): 96
@@ -410,13 +435,22 @@ def main() -> None:
     sentinel2_mean = round((sentinel2_before + sentinel2_after) / 2, 4)
     baseline = SENTINEL_BASELINE_SEC.get(str(sf_val))
     baseline2 = SENTINEL2_BASELINE_SEC.get(str(sf_val))
+    # r14: the light sentinel's HEADLINE-window estimate prefers the inline
+    # samples (drift measured where the headline ran) over the before/after
+    # pair (which brackets the window but misses mid-run contention)
+    inline_mean = (
+        round(sum(inline_samples) / len(inline_samples), 4)
+        if inline_samples
+        else None
+    )
+    s1_for_norm = inline_mean if inline_mean else sentinel_mean
     # duration-weighted combined drift: the heavier sentinel dominates the
     # estimate, shrinking the normalization noise floor (bench header note)
-    if baseline and baseline2 and sentinel_mean > 0 and sentinel2_mean > 0:
-        drift = (sentinel_mean + sentinel2_mean) / (baseline + baseline2)
+    if baseline and baseline2 and s1_for_norm > 0 and sentinel2_mean > 0:
+        drift = (s1_for_norm + sentinel2_mean) / (baseline + baseline2)
         normalized = round(total / drift, 4)
-    elif baseline and sentinel_mean > 0:
-        drift = sentinel_mean / baseline
+    elif baseline and s1_for_norm > 0:
+        drift = s1_for_norm / baseline
         normalized = round(total / drift, 4)
     else:
         normalized = None
@@ -425,6 +459,11 @@ def main() -> None:
         "after": sentinel_after,
         "baseline": baseline,
         "drift_ratio": round(sentinel_mean / baseline, 4) if baseline else None,
+        "inline_samples": inline_samples,
+        "inline_mean": inline_mean,
+        "inline_drift_ratio": (
+            round(inline_mean / baseline, 4) if baseline and inline_mean else None
+        ),
     }
     sentinel2 = {
         "before": sentinel2_before,
