@@ -971,6 +971,84 @@ def bitext_margin_mining(
     )
 
 
+def _dim_ablation_candidates_arrow(
+    embeddings: DataFrame, picked: DataFrame, all_dims: list, k: int
+) -> DataFrame:
+    """Arrow fast path for the dim-ablation hot loop (r13 driver: 24 s at
+    sf0.1 / 375 s at 30× in the interpreted-HOF form): one ``mapInPandas``
+    pass over the corpus computes, per batch, every (query, dim) pair's
+    quantized prefix-cosine and keeps only that batch's top-k candidates —
+    so the shuffle carries |batches|·|queries|·|dims|·k rows instead of
+    |corpus|·|queries|·|dims| (the global ``grouped_topk`` over partials is
+    exact because the (score desc, vec_id asc) order is total).
+
+    EXACTNESS, not approximation: every float op replays the SQL-HOF
+    reference path bit-for-bit — float32→float64 casts are exact,
+    ``np.cumsum`` accumulates sequentially (``np.add.accumulate``), which
+    is the SAME left-fold order as the SQL ``aggregate(slice(pr,1,d), 0.0,
+    (acc,v) -> acc+v)``, and the divide/scale/floor chain is textually
+    identical — so the quantized scores (and therefore the hashes) are
+    bit-identical to the reference scorer, NOT merely close. A BLAS GEMM
+    would be ~10× faster still but sums in blocked order, risking a
+    quantization-boundary flip every ~10⁸ pairs; rejected.
+
+    The query set (≤ max_queries rows) lands driver-side via ``take`` —
+    the same small-side pattern as ``cosine_scores_pandas_udf`` — and
+    ships to executors inside the task closure (a few KB)."""
+    import numpy as np
+
+    q_rows = picked.select("vec_id", "embedding").take(1_000_000)
+    if not q_rows:
+        raise ValueError("dim_ablation_recall: empty query set")
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    )
+    # per-query prefix norms: sqrt of the sequential self-product prefix sum
+    qcum = np.cumsum(qmat * qmat, axis=1)
+    qnorm = {d: np.sqrt(qcum[:, d - 1]) for d in all_dims}
+
+    def topk_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acum = np.cumsum(mat * mat, axis=1)
+            anorm = {d: np.sqrt(acum[:, d - 1]) for d in all_dims}
+            out_dim, out_qid, out_vid, out_score = [], [], [], []
+            for qi in range(len(qids)):
+                cs = np.cumsum(mat * qmat[qi], axis=1)
+                mask = vids != qids[qi]
+                for d in all_dims:
+                    denom = np.maximum(anorm[d] * qnorm[d][qi], 1e-18)
+                    score = np.floor(cs[:, d - 1] / denom * 1e6 + 0.5) / 1e6
+                    sm, vm = score[mask], vids[mask]
+                    if not len(sm):
+                        continue
+                    idx = np.lexsort((vm, -sm))[:k]
+                    out_dim.extend([d] * len(idx))
+                    out_qid.extend([int(qids[qi])] * len(idx))
+                    out_vid.extend(vm[idx].tolist())
+                    out_score.extend(sm[idx].tolist())
+            yield pd.DataFrame(
+                {
+                    "qid": pd.Series(out_qid, dtype="int64"),
+                    "vec_id": pd.Series(out_vid, dtype="int64"),
+                    "dim": pd.Series(out_dim, dtype="int32"),
+                    "score": pd.Series(out_score, dtype="float64"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        topk_batches, "qid bigint, vec_id bigint, dim int, score double"
+    )
+
+
 def dim_ablation_recall(
     embeddings: DataFrame,
     dims: tuple = (4, 8, 16),
@@ -978,6 +1056,7 @@ def dim_ablation_recall(
     k: int = 5,
     query_mod: int = 10,
     max_queries: int | None = None,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Matryoshka-style dimension ablation: how much exact-cosine recall@k
     survives truncating the embedding to its first ``d`` dimensions? The
@@ -1039,6 +1118,14 @@ def dim_ablation_recall(
             f" pr -> named_struct({fields})), 1)"
         )
 
+    if scorer not in ("arrow", "sql"):
+        raise ValueError(f"dim_ablation_recall: unknown scorer {scorer!r}")
+    if scorer == "arrow" and max_queries is None:
+        raise ValueError(
+            "dim_ablation_recall: the arrow scorer ships the query set in "
+            "the task closure and requires the BOUNDED max_queries form; "
+            "use scorer='sql' for the exhaustive calibration sweep"
+        )
     if max_queries is not None:
         picked = (
             embeddings.select(
@@ -1051,39 +1138,49 @@ def dim_ablation_recall(
         )
     else:
         picked = embeddings.filter(F.col("vec_id") % query_mod == 0)
-    q = picked.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        prefix_norms("embedding", "qn").alias("qn"),
-    )
-    corpus = embeddings.select(
-        "vec_id", "embedding", prefix_norms("embedding", "an").alias("an")
-    )
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    # all dims' scores from ONE product-array evaluation per pair
-    score_structs = ", ".join(
-        f"named_struct('dim', {d}, 'score',"
-        f" floor(aggregate(slice(pr, 1, {d}), CAST(0 AS DOUBLE),"
-        " (acc, v) -> acc + v)"
-        f" / greatest(an.an{d} * qn.qn{d}, CAST(1e-18 AS DOUBLE))"
-        " * 1000000 + 0.5) / 1000000.0)"
-        for d in all_dims
-    )
-    scored = pairs.select(
-        "qid",
-        "vec_id",
-        F.explode(
-            F.expr(
-                "element_at(transform(array(zip_with(embedding, qe,"
-                " (p, r) -> CAST(p AS DOUBLE) * CAST(r AS DOUBLE))),"
-                f" pr -> array({score_structs})), 1)"
-            )
-        ).alias("ds"),
-    ).select(
-        "qid", "vec_id", F.col("ds.dim").alias("dim"), F.col("ds.score").alias("score")
-    )
+    if scorer == "arrow":
+        candidates = _dim_ablation_candidates_arrow(
+            embeddings, picked, all_dims, k
+        )
+    else:
+        q = picked.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            prefix_norms("embedding", "qn").alias("qn"),
+        )
+        corpus = embeddings.select(
+            "vec_id", "embedding", prefix_norms("embedding", "an").alias("an")
+        )
+        pairs = corpus.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("qid")
+        )
+        # all dims' scores from ONE product-array evaluation per pair
+        score_structs = ", ".join(
+            f"named_struct('dim', {d}, 'score',"
+            f" floor(aggregate(slice(pr, 1, {d}), CAST(0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+            f" / greatest(an.an{d} * qn.qn{d}, CAST(1e-18 AS DOUBLE))"
+            " * 1000000 + 0.5) / 1000000.0)"
+            for d in all_dims
+        )
+        candidates = pairs.select(
+            "qid",
+            "vec_id",
+            F.explode(
+                F.expr(
+                    "element_at(transform(array(zip_with(embedding, qe,"
+                    " (p, r) -> CAST(p AS DOUBLE) * CAST(r AS DOUBLE))),"
+                    f" pr -> array({score_structs})), 1)"
+                )
+            ).alias("ds"),
+        ).select(
+            "qid",
+            "vec_id",
+            F.col("ds.dim").alias("dim"),
+            F.col("ds.score").alias("score"),
+        )
     topk = grouped_topk(
-        scored,
+        candidates,
         group_cols=["dim", "qid"],
         k=k,
         order=[F.desc("score"), F.asc("vec_id")],
