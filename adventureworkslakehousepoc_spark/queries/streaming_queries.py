@@ -1225,3 +1225,70 @@ def st_expectations_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_name="st-exp-counters",
     )
     return counters
+
+
+@query(
+    "cdf_schema_evolution_read",
+    """
+    SELECT (c_custkey % 5 = 0) AS evolved_row,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_nationkey AS BIGINT)) AS BIGINT) AS nation_sum,
+           CAST(SUM(CASE WHEN c_custkey % 5 = 0 THEN
+             CAST(FLOOR((c_acctbal + 100.0) * 100 + 0.5) AS BIGINT) END)
+             AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_custkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def cdf_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the change-log emulation
+    (streaming/cdf.py::read_batch_evolved / evolved_schema): the log's
+    three commits span three physical schemas — v1 inserts
+    (c_custkey, c_name, c_nationkey INT), v2 post-images ADD a column
+    (c_acctbal) and WIDEN c_nationkey to BIGINT, v3 delete markers carry
+    the original narrow projection. The version-aware reader reconciles
+    the footer schemas driver-side (add-column → NULL for older rows;
+    int→bigint widening — the lattice Delta's type-widening feature
+    allows), reads each schema generation with its own exact schema
+    (Spark's parquet reader refuses int32 files under a bigint schema and
+    mergeSchema hard-fails on the conflict), casts, and unions by name —
+    one scan node per generation, pushdown intact per group, no shuffle.
+    The latest snapshot then reconstructs across all three generations;
+    the per-(evolved_row) aggregate hashes the added column's NULL
+    semantics, the widened sums, and the delete handling at once."""
+    from ..streaming.cdf import latest_snapshot, read_batch_evolved
+
+    path = scratch_dir(f"cdf-evo-{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    cf = ChangeFeed(path)
+    base = load_tables(spark, sf_dir, ("customer",))["customer"]
+    v1 = base.select("c_custkey", "c_name", "c_nationkey")
+    cf.write(v1, "insert", 1, "2024-01-01 00:00:00")
+    v2 = (
+        base.filter((F.col("c_custkey") % 5) == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("c_name"),
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+    )
+    cf.write(v2, "update_postimage", 2, "2024-01-02 00:00:00")
+    v3 = base.filter((F.col("c_custkey") % 7) == 0).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    cf.write(v3, "delete", 3, "2024-01-03 00:00:00")
+
+    latest = latest_snapshot(read_batch_evolved(spark, path), ["c_custkey"])
+    return latest.groupBy(
+        ((F.col("c_custkey") % 5) == 0).alias("evolved_row")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("c_nationkey").cast("bigint")).cast("bigint").alias(
+            "nation_sum"
+        ),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("acctbal_cents"),
+    )

@@ -214,3 +214,54 @@ def test_dim_ablation_arrow_requires_bounded_queries(spark, sf_dir):
         dim_ablation_recall(emb, max_queries=None, scorer="arrow")
     with pytest.raises(ValueError, match="unknown scorer"):
         dim_ablation_recall(emb, scorer="gemm")
+
+
+# ---------------------------------------------------------------------------
+# CDF schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_reconciliation_and_read(spark, tmp_path):
+    """Add-column (old rows NULL) and int->bigint widening reconcile; an
+    incompatible type pair (string vs int) raises like Delta would."""
+    from adventureworkslakehousepoc_spark.streaming.cdf import (
+        _widened,
+        evolved_schema,
+        read_batch_evolved,
+    )
+
+    p = str(tmp_path / "log")
+    spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v int").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(3, 2**40, "x")], "k bigint, v bigint, note string"
+    ).write.mode("append").parquet(p)
+
+    schema = dict(evolved_schema(p))
+    assert schema == {"k": "bigint", "v": "bigint", "note": "string"}
+    got = sorted(
+        (r.k, r.v, r.note) for r in read_batch_evolved(spark, p).collect()
+    )
+    assert got == [(1, 10, None), (2, 20, None), (3, 2**40, "x")]
+
+    assert _widened("int", "bigint") == "bigint"
+    assert _widened("float", "double") == "double"
+    assert _widened("string", "string") == "string"
+    with pytest.raises(ValueError, match="cannot reconcile"):
+        _widened("string", "int")
+
+
+def test_schema_evolution_plain_reader_would_fail(spark, tmp_path):
+    """The motivation pin: Spark's own parquet read of the mixed-schema log
+    either drops the added column (first-footer schema) or hard-fails with
+    mergeSchema — the evolved reader is the only correct path."""
+    p = str(tmp_path / "log2")
+    spark.createDataFrame([(1, 10)], "k bigint, v int").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame([(2, 2**40)], "k bigint, v bigint").write.mode(
+        "append"
+    ).parquet(p)
+    with pytest.raises(Exception, match="(?i)merge|convert|compatible"):
+        spark.read.option("mergeSchema", "true").parquet(p).collect()
