@@ -1056,7 +1056,7 @@ def dim_ablation_recall(
     k: int = 5,
     query_mod: int = 10,
     max_queries: int | None = None,
-    scorer: str = "arrow",
+    scorer: str | None = None,
 ) -> DataFrame:
     """Matryoshka-style dimension ablation: how much exact-cosine recall@k
     survives truncating the embedding to its first ``d`` dimensions? The
@@ -1118,6 +1118,11 @@ def dim_ablation_recall(
             f" pr -> named_struct({fields})), 1)"
         )
 
+    if scorer is None:
+        # auto: the arrow fast path needs the bounded query-set form (the
+        # query matrix ships in the task closure); the exhaustive
+        # calibration sweep stays on the SQL-HOF reference scorer
+        scorer = "arrow" if max_queries is not None else "sql"
     if scorer not in ("arrow", "sql"):
         raise ValueError(f"dim_ablation_recall: unknown scorer {scorer!r}")
     if scorer == "arrow" and max_queries is None:
