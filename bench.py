@@ -257,6 +257,7 @@ EXTRA_QUERIES = [
     "expectations_aggregate_counters",
     "vacuum_apply_roundtrip",
     "st_expectations_counters",
+    "cdf_schema_evolution_read",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
