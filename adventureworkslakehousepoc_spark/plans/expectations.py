@@ -65,6 +65,7 @@ __all__ = [
     "freshness_status",
     "aggregate_expectation_counters",
     "enforce_aggregate_drops",
+    "aggregate_quarantine_rows",
     "audit_aggregate_expectations",
 ]
 
@@ -295,7 +296,7 @@ _AGG_ATTR = "_awlh_agg_expectations"
 
 _AGG_POLICIES = {
     "unique": ("keep", "fail"),
-    "referential": ("keep", "drop", "fail"),
+    "referential": ("keep", "drop", "quarantine", "fail"),
     "fresh": ("keep", "fail"),
 }
 
@@ -534,14 +535,17 @@ def enforce_aggregate_drops(
     resolve: Callable[[str], DataFrame],
     dataset: str = "<dataset>",
 ) -> DataFrame:
-    """Apply drop-policy referential constraints INSIDE the dataset's plan:
-    rows whose non-NULL fk tuple is missing from the dim are removed via a
-    left-semi join (NULL fks are exempt and kept — MATCH SIMPLE). The only
-    aggregate policy that is plan-shaped; fail policies audit at
+    """Apply drop- and quarantine-policy referential constraints INSIDE the
+    dataset's plan: rows whose non-NULL fk tuple is missing from the dim
+    are removed via a left-semi join (NULL fks are exempt and kept —
+    MATCH SIMPLE). Quarantined orphans additionally stay addressable via
+    ``aggregate_quarantine_rows`` — the late-arriving-dimension pattern
+    (park orphan facts until the dim catches up, don't lose them). The
+    only aggregate policies that are plan-shaped; fail policies audit at
     materialization time instead (``audit_aggregate_expectations``)."""
     out = df
     for exp in expectations:
-        if exp.kind != "referential" or exp.policy != "drop":
+        if exp.kind != "referential" or exp.policy not in ("drop", "quarantine"):
             continue
         keys = resolve(exp.ref).select(
             *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
@@ -553,6 +557,58 @@ def enforce_aggregate_drops(
         matched = out.join(keys, on=list(exp.cols), how="left_semi")
         exempt = out.filter(null_fk)
         out = matched.unionByName(exempt)
+    return out
+
+
+def aggregate_quarantine_rows(
+    df: DataFrame,
+    expectations: Sequence[AggregateExpectation],
+    resolve: Callable[[str], DataFrame],
+    dataset: str = "<dataset>",
+) -> DataFrame:
+    """The aggregate quarantine relation: every row a quarantine-policy
+    referential constraint routed OUT of the dataset (non-NULL fk tuple
+    absent from the dim — a left-anti join per constraint over the same
+    pre-enforcement input), tagged with the violated constraint's name in
+    ``_violated``. Disjoint from the kept relation by construction (the
+    anti join is the semi join's complement on non-NULL fks); the
+    late-arriving-dimension workflow re-processes this relation after the
+    dim update lands. Replays the same constraint chain as
+    ``enforce_aggregate_drops`` so a row removed by an EARLIER drop or
+    quarantine constraint is never re-quarantined by a later one. Raises
+    if no quarantine-policy aggregate constraint is declared."""
+    parts: list[DataFrame] = []
+    cur = df
+    for exp in expectations:
+        if exp.kind != "referential" or exp.policy not in ("drop", "quarantine"):
+            continue
+        keys = resolve(exp.ref).select(
+            *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
+        ).dropDuplicates(list(exp.cols))
+        null_fk = None
+        for c in exp.cols:
+            cond = F.col(c).isNull()
+            null_fk = cond if null_fk is None else (null_fk | cond)
+        if exp.policy == "quarantine":
+            probe = cur
+            for c in exp.cols:
+                probe = probe.filter(F.col(c).isNotNull())
+            parts.append(
+                probe.join(keys, on=list(exp.cols), how="left_anti").withColumn(
+                    "_violated", F.lit(exp.name)
+                )
+            )
+        cur = cur.join(keys, on=list(exp.cols), how="left_semi").unionByName(
+            cur.filter(null_fk)
+        )
+    if not parts:
+        raise ValueError(
+            f"aggregate_quarantine_rows: dataset {dataset!r} declares no "
+            "quarantine-policy aggregate expectations"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

@@ -244,6 +244,26 @@ class PipelineContext:
             dataset=name,
         )
 
+    def aggregate_quarantine(self, name: str) -> DataFrame:
+        """Rows routed out by quarantine-policy aggregate (referential)
+        constraints, tagged ``_violated`` — built from the dataset's
+        post-row-enforcement relation with the same constraint-chain
+        ordering as ``dataframe()``, so kept ∪ quarantined partitions the
+        non-NULL-fk input disjointly (the late-arriving-dimension
+        parking lot). Raises if none are declared."""
+        from .expectations import aggregate_quarantine_rows
+
+        defn = self.registry.get(name)
+        raw = apply_expectations(
+            defn.fn(self), expectations_of(defn.fn), dataset=name
+        )
+        return aggregate_quarantine_rows(
+            raw,
+            agg_expectations_of(defn.fn),
+            resolve=self.read_static,
+            dataset=name,
+        )
+
     def _gate_aggregates(self, name: str) -> None:
         """Materialize the dataset's fail-enforced aggregate audit (noop
         write — an action with no sink side-effects) BEFORE the dataset is

@@ -265,3 +265,66 @@ def test_schema_evolution_plain_reader_would_fail(spark, tmp_path):
     ).parquet(p)
     with pytest.raises(Exception, match="(?i)merge|convert|compatible"):
         spark.read.option("mergeSchema", "true").parquet(p).collect()
+
+
+def test_agg_referential_quarantine_routes_orphans(spark):
+    """quarantine-policy RI: orphans leave the kept relation (like drop)
+    but stay addressable, tagged with the constraint name; NULL fks stay
+    in the kept relation and never quarantine (MATCH SIMPLE); kept and
+    quarantined partition the non-NULL-fk input disjointly."""
+    import datetime as dt
+
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        expect_referential,
+    )
+    from adventureworkslakehousepoc_spark.plans.registry import (
+        DatasetRegistry,
+        PipelineContext,
+    )
+
+    reg = DatasetRegistry()
+
+    @reg.table("dim")
+    def dim(ctx):
+        return ctx.read("dim_src")
+
+    @reg.table("fact_parked")
+    @expect_referential("fk_known", ["k"], "dim", ["dk"], policy="quarantine")
+    def fact_parked(ctx):
+        return ctx.read("fact_src")
+
+    t = dt.datetime(2024, 1, 1)
+    fact = spark.createDataFrame(
+        [(1, "ok", t), (9, "orphan", t), (None, "null_fk", t)],
+        "k int, v string, ts timestamp",
+    )
+    dim_df = spark.createDataFrame([(1,), (2,)], "dk int")
+    ctx = PipelineContext(
+        reg,
+        spark,
+        catalog_reader=lambda n: {"fact_src": fact, "dim_src": dim_df}[n],
+    )
+    kept = sorted(r.v for r in ctx.dataframe("fact_parked").collect())
+    assert kept == ["null_fk", "ok"]
+    parked = [
+        (r.v, r._violated)
+        for r in ctx.aggregate_quarantine("fact_parked").collect()
+    ]
+    assert parked == [("orphan", "fk_known")]
+    # audit of the enforced relation: clean by construction
+    audit = {
+        r.expectation: r.n_violations
+        for r in ctx.aggregate_audit("fact_parked").collect()
+    }
+    assert audit == {"fk_known": 0}
+    # undeclared: raises
+    with pytest.raises(ValueError, match="no quarantine-policy"):
+        reg2 = DatasetRegistry()
+
+        @reg2.table("plain")
+        def plain(ctx2):
+            return ctx2.read("fact_src")
+
+        PipelineContext(
+            reg2, spark, catalog_reader=lambda n: fact
+        ).aggregate_quarantine("plain")
