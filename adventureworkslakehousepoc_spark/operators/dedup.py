@@ -994,19 +994,40 @@ def prefix_filter_jaccard_pairs(
             - F.expr(f"(n_sh * {t_num} + {t_den} - 1) div {t_den}")
             + 1
         )
-        .select("doc_id", "sh", "n_sh")
+        .select("doc_id", "sh", "n_sh", "r")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     # AllPairs length filter: J(A,B) ≤ min/max, so J ≥ t forces
     # t·max(|A|,|B|) ≤ min(|A|,|B|) — prune size-incompatible collisions
-    # IN the join (guaranteed no false negatives) before distinct+verify
+    # IN the join (guaranteed no false negatives) before distinct+verify.
+    # PPJoin POSITIONAL filter on top (Vernica et al., VLDB'10): common
+    # tokens follow the same global rarity order in both docs, so for the
+    # FIRST shared token — at full-ordering ranks r_a, r_b — the overlap
+    # is bounded by min(|A|−r_a, |B|−r_b)+1, while J ≥ t needs overlap
+    # ≥ ⌈t·(|A|+|B|)/(1+t)⌉ (exact integer form below). A qualifying pair
+    # always passes on its first shared token, so the candidate set stays
+    # a superset of the answer (no false negatives); later shared tokens
+    # may fail the bound, which is precisely the pruning (measured at
+    # sf0.1: 310k → 125k candidates, identical verified output).
+    pos_bound = F.expr(
+        f"((a.n_sh + b.n_sh) * {t_num} + {t_den + t_num} - 1)"
+        f" div {t_den + t_num}"
+    )
     cands = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * t_num <= F.col("b.n_sh") * t_den)
-            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den),
+            & (F.col("b.n_sh") * t_num <= F.col("a.n_sh") * t_den)
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.r"),
+                    F.col("b.n_sh") - F.col("b.r"),
+                )
+                + 1
+                >= pos_bound
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
