@@ -8556,3 +8556,110 @@ def vacuum_apply_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(snap_agg(3, "snapshot_v3"))
         .unionByName(log_rows)
     )
+
+
+@query(
+    "expectations_quarantine_replay",
+    """
+    WITH funded AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+    ),
+    first_pass AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      WHERE user_id IS NULL OR user_id IN (SELECT c_custkey FROM funded)
+    ),
+    replayed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND user_id NOT IN (SELECT c_custkey FROM funded)
+        AND user_id IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)
+    ),
+    final_total AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      WHERE user_id IS NULL
+         OR user_id IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)
+    )
+    SELECT 'first_pass' AS phase, n_events, n_users FROM first_pass
+    UNION ALL SELECT 'replayed', n_events, n_users FROM replayed
+    UNION ALL SELECT 'final_total', n_events, n_users FROM final_total
+    """,
+)
+def expectations_quarantine_replay_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The late-arriving-dimension workflow END-TO-END over the aggregate
+    quarantine policy (plans/expectations.py::aggregate_quarantine_rows):
+    pass 1 gates events against an incomplete dim (funded customers only)
+    with policy='quarantine' — orphans are parked, not lost; then the dim
+    update lands (full customer table) and the PARKED relation replays
+    through a second registry under the same referential constraint. The
+    three-phase aggregate (first_pass / replayed / final_total) hashes the
+    convergence claim: kept ∪ replayed must equal the dataset gated
+    against the complete dim exactly — a row lost in parking, duplicated
+    in replay, or still orphaned after the dim update breaks the oracle
+    match. This is the production pattern DLT users build around
+    expectations: park early-arriving facts, re-admit them when the
+    dimension catches up."""
+    from ..plans.registry import DatasetRegistry, PipelineContext
+
+    reader = lambda name: load_tables(spark, sf_dir, (name,))[name]  # noqa: E731
+
+    reg = DatasetRegistry()
+
+    @reg.table("funded_customers")
+    def funded_customers(ctx):
+        return ctx.read("customer").filter(F.col("c_acctbal") >= 0)
+
+    @reg.table("gated_events")
+    @expect_referential(
+        "user_known", ["user_id"], "funded_customers", ["c_custkey"],
+        policy="quarantine",
+    )
+    def gated_events(ctx):
+        return ctx.read("events")
+
+    ctx = PipelineContext(reg, spark, catalog_reader=reader)
+    kept = ctx.dataframe("gated_events")
+    parked = ctx.aggregate_quarantine("gated_events").drop("_violated")
+
+    reg2 = DatasetRegistry()
+
+    @reg2.table("full_customers")
+    def full_customers(ctx2):
+        return ctx2.read("customer")
+
+    @reg2.table("replayed_events")
+    @expect_referential(
+        "user_known", ["user_id"], "full_customers", ["c_custkey"],
+        policy="drop",
+    )
+    def replayed_events(ctx2):
+        return ctx2.read("parked_events")
+
+    ctx2 = PipelineContext(
+        reg2,
+        spark,
+        catalog_reader=lambda n: parked if n == "parked_events" else reader(n),
+    )
+    replayed = ctx2.dataframe("replayed_events")
+
+    def phase_agg(df, tag):
+        return df.groupBy().agg(
+            F.lit(tag).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+
+    return (
+        phase_agg(kept, "first_pass")
+        .unionByName(phase_agg(replayed, "replayed"))
+        .unionByName(phase_agg(kept.unionByName(replayed), "final_total"))
+    )

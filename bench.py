@@ -258,6 +258,7 @@ EXTRA_QUERIES = [
     "vacuum_apply_roundtrip",
     "st_expectations_counters",
     "cdf_schema_evolution_read",
+    "expectations_quarantine_replay",
 ]
 
 # Heavy extras get min-of-3 (not 2): these are the rows where min-of-2 still
