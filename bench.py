@@ -410,8 +410,21 @@ def main() -> None:
             else:
                 execute(name)  # warm-up: JIT + codegen compile, untimed
                 # min of N timed runs — single-run timing is ambient-noise
-                # dominated (±15-25% drift measured across rounds, SCALE.md)
-                out[name] = round(min(execute(name) for _ in range(n)), 4)
+                # dominated (±15-25% drift measured across rounds, SCALE.md).
+                # r14: GC between reps of HEAVY runs, not just between
+                # queries — Spark's ContextCleaner frees shuffle/checkpoint
+                # blocks only on a driver GC, so a >2 s query's reps degrade
+                # under their own garbage (measured: 29/13/68/68 s
+                # back-to-back vs 22/7/8/5 with inter-rep GC on
+                # minhash_estimate_error at sf0.1). The GC runs OUTSIDE the
+                # timed window.
+                reps_s = []
+                for rep in range(n):
+                    t = execute(name)
+                    reps_s.append(t)
+                    if t > 2.0 and rep < n - 1:
+                        spark._jvm.System.gc()
+                out[name] = round(min(reps_s), 4)
             spark._jvm.System.gc()
             # r14: sample ambient drift INSIDE the headline window — the
             # before/after pair missed mid-run contention changes entirely
