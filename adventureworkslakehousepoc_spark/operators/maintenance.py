@@ -513,6 +513,28 @@ def vacuum_apply(
 
     import pyarrow.parquet as pq
 
+    # schema-evolution guard: the rewrite below reads the log with ONE
+    # frozen schema, so on an evolved log it would silently drop later
+    # generations' added columns (or hard-fail mid-maintenance on widened
+    # ints) and the tmp-swap would then delete the originals — permanent
+    # data loss. Footer metadata only (same driver-side read as
+    # evolved_schema); refuse before any file is touched.
+    footer_schemas = {
+        tuple((fld.name, str(fld.type)) for fld in pq.read_schema(
+            os.path.join(path, f)
+        ))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    if len(footer_schemas) > 1:
+        raise ValueError(
+            f"vacuum_apply({path!r}): the log carries {len(footer_schemas)} "
+            "distinct physical schemas (schema evolution); a single-schema "
+            "rewrite would lose later-generation columns. Vacuum per schema "
+            "generation (group files as read_batch_evolved does) or compact "
+            "the log through read_batch_evolved first."
+        )
+
     log = spark.read.parquet(path)
     # bind _file directly above the scan: input_file_name() is per-source,
     # and the classification joins the log to its own owner aggregate

@@ -972,7 +972,11 @@ def bitext_margin_mining(
 
 
 def _dim_ablation_candidates_arrow(
-    embeddings: DataFrame, picked: DataFrame, all_dims: list, k: int
+    embeddings: DataFrame,
+    picked: DataFrame,
+    all_dims: list,
+    k: int,
+    max_queries: int,
 ) -> DataFrame:
     """Arrow fast path for the dim-ablation hot loop (r13 driver: 24 s at
     sf0.1 / 375 s at 30× in the interpreted-HOF form): one ``mapInPandas``
@@ -997,7 +1001,17 @@ def _dim_ablation_candidates_arrow(
     ships to executors inside the task closure (a few KB)."""
     import numpy as np
 
-    q_rows = picked.select("vec_id", "embedding").take(1_000_000)
+    # the driver-side fetch is bounded by the CALLER's query budget, not a
+    # fixed constant: a 500k-query caller must not land ~250 MB of vectors
+    # on the driver before the closure even ships. The ceiling keeps the
+    # shipped closure (max_queries · full_dim · 8 B) in the tens of MB;
+    # beyond it the SQL-HOF scorer is the right tool.
+    if max_queries > 100_000:
+        raise ValueError(
+            f"_dim_ablation_candidates_arrow: max_queries={max_queries} "
+            "exceeds the driver-fetch ceiling (100000); use scorer='sql'"
+        )
+    q_rows = picked.select("vec_id", "embedding").take(max_queries)
     if not q_rows:
         raise ValueError("dim_ablation_recall: empty query set")
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -1145,7 +1159,7 @@ def dim_ablation_recall(
         picked = embeddings.filter(F.col("vec_id") % query_mod == 0)
     if scorer == "arrow":
         candidates = _dim_ablation_candidates_arrow(
-            embeddings, picked, all_dims, k
+            embeddings, picked, all_dims, k, max_queries
         )
     else:
         q = picked.select(

@@ -141,11 +141,20 @@ class PipelineContext:
         if name in self._building:
             raise ValueError(f"dependency cycle through dataset {name!r}")
         defn = self.registry.get(name)
+        # the cycle guard must cover aggregate-drop enforcement too: a
+        # referential constraint's ref chain can recurse back into this
+        # dataset via resolve=read_static, and without the guard that
+        # recursion only dies at RecursionError
         self._building.add(name)
         try:
-            df = defn.fn(self)
+            df = self._build_dataframe(name, defn)
         finally:
             self._building.discard(name)
+        self._cache[name] = df
+        return df
+
+    def _build_dataframe(self, name: str, defn) -> DataFrame:
+        df = defn.fn(self)
         exps = expectations_of(defn.fn)
         if exps:
             # observe BEFORE enforcement so drop/fail violations are counted
@@ -176,7 +185,6 @@ class PipelineContext:
             df = enforce_aggregate_drops(
                 df, agg_exps, resolve=self.read_static, dataset=name
             )
-        self._cache[name] = df
         return df
 
     def quarantine(self, name: str) -> DataFrame:

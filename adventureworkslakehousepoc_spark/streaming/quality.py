@@ -51,7 +51,15 @@ class ExpectationMetricsListener(StreamingQueryListener):
         self._name = observation_name
         self.totals: dict[str, int] = {}
         self.batches = 0
-        self._terminated = threading.Event()
+        # the tracked query's id binds from the first progress event that
+        # carries OUR observation name (the name is unique per run, so the
+        # binding cannot cross-talk); termination then waits for THAT id,
+        # not for any query's terminated event — a concurrent stream's (or
+        # a prior run's late-delivered) termination must not release
+        # wait_terminated while our progress rows are still in flight
+        self._cv = threading.Condition()
+        self._query_id: str | None = None
+        self._terminated_ids: set[str] = set()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
@@ -60,19 +68,35 @@ class ExpectationMetricsListener(StreamingQueryListener):
         row = event.progress.observedMetrics.get(self._name)
         if row is None:
             return
-        self.batches += 1
-        for key, val in row.asDict().items():
-            if val is not None:
-                self.totals[key] = self.totals.get(key, 0) + int(val)
+        with self._cv:
+            self.batches += 1
+            for key, val in row.asDict().items():
+                if val is not None:
+                    self.totals[key] = self.totals.get(key, 0) + int(val)
+            self._query_id = str(event.progress.id)
+            self._cv.notify_all()
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        self._terminated.set()
+        with self._cv:
+            self._terminated_ids.add(str(event.id))
+            self._cv.notify_all()
 
     def wait_terminated(self, timeout: float = 60.0) -> bool:
-        return self._terminated.wait(timeout)
+        """True once the tracked query has terminated. Until a progress
+        event binds the query id, any termination counts (a zero-batch run
+        delivers no progress events, and its caller fails loudly on
+        ``batches == 0`` afterwards — never a silent undercount)."""
+
+        def _done() -> bool:
+            if self._query_id is not None:
+                return self._query_id in self._terminated_ids
+            return bool(self._terminated_ids)
+
+        with self._cv:
+            return self._cv.wait_for(_done, timeout)
 
 
 def observe_stream_expectations(
