@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_tables
-from ..functions.expressions import decode, exact_avg, quantized_avg, surrogate_key, typed_null
+from ..functions.expressions import (
+    decode,
+    exact_avg,
+    exact_unscaled_sum,
+    quantized_avg,
+    surrogate_key,
+    typed_null,
+)
 from ..operators.joins import interval_join, star_left_join
 from ..pipelines.medallion import SEGMENT_DECODE, medallion_context
 from ..sources.files import NOAA_BY_YEAR_SCHEMA, read_csv_with_schema
@@ -56,6 +63,22 @@ _REV_SQL = (
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 )
 
+
+# integer-unscaled twin of _rev(): p_cents * (100 - d_cents) is EXACTLY the
+# unscaled value of the decimal(16,4) product (scale 4). Summing this long
+# through exact_unscaled_sum keeps the aggregation hash map on codegen'd
+# long adds instead of the decimal(26,4) buffer's per-row BigDecimal path
+# (2.2x the stage on q1 at sf0.1) while producing the bit-identical double.
+def _rev_u():
+    p_cents = F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+    d_cents = F.expr("cast(cast(l_discount as decimal(3,2)) * 100 as bigint)")
+    return p_cents * (F.lit(100) - d_cents)
+
+
+def _rev_sum():
+    """== F.sum(_rev()).cast("double"), via long partials."""
+    return exact_unscaled_sum(_rev_u(), 4)
+
 # ---------------------------------------------------------------------------
 # Flagship + TPC-H-shaped headline queries (J5, A1, P1/P2, F14, F17)
 # ---------------------------------------------------------------------------
@@ -86,7 +109,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(
-            F.sum(_rev()).cast("double").alias("revenue"),
+            _rev_sum().alias("revenue"),
             F.sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -113,16 +136,25 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    one = F.lit(1).cast("decimal(3,2)")
-    tax = F.col("l_tax").cast("decimal(3,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
-            F.sum(_rev() * (one + tax)).cast("double").alias("sum_charge"),
+            exact_unscaled_sum(
+                F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)"),
+                2,
+            ).alias("sum_base_price"),
+            _rev_sum().alias("sum_disc_price"),
+            # charge = rev * (1 + tax): unscaled micro-units (scale 6)
+            exact_unscaled_sum(
+                _rev_u()
+                * (
+                    F.lit(100)
+                    + F.expr("cast(cast(l_tax as decimal(3,2)) * 100 as bigint)")
+                ),
+                6,
+            ).alias("sum_charge"),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
             exact_avg("l_discount").alias("avg_disc"),
@@ -164,7 +196,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("order_date"),
             F.col("o_orderpriority").alias("order_priority"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_rev_sum().alias("revenue"))
         .select("order_key", "revenue", "order_date", "order_priority")
         .orderBy(F.desc("revenue"), F.asc("order_key"))
         .limit(10)
@@ -199,7 +231,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(_rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -1037,8 +1069,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "lineitem", "part")
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev())).cast("double")
-    total = F.sum(_rev()).cast("double")
+    promo = exact_unscaled_sum(F.when(F.col("p_type") == "PROMO", _rev_u()), 4)
+    total = _rev_sum()
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -1072,7 +1104,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.sum(_rev()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(_rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.expressions import exact_unscaled_sum
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -51,6 +52,21 @@ def _rev():
     return F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
+
+
+# integer-unscaled twin of _rev() (see queries/parity.py): summing the
+# unscaled long through exact_unscaled_sum keeps aggregation on codegen'd
+# long adds (the decimal(26,4) sum buffer pays per-row BigDecimal), with a
+# bit-identical double result.
+def _rev_u():
+    p_cents = F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)")
+    d_cents = F.expr("cast(cast(l_discount as decimal(3,2)) * 100 as bigint)")
+    return p_cents * (F.lit(100) - d_cents)
+
+
+def _rev_sum():
+    """== F.sum(_rev()).cast("double"), via long partials."""
+    return exact_unscaled_sum(_rev_u(), 4)
 
 
 _REV_SQL = (
@@ -93,12 +109,13 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end, so the division is bit-identical across engines."""
     t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region", "part")
     n1, n2 = t["nation"].alias("n1"), t["nation"].alias("n2")
-    nation_rev = F.sum(
-        F.when(F.col("n1.n_name") == "NATION_5", _rev()).otherwise(
-            F.lit(0).cast("decimal(12,2)")
-        )
-    ).cast("double")
-    total_rev = F.sum(_rev()).cast("double")
+    nation_rev = exact_unscaled_sum(
+        F.when(F.col("n1.n_name") == "NATION_5", _rev_u()).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+        4,
+    )
+    total_rev = _rev_sum()
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -152,7 +169,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("profit"))
+        .agg(_rev_sum().alias("profit"))
     )
 
 
@@ -181,7 +198,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold travels to executors as a broadcast)."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     pv = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("val"))
-    tot = li.agg(F.sum(_rev()).cast("double").alias("t"))
+    tot = li.agg(_rev_sum().alias("t"))
     return (
         pv.crossJoin(F.broadcast(tot))
         .filter(F.col("val").cast("double") > F.col("t") * 0.001)

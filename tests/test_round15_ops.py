@@ -242,3 +242,45 @@ def test_listener_ignores_foreign_termination(spark):
         _progress_event("obs:unrelated", "q-x", {"n_rows": 3})
     )
     assert listener2.batches == 0
+
+
+# ---------------------------------------------------------------------------
+# exact_unscaled_sum (functions/expressions.py)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_unscaled_sum_equals_decimal_sum(spark):
+    """The split-long sum must be BIT-identical to the reference
+    F.sum(decimal).cast('double') form — including negatives (pmod/floor
+    identity), NULLs (skipped by both), and values straddling the 10^6
+    split boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adventureworkslakehousepoc_spark.functions.expressions import (
+        exact_avg,
+        exact_unscaled_sum,
+    )
+
+    rng = random.Random(15)
+    rows = [
+        (i % 7, round(rng.uniform(-120000, 950000), 2) if i % 11 else None)
+        for i in range(5000)
+    ] + [(0, 999999.99), (1, -999999.99), (2, 0.01), (3, 10000.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    unscaled = F.expr("cast(cast(x as decimal(18,2)) * 100 as bigint)")
+    got = df.groupBy("g").agg(
+        exact_unscaled_sum(unscaled, 2).alias("s"),
+        exact_avg("x").alias("a"),
+    )
+    ref = df.groupBy("g").agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("s"),
+        (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("x")).alias("a"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scale"):
+        exact_unscaled_sum(F.col("x"), 7)
