@@ -28,11 +28,16 @@ def grouped_avg(
     alias: str = "avg_value",
     scale: int = 2,
 ) -> DataFrame:
-    """Grouped order-independent average (exact decimal sum ÷ count → double)."""
+    """Grouped order-independent average (exact decimal sum ÷ count → double).
+
+    r16: routed through ``exact_avg`` — the direct decimal(18,s) sum
+    buffered in decimal(28,s), a per-row serialized-BigDecimal add past the
+    18-digit compact-long limit (guide §5); the long hi/lo partials produce
+    the bit-identical double."""
+    from ..functions.expressions import exact_avg
+
     v = F.col(value) if isinstance(value, str) else value
-    return df.groupBy(*keys).agg(
-        (F.sum(v.cast(f"decimal(18,{scale})")).cast("double") / F.count(v)).alias(alias)
-    )
+    return df.groupBy(*keys).agg(exact_avg(v, scale).alias(alias))
 
 
 def pivot_agg(

@@ -109,14 +109,28 @@ LAST_VERIFIED, _CHANGED_OUTPUT, EFFECTIVE_ROUND = _self_heal_ledger()
 def _round6_order(merged: dict) -> dict:
     """Mechanical driver-window ordering from the row-age ledger:
     never-verified first (registration order), then changed-output rows,
-    then everything ascending by (last-verified round, name)."""
+    then changed-PLAN rows not yet re-attested (r16 — see
+    ``_changed_plan.py``), then everything ascending by (last-verified
+    round, name)."""
+    from ._changed_plan import CHANGED_PLAN
+
     never = [k for k in merged if k not in LAST_VERIFIED]
     changed = [k for k in _CHANGED_OUTPUT if k in merged and k not in never]
+    fronted = set(never) | set(changed)
+    plan = sorted(
+        (
+            k
+            for k, rnd in CHANGED_PLAN.items()
+            if k in merged and k not in fronted and LAST_VERIFIED.get(k, 0) < rnd
+        ),
+        key=lambda k: (CHANGED_PLAN[k], k),
+    )
+    fronted |= set(plan)
     rest = sorted(
-        (k for k in merged if k not in never and k not in changed),
+        (k for k in merged if k not in fronted),
         key=lambda k: (LAST_VERIFIED[k], k),
     )
-    return {k: merged[k] for k in (*never, *changed, *rest)}
+    return {k: merged[k] for k in (*never, *changed, *plan, *rest)}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

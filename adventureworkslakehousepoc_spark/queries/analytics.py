@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.expressions import exact_unscaled_sum, exact_unscaled_sum_over
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -79,12 +80,16 @@ def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # r16: the running decimal(12,2) sum buffered in decimal(22,2) — a
+    # per-row serialized-BigDecimal add inside WindowExec (guide §5). Two
+    # long cents window sums + one exact decimal recombination per output
+    # row produce the bit-identical double.
     return o.select(
         F.col("o_custkey").alias("customer_id"),
         F.col("o_orderkey").alias("order_key"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias(
-            "running_spend"
-        ),
+        exact_unscaled_sum_over(
+            F.expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"), 2, w
+        ).alias("running_spend"),
     )
 
 
@@ -430,10 +435,24 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")["orders"]
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # r16: Σx² buffered straight in decimal(38,0) — a per-row BigDecimal
+    # add (guide §5). cents² ≤ 3.6·10^15 fits a long exactly, so sum the
+    # hi/lo long partials (hi ≤ 3.6·10^9: ~2.5·10^9 rows per group before
+    # the hi partial saturates — past a 100 TB orders) and recombine into
+    # the identical decimal(38,0) once per group.
+    sq = (cents * cents)
     s = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sum_c"),
-        F.sum((cents * cents).cast("decimal(38,0)")).alias("sumsq_c"),
+        F.sum(F.call_function("div", sq, F.lit(1_000_000))).alias("_sq_hi"),
+        F.sum(sq - F.call_function("div", sq, F.lit(1_000_000)) * F.lit(1_000_000)).alias("_sq_lo"),
+    )
+    s = s.withColumn(
+        "sumsq_c",
+        F.expr(
+            "cast(_sq_hi as decimal(38,0)) * cast(1000000 as decimal(38,0))"
+            " + cast(_sq_lo as decimal(38,0))"
+        ),
     )
     sum_d = F.col("sum_c").cast("double")
     # variance numerator n·Σx² − (Σx)² computed EXACTLY in decimal, then ONE
@@ -692,7 +711,11 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+            # r16: long cents partials replace the decimal(22,2) buffer's
+            # per-row BigDecimal add (guide §5); bit-identical double
+            exact_unscaled_sum(
+                F.expr("cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint)"), 2
+            ).alias("sum_price"),
             F.min("p_retailprice").alias("min_price"),
             F.max("p_retailprice").alias("max_price"),
         )
@@ -720,13 +743,23 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = t["orders"].join(
         F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
     )
+    # r16: the SQL-side decimal(18,2) sum buffered in decimal(28,2) — a
+    # per-row BigDecimal add (guide §5). Project the long cents once, sum
+    # the hi/lo long partials, and recombine exactly per group — the same
+    # exact_unscaled_sum shape, spelled in SQL.
+    joined = joined.withColumn(
+        "_tp_u", F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+    )
     joined.createOrReplaceTempView("gs_input")
     return joined.sparkSession.sql(
         """
         SELECT COALESCE(c_mktsegment, '<all>') AS segment,
                COALESCE(o_orderpriority, '<all>') AS priority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST((CAST(SUM(_tp_u div 1000000) AS DECIMAL(38,0))
+                       * CAST(1000000 AS DECIMAL(38,0))
+                     + CAST(SUM(_tp_u - (_tp_u div 1000000) * 1000000) AS DECIMAL(38,0)))
+                    / CAST(100 AS DECIMAL(3,0)) AS DOUBLE) AS total_price,
                CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS INT) AS grp
         FROM gs_input
         GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), (o_orderpriority))
@@ -756,7 +789,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            # r16: long cents partials replace the decimal(28,2) buffer's
+            # per-row BigDecimal add (guide §5); bit-identical double
+            exact_unscaled_sum(
+                F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"), 2
+            ).alias("total_price"),
             F.grouping_id().cast("int").alias("grp"),
         )
         .select(
@@ -866,7 +903,11 @@ def j6_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        # r16: long cents partials replace the decimal(22,2) buffer's
+        # per-row BigDecimal add (guide §5); bit-identical double
+        exact_unscaled_sum(
+            F.expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)"), 2
+        ).alias("sum_qty"),
     )
 
 

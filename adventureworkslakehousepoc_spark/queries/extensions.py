@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.expressions import exact_unscaled_sum as _exact_unscaled_sum
 from ..plans.expectations import expect_fresh, expect_referential, expect_unique
 from ..operators.dedup import (
     exact_duplicate_groups,
@@ -3267,7 +3268,13 @@ def contribution_share_by_region_q(spark: SparkSession, sf_dir: str) -> DataFram
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_regionkey").alias("region_key"), F.col("n_name").alias("nation"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+        # r16: long cents partials replace the decimal(28,2) buffer's
+        # per-row BigDecimal add (guide §5); bit-identical double
+        .agg(
+            _exact_unscaled_sum(
+                F.expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"), 2
+            ).alias("revenue")
+        )
     )
     reg = nat.groupBy("region_key").agg(F.sum("revenue").alias("region_revenue"))
     w = Window.partitionBy("region_key").orderBy(F.desc("revenue"), F.asc("nation"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.expressions import exact_unscaled_sum as _exact_unscaled_sum
 from ..operators.joins import interval_join, star_left_join
 from ..streaming.cdf import ChangeFeed, latest_snapshot
 from ..streaming.runner import run_available_now, scratch_dir, stream_table, stream_tmp_root
@@ -92,7 +93,14 @@ def st_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # r16: long cents partials replace the decimal(28,2) buffer's
+            # per-row BigDecimal add — in a STREAMING aggregate the buffer
+            # also serializes into the state store every batch, so two
+            # longs shrink state rows as well (guide §5); bit-identical
+            # double.
+            _exact_unscaled_sum(
+                F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -412,8 +412,15 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float-summation-order sensitivity at the boundary."""
     t = _t(spark, sf_dir, "lineitem", "part")
     li = t["lineitem"]
+    # r16: both decimal(12,2) sums route through exact_unscaled_sum — the
+    # decimal(22,2) buffer is past the 18-digit compact-long limit, so every
+    # row paid a serialized-BigDecimal add (guide §5). The cents sums are
+    # bit-identical doubles (pinned by test_exact_unscaled_sum_equals_
+    # decimal_sum), so the dominance filter selects identical rows.
     pq = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        exact_unscaled_sum(
+            F.expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)"), 2
+        ).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
@@ -422,11 +429,15 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(pq, F.col("l_partkey") == F.col("_pk"))
-        .filter(F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sum_qty").cast("double"))
+        .filter(F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            ),
+            (
+                exact_unscaled_sum(
+                    F.expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint)"),
+                    2,
+                )
+                / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -531,14 +542,36 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     global (sum, count) pair broadcasts as one row; customers-without-orders
     is a left-anti join against the orders keys."""
     t = _t(spark, sf_dir, "customer", "orders")
-    cust = t["customer"].filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
-    pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("s"),
-        F.count(F.lit(1)).alias("c"),
+    # r16: the decimal(12,2) sums move to long cents partials (guide §5 —
+    # the decimal(22,2) buffer pays a per-row BigDecimal add). The dominance
+    # filter stays EXACT: both sides of `acctbal * count > sum` scale by
+    # 100 to integer cents, the global sum recombines from its hi/lo long
+    # partials into one decimal(38,0) cents value (exact for any count —
+    # per-row cents ≤ 10^9, hi-partial headroom ~10^13 rows), and the
+    # per-row side compares as decimal(38,0)·count — the same exact
+    # rational inequality as the previous decimal(12,2)·count > decimal
+    # comparison, per-row cost unchanged (one decimal multiply either way).
+    cust = t["customer"].filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)).withColumn(
+        "_ab_u", F.expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)")
+    )
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.expr("_ab_u div 1000000")).alias("_s_hi"),
+            F.sum(F.expr("_ab_u - (_ab_u div 1000000) * 1000000")).alias("_s_lo"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            F.expr(
+                "cast(_s_hi as decimal(38,0)) * cast(1000000 as decimal(38,0))"
+                " + cast(_s_lo as decimal(38,0))"
+            ).alias("s_c"),
+            "c",
+        )
     )
     return (
         cust.crossJoin(F.broadcast(pos))
-        .filter(F.col("c_acctbal").cast("decimal(12,2)") * F.col("c") > F.col("s"))
+        .filter(F.expr("cast(_ab_u as decimal(38,0)) * c > s_c"))
         .join(
             t["orders"].select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
@@ -547,7 +580,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+            exact_unscaled_sum(F.col("_ab_u"), 2).alias("totacctbal"),
         )
     )
 
@@ -597,7 +630,18 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+        # r16: quantity cents as a plain long sum — exact, and the dominance
+        # test below stays an exact integer comparison (×100 both sides).
+        # Overflow headroom: ≤ 5000 cents/row (qty ≤ 50), so a single
+        # (part, supplier) group holds ~1.8·10^15 rows and a part total
+        # ~10^15 before a long saturates — far past a 100 TB lineitem. The
+        # former decimal(12,2) sum buffered in decimal(22,2): a per-row
+        # serialized-BigDecimal add (guide §5).
+        .agg(
+            F.sum(
+                F.expr("cast(cast(l_quantity as decimal(12,2)) * 100 as bigint)")
+            ).alias("sq")
+        )
     )
     pt = pq.groupBy(F.col("l_partkey").alias("_pk")).agg(F.sum("sq").alias("tq"))
     dominant = (

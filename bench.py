@@ -515,12 +515,19 @@ def main() -> None:
     # ~4 KB) full-result line in rounds 4 AND 5 (`parsed: null` in
     # BENCH_r0{4,5}.json), losing the headline number. This short final line
     # survives tail truncation even when the big line doesn't.
+    #
+    # r16: the driver parses THIS line, so omitting the per-query map here
+    # left PERF per_query/geomean/scaling empty for two rounds (r15 verdict
+    # item 2). The 26-entry headline map is ~800 B rounded — well under the
+    # ~4 KB truncation that motivated the short line — so it rides along;
+    # the 177-entry extras map stays on the full line above only.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_extra": len(extra_timings),

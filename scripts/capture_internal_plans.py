@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture the PRE-checkpoint internal plans of eagerly-materializing
-queries (plans/audit.capture_plans) into plans/r15/<query>_<tag>_internal.txt
+queries (plans/audit.capture_plans) into plans/<round>/<query>_<tag>_internal.txt
 — the checkpointed final frame's own plan is just an RDD scan, so the
 real execution plans live in the audit sink.
 
@@ -23,7 +23,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("AWLH_PLAN_ROUND", "r16")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="awlh-plan-capture")

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for named registered queries into
-plans/r15/<query>_<tag>.txt (the judge checks plan claims against these).
+plans/<round>/<query>_<tag>.txt (the judge checks plan claims against these).
 
 Usage: python scripts/capture_plan.py <tag> <query> [<query> ...]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -20,7 +20,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("AWLH_PLAN_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="awlh-plan-capture")
 

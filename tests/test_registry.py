@@ -294,16 +294,36 @@ def test_round6_driver_window_composition():
 
     never = [k for k in ordered if k not in LAST_VERIFIED]
     changed = [k for k in q._CHANGED_OUTPUT if k not in never]
-    # groups 1+2 must FIT the window — if this fails, the round added more
-    # new queries than the window can first-time-verify: stop adding.
-    assert len(never) + len(changed) <= q.DRIVER_WINDOW, (
+    # changed-PLAN rows (r16): output-identical plan rewrites not yet
+    # re-attested by a driver row run against the new plan — LIVE entries
+    # only (last green row predates the round the rewrite shipped in)
+    from adventureworkslakehousepoc_spark.queries._changed_plan import CHANGED_PLAN
+
+    plan = [
+        k
+        for k, rnd in CHANGED_PLAN.items()
+        if k in ordered
+        and k not in never
+        and k not in changed
+        and LAST_VERIFIED.get(k, 0) < rnd
+    ]
+    # groups 1+2+3 must FIT the window — if this fails, the round added
+    # more new/changed queries than the window can verify: stop adding.
+    assert len(never) + len(changed) + len(plan) <= q.DRIVER_WINDOW, (
         f"{len(never)} never-verified + {len(changed)} changed-output "
-        f"queries exceed the {q.DRIVER_WINDOW}-slot driver window"
+        f"+ {len(plan)} changed-plan queries exceed the "
+        f"{q.DRIVER_WINDOW}-slot driver window"
     )
     assert set(never) <= set(window), f"never-verified outside window: {set(never) - set(window)}"
     assert set(changed) <= set(window), f"changed-output outside window: {set(changed) - set(window)}"
+    assert set(plan) <= set(window), f"changed-plan outside window: {set(plan) - set(window)}"
+    # every CHANGED_PLAN key must exist in the registry (catch typos —
+    # a misspelled entry would silently front nothing)
+    assert set(CHANGED_PLAN) <= set(ordered), (
+        f"CHANGED_PLAN names not in registry: {set(CHANGED_PLAN) - set(ordered)}"
+    )
     # the rest is stalest-first: last-verified rounds must be non-decreasing
-    rest = [k for k in ordered if k in LAST_VERIFIED and k not in changed]
+    rest = [k for k in ordered if k in LAST_VERIFIED and k not in changed and k not in plan]
     ages = [LAST_VERIFIED[k] for k in rest]
     assert ages == sorted(ages), "registry tail not ordered stalest-first"
     # every windowed query must carry an oracle (full hash gate, not rows-only)
