@@ -1159,9 +1159,28 @@ def langid_ngram_profile(
         train_tf, ["lang"], profile_size, [F.desc("cnt"), F.asc("tri")], "rl"
     ).select(F.col("lang").alias("cand_lang"), "tri", "rl")
     langs = prof.select("cand_lang").distinct()
-    dprof = grouped_topk(
-        doc_tf, ["doc_id"], doc_profile_size, [F.desc("tf"), F.asc("tri")], "rd"
-    ).select("doc_id", "lang", "tri", "rd")
+    # r16 (guide §2.2): the per-DOC top-k was a two-window grouped_topk —
+    # an exchange plus TWO full sorts of the (doc, trigram) stream. Docs
+    # are plentiful (no per-group funnel, unlike the per-LANG profile
+    # above, which keeps grouped_topk), so one aggregate derives the
+    # profile instead: collect the doc's distinct-trigram structs, sort
+    # the array (struct(-tf, tri) ascending == (tf DESC, tri ASC) — a
+    # total order, trigrams are distinct per doc), slice k, posexplode
+    # hands back the ranks. Row width is bounded by doc length.
+    dprof = (
+        doc_tf.groupBy("doc_id", "lang")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("tf")).alias("ntf"), "tri"))
+                ),
+                1,
+                doc_profile_size,
+            ).alias("top")
+        )
+        .select("doc_id", "lang", F.posexplode("top").alias("i", "t"))
+        .select("doc_id", "lang", F.col("t.tri").alias("tri"), (F.col("i") + 1).alias("rd"))
+    )
     scored = (
         dprof.crossJoin(F.broadcast(langs))
         .join(F.broadcast(prof), ["cand_lang", "tri"], "left")

@@ -48,17 +48,21 @@ CHANGED_PLAN: dict[str, int] = {
     "j6_skew_salted_join": 16,
     "contribution_share_by_region": 16,
     "st_windowed_agg": 16,
-    # --- round 15: dedup verify/shingle collapse (_jaccard_verify array
-    # form, word_shingles(distinct=), prefix/containment one-shuffle corpus
-    # pass, minhash calibration family collapse) ---
-    "dedup_minhash_lsh": 15,
-    "dedup_clusters": 15,
-    "pagerank_dup_graph": 15,
-    "graph_triangle_counts": 15,  # verified r15 → self-cleared
-    "incremental_minhash_index": 15,
-    "dedup_prefix_filter_jaccard": 15,
-    "dedup_containment_exact": 15,
-    "minhash_estimate_error": 15,
+    # --- round 15 dedup collapse; plans changed AGAIN r16 (shared
+    # per-doc array corpus pass, window→aggregate prefix, array verify
+    # off the cached arrays) ---
+    "dedup_minhash_lsh": 16,
+    "dedup_clusters": 16,
+    "pagerank_dup_graph": 16,
+    "graph_triangle_counts": 16,
+    "incremental_minhash_index": 16,
+    "dedup_prefix_filter_jaccard": 16,
+    "dedup_containment_exact": 16,
+    "dedup_containment_pairs": 16,
+    "minhash_estimate_error": 16,
+    # --- round 16: per-doc top-k via aggregate (two-window grouped_topk
+    # removed from the apply side) ---
+    "langid_ngram_profile": 16,
     # --- round 15: single-scan MATCH SIMPLE referential enforcement ---
     "expectations_referential": 15,
     "expectations_quarantine_replay": 15,

@@ -3662,34 +3662,52 @@ def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL-recall path (prefix filtering on the smaller set), with the
     naive all-pairs join as its oracle. This row's oracle replays the
     identical bands+containment computation, so the gate is exact."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, word_shingles
+    from ..operators.dedup import (
+        doc_shingle_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
     from ..operators.dedup import _fresh_cache
 
     # one-slot cache (see operators/dedup.py): the LSH containment pair
     # list is huge on duplicate-heavy corpora, so the result stays LAZY
-    # (streams into the sink) and the shingle cache is bounded to one
+    # (streams into the sink) and the array cache is bounded to one
     # frame instead of leaking per call. SAME slot key as the minhash
     # family: the plans are identical, so a separate key would alias the
     # same CacheManager entry anyway — and unpersisting either slot would
-    # silently drop the other's data
-    shingles = _fresh_cache("minhash_shingles", word_shingles(_docs(spark, sf_dir)))
-    pairs = lsh_candidate_pairs(minhash_signatures(shingles))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.alias("sa")
-    sb = shingles.alias("sb")
-    inter = (
-        pairs.alias("p")
-        .join(sa, F.col("p.doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("p.doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    # silently drop the other's data.
+    #
+    # r16: shares the per-doc shingle-set ARRAY frame with the minhash
+    # family (one corpus shuffle); the intersection count is one
+    # array_intersect per candidate pair off two pair-keyed joins — the
+    # former shape exploded |pairs|·|A| (pair, shingle) rows through a
+    # keyed join plus a re-aggregating groupBy, plus a separate sizes
+    # groupBy over the stream (guide §2.3/§2.4).
+    arrs = _fresh_cache("minhash_doc_arrays", doc_shingle_arrays(_docs(spark, sf_dir)))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(arrs.select("doc_id", F.explode("shs").alias("sh")))
     )
-    za = sizes.select(F.col("doc_id").alias("ka"), F.col("n_sh").cast("bigint").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("kb"), F.col("n_sh").cast("bigint").alias("n_b"))
+    za = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.size("shs").cast("bigint").alias("n_a"),
+    )
+    zb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.size("shs").cast("bigint").alias("n_b"),
+    )
     out = (
-        inter.join(za, F.col("doc_a") == F.col("ka"))
-        .join(zb, F.col("doc_b") == F.col("kb"))
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint").alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
         .select(
             "doc_a",
             "doc_b",
