@@ -325,9 +325,18 @@ def quantile_normalize(
     rank — co-partitioned bigint keys, corpus-scale but shuffle-friendly.
     Returns ``(id, group, value, group_rank, n_group, target_rank,
     normalized_value)``."""
-    gr = grouped_exact_ranks(df, group_col, value_col, id_col)
+    # r16 (guide §5): two grouped_exact_ranks calls × three machinery
+    # passes each = the caller's input evaluated SIX times. Materialize
+    # the narrow (group, id, value) projection once — one row per scored
+    # entity — and run both rank passes over it.
+    from ..plans.audit import eager_checkpoint
+
+    base = eager_checkpoint(
+        df.select(group_col, id_col, value_col), "quantile_normalize_input"
+    )
+    gr = grouped_exact_ranks(base, group_col, value_col, id_col)
     glob = grouped_exact_ranks(
-        df.select(F.lit(0).alias("_all"), F.col(id_col), F.col(value_col)),
+        base.select(F.lit(0).alias("_all"), F.col(id_col), F.col(value_col)),
         "_all",
         value_col,
         id_col,

@@ -282,7 +282,12 @@ def _le_hex(col, n_bytes: int):
     return F.concat(*parts)
 
 
-def wav_pcm_encode(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def wav_pcm_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Build REAL RIFF/WAVE PCM payloads — valid files the stdlib ``wave``
     module (or any audio tool) opens — entirely with codegen'd
     expressions: canonical 44-byte header (PCM, mono, 16-bit, 8 kHz) +
@@ -324,10 +329,15 @@ def wav_pcm_encode(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         payload.alias("payload"),
         F.lit("audio/wav").alias("media_type"),
         F.length(payload).cast("bigint").alias("byte_len"),
+        *passthrough,
     )
 
 
-def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+def wav_pcm_decode(
+    payloads: DataFrame,
+    payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """REAL audio decode as pure relational expressions — the audio twin
     of ``ppm_p6_decode``, no stub on this path: validates the RIFF/WAVE
     magic, parses the canonical 44-byte PCM header's little-endian
@@ -344,7 +354,15 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
     Scale: one projection over the payload scan; per-row work is linear
     in payload size; the samples are parsed ONCE (``transform``) and all
     three statistics come from ONE ``aggregate`` fold over a struct
-    accumulator — no shuffle until the caller aggregates."""
+    accumulator — no shuffle until the caller aggregates.
+
+    ``passthrough`` names input columns carried verbatim onto the output
+    rows (r16): the decode is a per-row projection, so a caller that
+    needs payload metadata next to the decoded stats (crossmodal audit:
+    byte_len, source, word count) rides them through instead of joining
+    the encode frame back on doc_id — that join re-evaluated the whole
+    payload build a second time AND paid a doc-keyed shuffle for
+    row-local data (guide §2.4)."""
     hx = F.hex(F.col(payload_col))
 
     def le_at(byte_off: int, n_bytes: int):
@@ -370,6 +388,7 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         le_at(22, 2).cast("int").alias("n_channels"),
         le_at(34, 2).cast("int").alias("bits_per_sample"),
         (le_at(40, 4) / 2).cast("bigint").alias("n_samples"),
+        *passthrough,
     )
     # 16-bit signed LE sample i: bytes 44+2i (LSB), 45+2i (MSB) → hex
     # chars 89+4i and 91+4i; signed = u − 65536·[u ≥ 32768]. SINGLE
@@ -411,6 +430,7 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         "bits_per_sample",
         "n_samples",
         stats.alias("_st"),
+        *passthrough,
     ).select(
         "doc_id",
         "sample_rate",
@@ -420,6 +440,7 @@ def wav_pcm_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFra
         F.col("_st.s").alias("sum_amplitude"),
         F.col("_st.sa").alias("sum_abs"),
         F.col("_st.pk").alias("peak_abs"),
+        *passthrough,
     ).select(
         "*",
         F.expr("sum_abs * 1000000 div greatest(n_samples, 1)").alias(
@@ -469,7 +490,11 @@ def y4m_encode(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ).drop("_fhl")
 
 
-def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+def y4m_decode(
+    payloads: DataFrame,
+    payload_col: str = "payload",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """REAL video decode as pure relational expressions — completing the
     real-codec trio (PPM image, WAV audio, y4m video), no stub on this
     path: parses the YUV4MPEG2 stream header (width, height, colorspace
@@ -511,6 +536,7 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
         hdr_hex.alias("hh"),
         stride_hex.alias("sh"),
         frame_hex.alias("fh"),
+        *passthrough,
     ).filter(F.col("width").isNotNull() & (F.col("n_frames") >= 1))
     per_frame = base.select(
         "doc_id",
@@ -521,6 +547,7 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
         "sh",
         "fh",
         "hx",
+        *passthrough,
         F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),
     )
     # luma plane = first w·h bytes after the marker; marker check is an
@@ -531,6 +558,7 @@ def y4m_decode(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
         "height",
         "n_frames",
         "frame_idx",
+        *passthrough,
         F.expr(
             "cast(substring(hx, hh + frame_idx * sh + 1, 12) = '4652414D450A'"
             " as int)"
@@ -961,37 +989,45 @@ def crossmodal_pair_audit(
     samples_per_word_micros) — the last is the per-source pacing ratio
     sum(samples)*1e6 div sum(words). Integer-exact end to end.
 
-    Scale: both decode legs are scan-side expression work; the three
-    doc-keyed joins shuffle on doc_id only (no payload bytes move after
-    the decode projection); the final aggregate is one keyed reduce to
-    |sources| rows."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("source"),
-        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_words"),
+    Scale (r16): the audio leg is a pure per-row projection — the encode's
+    metadata (byte_len, source, word count) rides THROUGH the decode via
+    column passthrough instead of joining the encode frame back on doc_id
+    (which re-evaluated the whole payload build a second time and paid a
+    doc-keyed shuffle for row-local data, guide §2.4); the video leg's
+    byte_len likewise rides the per-frame rows into its one unavoidable
+    groupBy. ONE doc-keyed join (audio row ⋈ video aggregate) remains of
+    the former three, no payload bytes move after the decode projections,
+    and the final aggregate is one keyed reduce to |sources| rows."""
+    docs2 = docs.withColumn(
+        "_n_words", F.size(F.split(F.col(text_col), " ")).cast("bigint")
     )
-    wav_enc = wav_pcm_encode(docs, text_col=text_col, id_col=id_col)
-    wav = (
-        wav_pcm_decode(wav_enc)
-        .join(wav_enc.select("doc_id", "byte_len"), "doc_id")
-        .select(
-            "doc_id",
-            "n_samples",
-            F.expr("cast(byte_len = 44 + 2 * n_samples as int)").alias(
-                "audio_sized_ok"
-            ),
-        )
+    wav = wav_pcm_decode(
+        wav_pcm_encode(
+            docs2, text_col=text_col, id_col=id_col,
+            passthrough=("source", "_n_words"),
+        ),
+        passthrough=("byte_len", "source", "_n_words"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("_n_words").alias("n_words"),
+        "n_samples",
+        F.expr("cast(byte_len = 44 + 2 * n_samples as int)").alias(
+            "audio_sized_ok"
+        ),
     )
-    vid_enc = y4m_encode(docs, text_col=text_col, id_col=id_col)
     vid = (
-        y4m_decode(vid_enc)
+        y4m_decode(
+            y4m_encode(docs, text_col=text_col, id_col=id_col),
+            passthrough=("byte_len",),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_frames_seen"),
             F.max("width").alias("vw"),
             F.max("height").alias("vh"),
+            F.max("byte_len").alias("byte_len"),
         )
-        .join(vid_enc.select("doc_id", "byte_len"), "doc_id")
         .select(
             "doc_id",
             "n_frames_seen",
@@ -1008,8 +1044,7 @@ def crossmodal_pair_audit(
         )
     )
     per_doc = (
-        base.join(wav, "doc_id")
-        .join(vid, "doc_id")
+        wav.join(vid, "doc_id")
         .select(
             "source",
             "n_words",

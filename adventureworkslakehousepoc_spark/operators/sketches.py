@@ -282,9 +282,19 @@ def kmv_source_overlap(
             "source",
             F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
         )
-        .distinct()
+    )
+    # r16 (guide §2.4): ONE corpus shuffle keyed on the hash replaces the
+    # former distinct + a second groupBy(h) for the exact-intersection
+    # audit: grouping the raw stream by h with a collect_set(source)
+    # dedups (source, h) pairs AND is exactly the shared-source table the
+    # audit fans out from; the distinct per-source stream re-derives by
+    # exploding the cached rows (a map, no exchange).
+    hs = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
         .persist()
     )
+    sh = hs.select(F.explode("ss").alias("source"), "h")
     sketch = grouped_topk(sh, ["source"], k, [F.asc("h")]).select("source", "h")
 
     pairs = (
@@ -335,9 +345,7 @@ def kmv_source_overlap(
     # instead of twice, and no join ever rematches the corpus.
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     inter = (
-        sh.groupBy("h")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") >= 2)
+        hs.filter(F.size("ss") >= 2)
         .select(
             F.explode(
                 F.expr(
@@ -385,7 +393,7 @@ def kmv_source_overlap(
 
         return eager_checkpoint(out, "kmv_source_overlap_pairs")
     finally:
-        sh.unpersist()
+        hs.unpersist()
 
 
 # ---------------------------------------------------------------------------

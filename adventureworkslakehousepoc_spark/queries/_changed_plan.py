@@ -63,6 +63,14 @@ CHANGED_PLAN: dict[str, int] = {
     # --- round 16: per-doc top-k via aggregate (two-window grouped_topk
     # removed from the apply side) ---
     "langid_ngram_profile": 16,
+    # --- round 16: input materialized once ahead of the 3-pass bucketed
+    # rank machinery; kmv one-shuffle hash grouping; crossmodal
+    # passthrough decode (3 joins + double encode → 1 join) ---
+    "ccnet_perplexity_buckets": 16,
+    "training_corpus_pipeline_v5": 16,
+    "quantile_normalize_doclen": 16,
+    "kmv_source_overlap": 16,
+    "crossmodal_pair_audit": 16,
     # --- round 15: single-scan MATCH SIMPLE referential enforcement ---
     "expectations_referential": 15,
     "expectations_quarantine_replay": 15,
