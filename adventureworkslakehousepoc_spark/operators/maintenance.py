@@ -519,11 +519,19 @@ def vacuum_apply(
     # ints) and the tmp-swap would then delete the originals — permanent
     # data loss. Footer metadata only (same driver-side read as
     # evolved_schema); refuse before any file is touched.
+    # ADVICE r15: compare the order-insensitive (name, type) SET — files
+    # whose footers list identical columns in a different physical order
+    # read back identically, so refusing on order alone was a spurious
+    # (if fail-safe) block — and WALK the directory so partitioned logs
+    # (parquet files in subdirectories, which spark.read.parquet reads)
+    # get the same protection instead of an empty/partial footer set.
     footer_schemas = {
-        tuple((fld.name, str(fld.type)) for fld in pq.read_schema(
-            os.path.join(path, f)
-        ))
-        for f in os.listdir(path)
+        frozenset(
+            (fld.name, str(fld.type))
+            for fld in pq.read_schema(os.path.join(root, f))
+        )
+        for root, _dirs, files in os.walk(path)
+        for f in files
         if f.endswith(".parquet")
     }
     if len(footer_schemas) > 1:

@@ -571,11 +571,17 @@ def _keep_match_simple(df: DataFrame, ref_df: DataFrame, exp) -> DataFrame:
     for c in exp.cols:
         cond = F.col(c).isNull()
         null_fk = cond if null_fk is None else (null_fk | cond)
-    hit = keys.withColumn("_ref_hit", F.lit(1))
+    # collision-proof marker (ADVICE r15): a dataset that already carries
+    # a `_ref_hit` column would otherwise produce a duplicate name and an
+    # ambiguous-reference AnalysisException at the filter
+    marker = "_ref_hit"
+    while marker in df.columns:
+        marker += "_"
+    hit = keys.withColumn(marker, F.lit(1))
     cols = df.columns
     return (
         df.join(hit, on=list(exp.cols), how="left")
-        .filter(null_fk | F.col("_ref_hit").isNotNull())
+        .filter(null_fk | F.col(marker).isNotNull())
         .select(*cols)
     )
 
@@ -602,10 +608,13 @@ def aggregate_quarantine_rows(
     for exp in expectations:
         if exp.kind != "referential" or exp.policy not in ("drop", "quarantine"):
             continue
-        keys = resolve(exp.ref).select(
-            *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
-        ).dropDuplicates(list(exp.cols))
         if exp.policy == "quarantine":
+            # keys only feed the anti join — built inside the branch so a
+            # drop-policy constraint does not construct an unused relation
+            # (ADVICE r15)
+            keys = resolve(exp.ref).select(
+                *[F.col(r).alias(f) for f, r in zip(exp.cols, exp.ref_cols)]
+            ).dropDuplicates(list(exp.cols))
             probe = cur
             for c in exp.cols:
                 probe = probe.filter(F.col(c).isNotNull())

@@ -61,6 +61,18 @@ class ExpectationMetricsListener(StreamingQueryListener):
         self._query_id: str | None = None
         self._terminated_ids: set[str] = set()
 
+    def bind_query(self, query_id) -> None:
+        """Bind the tracked query id AT START (ADVICE r15): the runner
+        hands the started query's id over before any event can be
+        processed, so a foreign stream's termination can never release
+        ``wait_terminated`` — previously the id bound from the first
+        progress event carrying our observation name, which left early
+        zero-progress batches exposed to cross-talk."""
+        with self._cv:
+            if self._query_id is None:
+                self._query_id = str(query_id)
+            self._cv.notify_all()
+
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
 
@@ -173,7 +185,9 @@ def run_gated_stream_with_counters(
     gated = apply_expectations(observed, expectations, dataset=dataset)
     spark.streams.addListener(listener)
     try:
-        materialized = run_available_now(gated, run_name)
+        materialized = run_available_now(
+            gated, run_name, on_start=lambda q: listener.bind_query(q.id)
+        )
     finally:
         # the terminated event may still be in flight; wait before removal
         # so the last progress rows are accumulated (bus is FIFO)

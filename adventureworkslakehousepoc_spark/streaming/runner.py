@@ -206,7 +206,10 @@ def stream_table(
 
 
 def run_available_now(
-    df: DataFrame, name: str | None = None, state_partitions: int | None = None
+    df: DataFrame,
+    name: str | None = None,
+    state_partitions: int | None = None,
+    on_start=None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow + flush
     batch) into a parquet sink with a fresh checkpoint; return the
@@ -239,6 +242,11 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
+        if on_start is not None:
+            # hand the started query to the caller BEFORE awaiting — a
+            # metrics listener binds its tracked query id here, closing
+            # the foreign-termination cross-talk window (ADVICE r15)
+            on_start(q)
         if not q.awaitTermination(600):
             q.stop()
             raise TimeoutError(f"stream {run_id} did not terminate")

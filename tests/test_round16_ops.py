@@ -118,3 +118,101 @@ def test_exact_unscaled_sum_integer_split_full_range(spark):
         .alias("y")
     ).collect()[0][0]
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r16 fixes: marker collision, start-time listener binding,
+# order-insensitive + recursive vacuum guard
+# ---------------------------------------------------------------------------
+
+
+def test_keep_match_simple_survives_ref_hit_column(spark):
+    """A dataset already carrying a `_ref_hit` column must not produce an
+    ambiguous-reference AnalysisException in the referential keep filter."""
+    from adventureworkslakehousepoc_spark.plans.expectations import (
+        AggregateExpectation,
+        enforce_aggregate_drops,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 7, "keep"), (9, 8, "orphan"), (None, 9, "exempt")],
+        "a int, _ref_hit int, v string",
+    )
+    dim = spark.createDataFrame([(1,)], "da int")
+    exp = AggregateExpectation(
+        name="fk_a", kind="referential", policy="drop",
+        cols=("a",), ref="dim", ref_cols=("da",),
+    )
+    out = enforce_aggregate_drops(fact, [exp], resolve=lambda _: dim)
+    rows = sorted((r["v"], r["_ref_hit"]) for r in out.collect())
+    assert rows == [("exempt", 9), ("keep", 7)]
+
+
+def test_listener_binds_at_query_start():
+    """bind_query at start closes the zero-progress cross-talk window: a
+    foreign termination arriving BEFORE any progress event must not
+    release wait_terminated once the id is bound."""
+    import types
+
+    from adventureworkslakehousepoc_spark.streaming.quality import (
+        ExpectationMetricsListener,
+    )
+
+    listener = ExpectationMetricsListener("obs:r16:test")
+    listener.bind_query("q-mine")
+    listener.onQueryTerminated(types.SimpleNamespace(id="q-other"))
+    assert not listener.wait_terminated(timeout=0.2)
+    listener.onQueryTerminated(types.SimpleNamespace(id="q-mine"))
+    assert listener.wait_terminated(timeout=5.0)
+
+
+def test_vacuum_guard_recursive_and_order_insensitive(spark, tmp_path):
+    """The schema guard must SEE evolved generations hidden in partition
+    subdirectories (os.walk), and must NOT refuse two files whose footers
+    carry identical columns in a different physical order."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    from adventureworkslakehousepoc_spark.operators.maintenance import (
+        vacuum_apply,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    # 1) evolved generation inside a subdirectory -> refused, nothing deleted
+    p1 = str(tmp_path / "log_partitioned")
+    spark.createDataFrame(
+        [(1, 10, "insert", 1, t)],
+        "k bigint, v int, _change_type string, _commit_version int, "
+        "_commit_timestamp timestamp",
+    ).write.mode("append").parquet(p1)
+    sub = os.path.join(p1, "gen2")
+    spark.createDataFrame(
+        [(2, 11, "extra", "insert", 2, t)],
+        "k bigint, v int, note string, _change_type string, "
+        "_commit_version int, _commit_timestamp timestamp",
+    ).write.mode("append").parquet(sub)
+    before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(p1) for f in fs
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        vacuum_apply(spark, p1, ["k"], horizon_version=2)
+    after = sorted(os.path.join(r, f) for r, _, fs in os.walk(p1) for f in fs)
+    assert after == before
+    # 2) identical columns, different footer order -> NOT refused
+    p2 = str(tmp_path / "log_reordered")
+    spark.createDataFrame(
+        [(1, 10, "insert", 1, t)],
+        "k bigint, v int, _change_type string, _commit_version int, "
+        "_commit_timestamp timestamp",
+    ).write.mode("append").parquet(p2)
+    spark.createDataFrame(
+        [(10, 2, "insert", 2, t)],
+        "v int, k bigint, _change_type string, _commit_version int, "
+        "_commit_timestamp timestamp",
+    ).select("k", "v", "_change_type", "_commit_version", "_commit_timestamp") \
+     .write.mode("append").parquet(p2)
+    # same column SET; vacuum must proceed (no ValueError)
+    res = vacuum_apply(spark, p2, ["k"], horizon_version=3)
+    assert res is not None
